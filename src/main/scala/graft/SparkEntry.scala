@@ -1,13 +1,607 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ai.AiFunctions._
+import graft.ops.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.pipelines.Pipelines
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the north-star training-data operators), with DuckDB
+  * oracle SQL wherever the operator is SQL-expressible. Column names are
+  * aligned pairwise (the driver sorts columns by name before hashing);
+  * every oracle-backed query carries a total ORDER BY on both sides;
+  * computed doubles are rounded identically; counts are cast to BIGINT
+  * on the Spark side to match DuckDB's int64.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val TS = "yyyy-MM-dd HH:mm:ss"
+  private val TSD = "%Y-%m-%d %H:%M:%S" // duckdb strftime equivalent
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as raw nanos and convert (lossless here —
+    * the generator emits whole microseconds; verified in TESTDATA).
+    */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Flagship query (SURVEY §3.3): directory-style scan of `documents`
+    * -> ai_extract -> unpivot -> pivot to wide. Driver smoke-checks
+    * rows>0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipelines.batchSqlOverDocuments(spark, "/root/testdata/sf0.001",
+      Map("title" -> "What is the title?",
+          "topic" -> "What is this document about?"))
+
+  // ---------------------------------------------------------------
+  // Relational inventory (SURVEY §2.2-§2.8) — oracle-backed
+  // ---------------------------------------------------------------
+
+  private def qA1(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  private def qA2(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").agg(
+      coalesce(date_format(max(col("o_orderdate")), TS), lit("")).as("latest_order_date"))
+
+  private def qA4(s: SparkSession, d: String): DataFrame =
+    ev(s, d).select(col("event_type")).distinct().orderBy(col("event_type"))
+
+  private def qA5(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").agg(count(lit(1)).as("n"))
+
+  private def qW1(s: SparkSession, d: String): DataFrame =
+    Relational.dedupFirst(ev(s, d), Seq("user_id", "event_type"),
+        Seq(col("ts").desc_nulls_last, col("event_id").desc))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        date_format(col("ts"), TS).as("ts_s"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private def qW2(s: SparkSession, d: String): DataFrame =
+    Relational.dedupFirst(ev(s, d), Seq("user_id", "event_type"),
+        Seq(col("event_id").asc))
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private def qJ1(s: SparkSession, d: String): DataFrame = {
+    val lastShip = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("__max_ship"))
+    t(s, d, "orders")
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(date_format(col("__max_ship"), TS), lit("")).as("last_ship"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private def qJ2(s: SparkSession, d: String): DataFrame = {
+    val cnt = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("__n"))
+    t(s, d, "orders")
+      .join(cnt, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), coalesce(col("__n"), lit(0L)).as("n_items"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private def qJ3(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
+
+  private def qJ4(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
+
+  private def qJ5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val source = Seq((0, "AFRICA_UPDATED"), (5, "ANTARCTICA"))
+      .toDF("r_regionkey", "r_name")
+    Relational.mergeInto(t(s, d, "region"), source, Seq("r_regionkey"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  private def qP2(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+
+  private def qP3(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_custkey"), col("c_mktsegment")).orderBy(col("c_custkey"))
+
+  private def qP4(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").filter(col("p_type").ilike("%econ%"))
+      .select(col("p_partkey"), col("p_type")).orderBy(col("p_partkey"))
+
+  private def qP5(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").filter(lower(col("c_name")).like("%001%"))
+      .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
+
+  private def qP6(s: SparkSession, d: String): DataFrame = {
+    val preds = Seq(
+      col("p_size") >= 10,
+      col("p_type").isin("ECONOMY", "STANDARD"),
+      lower(col("p_brand")).like("%brand#1%"))
+    t(s, d, "part").filter(Relational.conjunction(preds))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private def qP7(s: SparkSession, d: String): DataFrame = {
+    val haveOrders = t(s, d, "orders").select(col("o_custkey").as("c_custkey"))
+      .distinct().withColumn("__f", lit(true))
+    t(s, d, "customer").join(haveOrders, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("__f"), lit(false)).as("has_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private def qP8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val source = Seq((0, "X", 0), (99, "NEWLAND", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    Relational.insertIfAbsent(t(s, d, "nation"), source, Seq("n_nationkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private def qU1(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct().orderBy(col("nationkey"))
+
+  private def qO1(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .select(col("event_id"),
+        when(col("event_type") === "click", lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      .orderBy(col("v").desc_nulls_last, col("event_id"))
+      .limit(100)
+
+  private def qF1F2(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("file_url",
+        concat(lit("@"), col("source"), lit("/doc_"),
+          col("doc_id").cast("string"), lit(".txt")))
+      .select(col("doc_id"),
+        regexp_replace(split_part(col("file_url"), lit("/"), lit(1)), "^@", "").as("stage"),
+        regexp_extract(col("file_url"), "([^/]+)$", 1).as("fname"))
+      .orderBy(col("doc_id"))
+
+  private def qF6(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 200000, lit(true)).otherwise(lit(false)).as("is_big"))
+      .orderBy(col("o_orderkey"))
+
+  private def qF7(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_int"))
+      .orderBy(col("event_id"))
+
+  private def qF11(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .select(col("event_id"),
+        date_format(
+          try_to_timestamp(
+            when(col("event_id") % 10 === 0, lit("not a ts"))
+              .otherwise(date_format(col("ts"), TS))), TS).as("parsed"))
+      .orderBy(col("event_id"))
+
+  private def qF15F17(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        substring(regexp_replace(col("text"), " {2,}", "\n"), 1, 50).as("head50"),
+        regexp_extract(concat(col("source"), lit("/a/b.txt")), "([^/]+)$", 1).as("base"))
+      .orderBy(col("doc_id"))
+
+  /** TPC-H Q1-shaped pricing summary — the headline agg benchmark. */
+  private def qAgg1(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** History-page composite (W1+J1+J2+J3 in one plan) mirrored onto
+    * orders/lineitem: latest order per customer enriched with lineitem
+    * stats and an existence flag.
+    */
+  private def qHistory(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val stats = li.groupBy(col("l_orderkey")).agg(
+      date_format(max(col("l_shipdate")), TS).as("last_ship"),
+      count(lit(1)).as("n_items"))
+    val enriched = t(s, d, "orders")
+      .join(stats, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), TS).as("order_date"),
+        coalesce(col("last_ship"), lit("")).as("last_ship"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        col("n_items").isNotNull.as("has_items"))
+    Relational.dedupFirst(enriched, Seq("o_custkey"),
+        Seq(col("order_date").desc, col("o_orderkey").desc))
+      .orderBy(col("o_custkey"))
+  }
+
+  // ---------------------------------------------------------------
+  // Event-time windows (north-star streaming-adjacent, batch-checked)
+  // ---------------------------------------------------------------
+
+  private def qWinTumbling(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("w.start"), TS).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private def qWinSliding(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), TS).as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private def qSession(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new_s",
+        when(col("__prev").isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("__prev").cast("timestamp")) > 1800000000L, 1).otherwise(0))
+      .withColumn("session_n",
+        sum(col("__new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .groupBy(col("user_id"), col("session_n"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), TS).as("session_start"),
+        date_format(max(col("ts")), TS).as("session_end"))
+      .orderBy(col("user_id"), col("session_n"))
+  }
+
+  // ---------------------------------------------------------------
+  // North-star: dedup / similarity / text analysis
+  // ---------------------------------------------------------------
+
+  private def qDedupExactGroups(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("text_hash"))
+
+  private def qDedupExactKeep(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedup(t(s, d, "documents"), "text", "doc_id")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+
+  private def qTextStats(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    t(s, d, "documents").select(col("doc_id"),
+      TextAnalysis.charCount(txt).cast("long").as("n_chars_m"),
+      TextAnalysis.tokenCountWs(txt).cast("long").as("n_tokens"),
+      TextAnalysis.meanWordLen(txt).as("mean_word_len"),
+      TextAnalysis.punctRatio(txt).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(txt).as("stopword_ratio"),
+      TextAnalysis.qualityScore(txt).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qTextFingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private def qTextLangId(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private def qTokensBpe(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  private def qSimTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .select(col("query_id"), col("corpus_id"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def qEmbNearDups(s: SparkSession, d: String): DataFrame =
+    Similarity.exactNearDupPairs(t(s, d, "embeddings"), threshold = 0.4)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---- rows-only (not SQL-expressible; driver records rows>0) ----
+
+  private def qMinhashNearDups(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id",
+        threshold = 0.05, shingleK = 3, numHashes = 16, bands = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = t(s, d, "documents")
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+    val a = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    // documents share a small vocabulary, so signatures cluster: report
+    // the 50 closest pairs by Hamming distance (deterministic tie-break)
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .limit(50)
+  }
+
+  private def qSimLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, nBits = 10, nTables = 4)
+      .select(col("query_id"), col("corpus_id"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def qAiClassify(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), ai_classify(col("text")).as("document_class"))
+      .groupBy(col("document_class")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("document_class"))
+
+  private def qAiExtractWide(s: SparkSession, d: String): DataFrame =
+    Pipelines.batchSqlOverDocuments(s, d,
+      Map("title" -> "What is the title?",
+          "topic" -> "What is this document about?",
+          "vendor" -> "Who is the vendor or supplier?"))
+      .orderBy(col("doc_id"))
+
+  private def qAiSummarize(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        ai_complete(lit("mistral-7b"), substring(col("text"), 1, 6000)).as("summary"))
+      .orderBy(col("doc_id"))
+
+  private def qAiParseDocument(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        length(parse_document(col("text").cast("binary"))).cast("long").as("ocr_chars"))
+      .orderBy(col("doc_id"))
+
+  private def qAiPromptGen(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    t(s, d, "documents")
+      .select(ai_classify(col("text")).as("class_name")).distinct()
+      .withColumn("prompts_json",
+        ai_complete(lit("mistral-7b"),
+          concat(lit("Generate a JSON object of field: question pairs for class '"),
+            col("class_name"), lit("'"))))
+      .select(col("class_name"),
+        map_keys(from_json(col("prompts_json"), MapType(StringType, StringType)))
+          .as("fields"))
+      .orderBy(col("class_name"))
+  }
+
+  private def qMultimodalCatalog(s: SparkSession, d: String): DataFrame =
+    graft.ops.Multimodal.mediaCatalog(
+      t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("blob")),
+      "blob", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private def qMultimodalEmbed(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.ops.Multimodal.fakeEmbedding(col("text").cast("binary"), 8).as("embedding"))
+      .orderBy(col("doc_id"))
+
+  /** Full pipeline e2e (S1/S2/S6/S7/AI1-AI3/X3): stage 50 docs as files
+    * in a temp warehouse, run the batch-SQL pipeline over the stage.
+    */
+  private def qPipelineBatchSql(s: SparkSession, d: String): DataFrame = {
+    val cat = stagedCatalog(s, d, nDocs = 50)
+    Pipelines.batchSql(cat, "docs",
+      Map("title" -> "What is the title?", "topic" -> "What is this document about?"))
+      .orderBy(col("relative_path"))
+  }
+
+  /** Streaming pipeline e2e (X2): binaryFile stream -> ai_extract ->
+    * foreachBatch persists; returns the persisted master table.
+    */
+  private def qPipelineStream(s: SparkSession, d: String): DataFrame = {
+    val cat = stagedCatalog(s, d, nDocs = 50)
+    val q = Pipelines.stream(cat, "docs",
+      Map("title" -> "What is the title?"),
+      cat.root + "/checkpoints/stream")
+    try q.processAllAvailable() finally q.stop()
+    cat.table("DOCUMENTS_PROCESSED")
+      .select(col("file_ref"), col("class_name"), col("extraction_result"))
+      .orderBy(col("file_ref"))
+  }
+
+  /** Interactive pipeline e2e (§3.1) + History read path (A1). */
+  private def qPipelineInteractive(s: SparkSession, d: String): DataFrame = {
+    val cat = stagedCatalog(s, d, nDocs = 5)
+    (0 until 5).foreach(i => Pipelines.interactive(cat, "docs", f"doc_$i%05d.txt"))
+    graft.pipelines.HistoryQueries.documents(cat)
+      .select(col("file_ref"), col("class_name"), col("fields_extracted"), col("has_ocr"))
+      .orderBy(col("file_ref"))
+  }
+
+  /** Build a throwaway warehouse+stage populated with the first n
+    * documents as .txt files (FIXTURES A4). Content depends only on the
+    * input table, so downstream results are deterministic.
+    */
+  private def stagedCatalog(s: SparkSession, d: String, nDocs: Int): graft.engine.Catalog = {
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+    val cat = new graft.engine.Catalog(s, root)
+    cat.ensureTables()
+    t(s, d, "documents").filter(col("doc_id") < nDocs)
+      .select(col("doc_id"), col("text")).collect()
+      .foreach(r => cat.putFile("docs", f"doc_${r.getLong(0)}%05d.txt",
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    cat
+  }
+
+  // ---------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_a1_count_distinct" -> qA1,
+    "q_a2_max_coalesce" -> qA2,
+    "q_a4_distinct" -> qA4,
+    "q_a5_count" -> qA5,
+    "q_w1_dedup_latest" -> qW1,
+    "q_w2_dedup_stable" -> qW2,
+    "q_j1_correlated_max" -> qJ1,
+    "q_j2_correlated_count" -> qJ2,
+    "q_j3_semi_join" -> qJ3,
+    "q_j4_anti_join" -> qJ4,
+    "q_j5_merge" -> qJ5,
+    "q_p2_eq_filter" -> qP2,
+    "q_p3_in_filter" -> qP3,
+    "q_p4_ilike" -> qP4,
+    "q_p5_lower_like" -> qP5,
+    "q_p6_dynamic_where" -> qP6,
+    "q_p7_exists_flag" -> qP7,
+    "q_p8_insert_if_absent" -> qP8,
+    "q_u1_union_distinct" -> qU1,
+    "q_o1_order_nulls_last" -> qO1,
+    "q_f1_f2_stage_derive" -> qF1F2,
+    "q_f6_iff" -> qF6,
+    "q_f7_json_extract" -> qF7,
+    "q_f11_try_timestamp" -> qF11,
+    "q_f15_f17_strings" -> qF15F17,
+    "q_agg1_pricing_summary" -> qAgg1,
+    "q_history_composite" -> qHistory,
+    "q_win_tumbling" -> qWinTumbling,
+    "q_win_sliding" -> qWinSliding,
+    "q_win_session" -> qSession,
+    "q_dedup_exact_groups" -> qDedupExactGroups,
+    "q_dedup_exact_keep" -> qDedupExactKeep,
+    "q_text_stats" -> qTextStats,
+    "q_text_fingerprint" -> qTextFingerprint,
+    "q_text_langid" -> qTextLangId,
+    "q_text_tokens_bpe" -> qTokensBpe,
+    "q_sim_topk" -> qSimTopK,
+    "q_emb_near_dups" -> qEmbNearDups,
+    // rows-only (no oracle): AI, LSH-approximate, pipelines
+    "q_dedup_minhash" -> qMinhashNearDups,
+    "q_dedup_simhash" -> qSimhashPairs,
+    "q_sim_lsh_topk" -> qSimLsh,
+    "q_ai_classify" -> qAiClassify,
+    "q_ai_extract_wide" -> qAiExtractWide,
+    "q_ai_summarize" -> qAiSummarize,
+    "q_ai_parse_document" -> qAiParseDocument,
+    "q_ai_prompt_gen" -> qAiPromptGen,
+    "q_multimodal_catalog" -> qMultimodalCatalog,
+    "q_multimodal_embed" -> qMultimodalEmbed,
+    "q_pipeline_batch_sql" -> qPipelineBatchSql,
+    "q_pipeline_stream" -> qPipelineStream,
+    "q_pipeline_interactive" -> qPipelineInteractive,
+  )
+
+  private val stopList = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by']"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_a1_count_distinct" ->
+      "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type ORDER BY event_type",
+    "q_a2_max_coalesce" ->
+      s"SELECT COALESCE(strftime(MAX(o_orderdate), '$TSD'), '') AS latest_order_date FROM orders",
+    "q_a4_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q_a5_count" ->
+      "SELECT COUNT(*) AS n FROM lineitem",
+    "q_w1_dedup_latest" ->
+      s"SELECT user_id, event_type, event_id, strftime(ts, '$TSD') AS ts_s, value FROM events QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC NULLS LAST, event_id DESC) = 1 ORDER BY user_id, event_type",
+    "q_w2_dedup_stable" ->
+      "SELECT user_id, event_type, event_id FROM events QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id ASC) = 1 ORDER BY user_id, event_type",
+    "q_j1_correlated_max" ->
+      s"SELECT o_orderkey, COALESCE(strftime((SELECT MAX(l_shipdate) FROM lineitem WHERE l_orderkey = o_orderkey), '$TSD'), '') AS last_ship FROM orders ORDER BY o_orderkey",
+    "q_j2_correlated_count" ->
+      "SELECT o_orderkey, (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items FROM orders ORDER BY o_orderkey",
+    "q_j3_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "q_j4_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "q_j5_merge" ->
+      "SELECT r_regionkey, r_name FROM (SELECT r_regionkey, r_name FROM region WHERE r_regionkey NOT IN (0, 5) UNION ALL SELECT * FROM (VALUES (0, 'AFRICA_UPDATED'), (5, 'ANTARCTICA')) s(r_regionkey, r_name)) ORDER BY r_regionkey",
+    "q_p2_eq_filter" ->
+      "SELECT p_partkey, p_name, p_brand FROM part WHERE p_brand = 'Brand#13' ORDER BY p_partkey",
+    "q_p3_in_filter" ->
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') ORDER BY c_custkey",
+    "q_p4_ilike" ->
+      "SELECT p_partkey, p_type FROM part WHERE p_type ILIKE '%econ%' ORDER BY p_partkey",
+    "q_p5_lower_like" ->
+      "SELECT c_custkey, c_name FROM customer WHERE LOWER(c_name) LIKE '%001%' ORDER BY c_custkey",
+    "q_p6_dynamic_where" ->
+      "SELECT p_partkey, p_brand, p_type, p_size FROM part WHERE p_size >= 10 AND p_type IN ('ECONOMY', 'STANDARD') AND LOWER(p_brand) LIKE '%brand#1%' ORDER BY p_partkey",
+    "q_p7_exists_flag" ->
+      "SELECT c_custkey, CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN TRUE ELSE FALSE END AS has_orders FROM customer ORDER BY c_custkey",
+    "q_p8_insert_if_absent" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM (SELECT n_nationkey, n_name, n_regionkey FROM nation UNION ALL SELECT * FROM (VALUES (0, 'X', 0), (99, 'NEWLAND', 0)) s(n_nationkey, n_name, n_regionkey) WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.n_nationkey)) ORDER BY n_nationkey",
+    "q_u1_union_distinct" ->
+      "SELECT DISTINCT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier) ORDER BY nationkey",
+    "q_o1_order_nulls_last" ->
+      "SELECT event_id, CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v FROM events ORDER BY v DESC NULLS LAST, event_id LIMIT 100",
+    "q_f1_f2_stage_derive" ->
+      "SELECT doc_id, regexp_replace(split_part('@' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt', '/', 1), '^@', '') AS stage, regexp_extract('@' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt', '([^/]+)$', 1) AS fname FROM documents ORDER BY doc_id",
+    "q_f6_iff" ->
+      "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN TRUE ELSE FALSE END AS is_big FROM orders ORDER BY o_orderkey",
+    "q_f7_json_extract" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k_str, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int FROM events ORDER BY event_id",
+    "q_f11_try_timestamp" ->
+      s"SELECT event_id, strftime(TRY_CAST(CASE WHEN event_id % 10 = 0 THEN 'not a ts' ELSE strftime(ts, '$TSD') END AS TIMESTAMP), '$TSD') AS parsed FROM events ORDER BY event_id",
+    "q_f15_f17_strings" ->
+      "SELECT doc_id, substring(regexp_replace(text, ' {2,}', chr(10), 'g'), 1, 50) AS head50, regexp_extract(source || '/a/b.txt', '([^/]+)$', 1) AS base FROM documents ORDER BY doc_id",
+    "q_agg1_pricing_summary" ->
+      "SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty, round(SUM(l_extendedprice), 2) AS sum_base, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q_history_composite" ->
+      s"SELECT o_custkey, o_orderkey, order_date, last_ship, n_items, has_items FROM (SELECT o_custkey, o_orderkey, strftime(o_orderdate, '$TSD') AS order_date, COALESCE(ls.last_ship, '') AS last_ship, COALESCE(ls.n_items, 0) AS n_items, ls.n_items IS NOT NULL AS has_items FROM orders LEFT JOIN (SELECT l_orderkey, strftime(MAX(l_shipdate), '$TSD') AS last_ship, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey) ls ON o_orderkey = ls.l_orderkey QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY order_date DESC, o_orderkey DESC) = 1) ORDER BY o_custkey",
+    "q_win_tumbling" ->
+      s"SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '$TSD') AS window_start, event_type, COUNT(*) AS n, round(SUM(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY window_start, event_type",
+    "q_win_sliding" ->
+      s"SELECT strftime(ws, '$TSD') AS window_start, event_type, COUNT(*) AS n FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type FROM events UNION ALL SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, event_type FROM events) GROUP BY ws, event_type ORDER BY window_start, event_type",
+    "q_win_session" ->
+      s"WITH x AS (SELECT user_id, ts, event_id, CASE WHEN LAG(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), y AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_n FROM x) SELECT user_id, session_n, COUNT(*) AS n_events, strftime(MIN(ts), '$TSD') AS session_start, strftime(MAX(ts), '$TSD') AS session_end FROM y GROUP BY user_id, session_n ORDER BY user_id, session_n",
+    "q_dedup_exact_groups" ->
+      "SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies FROM documents GROUP BY md5(text) ORDER BY text_hash",
+    "q_dedup_exact_keep" ->
+      "SELECT doc_id FROM documents WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text)) ORDER BY doc_id",
+    "q_text_stats" ->
+      s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS mean_word_len, round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio, round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains($stopList, x))) AS DOUBLE) / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 4) AS stopword_ratio, round((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END + CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 5 THEN 1.0 ELSE 0.0 END + CASE WHEN round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains($stopList, x))) AS DOUBLE) / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 4) > 0.0 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality FROM documents ORDER BY doc_id",
+    "q_text_fingerprint" ->
+      "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fp FROM documents ORDER BY doc_id",
+    "q_text_langid" ->
+      ("WITH s AS (SELECT doc_id, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['the','and','of','is','with'], x))) AS s_en, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['el','la','los','que','de'], x))) AS s_es, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['le','la','les','est','une'], x))) AS s_fr, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['der','die','das','und','ist'], x))) AS s_de, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['的','是','了','在','我'], x))) AS s_zh " +
+        "FROM documents) SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und' WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en' WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es' WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr' WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de' ELSE 'zh' END AS lang_pred FROM s ORDER BY doc_id"),
+    "q_text_tokens_bpe" ->
+      "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents ORDER BY doc_id",
+    "q_sim_topk" ->
+      "SELECT query_id, corpus_id, rank FROM (SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank FROM embeddings c, embeddings p WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id) WHERE rank <= 5 ORDER BY query_id, rank",
+    "q_emb_near_dups" ->
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b",
+  )
 }

@@ -1,0 +1,73 @@
+package graft.ai
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** Spark surface for the Doc-AI backend: four scalar functions, exposed
+  * both as Column helpers and as registered SQL UDFs. Marked
+  * non-deterministic-safe by usage convention: we never place them below
+  * user filters (SURVEY §4 item 1) — plan construction order keeps cheap
+  * predicates (file-name filters, class filters) under the AI projection.
+  *
+  * UDFs (not codegen Expressions) are the right call here: each call is
+  * "model-inference" priced, so per-row JVM dispatch overhead is noise
+  * (SURVEY §2.9). The rest of the plan stays whole-stage-codegen.
+  */
+object AiFunctions {
+
+  // The backend is a serializable singleton closed over by the UDF
+  // lambdas, so executors get it via closure serialization — no
+  // driver-side state, works on a real cluster.
+  private val backend: DocAiBackend = DeterministicLocalBackend
+
+  /** AI_EXTRACT (app:202-210): map of {field -> question} in, map of
+    * {field -> answer} out. The {"response": ...} envelope of the
+    * reference is applied by `ai_extract_json` below when the raw
+    * payload shape matters.
+    */
+  private val extractUdf = udf { (text: String, prompts: Map[String, String]) =>
+    if (text == null || prompts == null) null
+    else prompts.map { case (f, q) => f -> backend.answer(text, q) }
+  }
+
+  /** AI_EXTRACT returning the reference's exact JSON envelope
+    * {"response": {field: answer}} (app:503, app:854, app:962).
+    */
+  private val extractJsonUdf = udf { (text: String, prompts: Map[String, String]) =>
+    if (text == null || prompts == null) null
+    else {
+      val fields = prompts.toSeq.sortBy(_._1).map { case (f, q) =>
+        val a = backend.answer(text, q).replace("\\", "\\\\").replace("\"", "\\\"")
+        s""""$f": "$a""""
+      }
+      s"""{"response": {${fields.mkString(", ")}}}"""
+    }
+  }
+
+  private val classifyUdf = udf { (text: String) =>
+    if (text == null) null else backend.classify(text)
+  }
+
+  private val parseDocumentUdf = udf { (content: Array[Byte]) =>
+    if (content == null) null else backend.parse(content)
+  }
+
+  private val completeUdf = udf { (model: String, prompt: String) =>
+    if (prompt == null) null else backend.complete(model, prompt)
+  }
+
+  def ai_extract(text: Column, prompts: Column): Column = extractUdf(text, prompts)
+  def ai_extract_json(text: Column, prompts: Column): Column = extractJsonUdf(text, prompts)
+  def ai_classify(text: Column): Column = classifyUdf(text)
+  def parse_document(content: Column): Column = parseDocumentUdf(content)
+  def ai_complete(model: Column, prompt: Column): Column = completeUdf(model, prompt)
+
+  /** Register all AI functions for spark.sql use. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("ai_extract", extractUdf)
+    spark.udf.register("ai_extract_json", extractJsonUdf)
+    spark.udf.register("ai_classify", classifyUdf)
+    spark.udf.register("parse_document", parseDocumentUdf)
+    spark.udf.register("ai_complete", completeUdf)
+  }
+}

@@ -1,0 +1,173 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Warehouse catalog: the reference's five relational tables
+  * (setup_database.sql:46-90, runtime DDL app:38-78) as parquet-backed
+  * directories under a warehouse root, plus the stage abstraction
+  * (a directory of binary documents with a queryable listing —
+  * setup:26-29, app:136-141).
+  *
+  * VARIANT columns are stored as JSON strings (SURVEY §7.3: DuckDB-oracle
+  * comparability; the reference itself stringifies for display at
+  * app:750). Timestamps use the canonical setup-DDL shape; the app's
+  * reduced runtime DDL (no timestamps) is handled by schema probing in
+  * HistoryQueries, not by try/except query rewriting (SURVEY §1.3).
+  */
+final class Catalog(val spark: SparkSession, val root: String) {
+
+  import Catalog._
+
+  private def tablePath(name: String): String = s"$root/tables/$name"
+
+  /** CREATE TABLE IF NOT EXISTS x5 (S6; app:38-78, setup:46-90). */
+  def ensureTables(): Unit = {
+    Files.createDirectories(Paths.get(s"$root/tables"))
+    Files.createDirectories(Paths.get(s"$root/stages"))
+    schemas.foreach { case (name, schema) =>
+      if (!Files.exists(Paths.get(tablePath(name), "_SUCCESS")))
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          .write.mode(SaveMode.Overwrite).parquet(tablePath(name))
+    }
+  }
+
+  /** Table scan (S5). Always schema-applied so empty tables read fine. */
+  def table(name: String): DataFrame =
+    spark.read.schema(schemas(name)).parquet(tablePath(name))
+
+  /** Append sink (S7; write_pandas app:523-546). Timestamp defaults
+    * stamped at write time (F12: parquet has no DEFAULT autofill).
+    */
+  def append(name: String, df: DataFrame): Unit = {
+    val schema = schemas(name)
+    val withDefaults = schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else if (f.dataType.isInstanceOf[TimestampType] || f.name.endsWith("_at"))
+        d.withColumn(f.name, current_timestamp())
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    withDefaults.select(schema.fieldNames.map(col): _*)
+      .write.mode(SaveMode.Append).parquet(tablePath(name))
+  }
+
+  /** MERGE upsert persisted (J5): anti-join + union, written to a temp
+    * directory then atomically swapped in (SURVEY §7.4 risk 1 — no table
+    * format offline, so single-writer directory swap).
+    */
+  def merge(name: String, source: DataFrame, keys: Seq[String]): Unit = {
+    val merged = graft.ops.Relational.mergeInto(table(name), source, keys)
+    overwrite(name, merged)
+  }
+
+  /** DELETE WHERE (app:198): rewrite without matching rows. */
+  def deleteWhere(name: String, pred: org.apache.spark.sql.Column): Unit =
+    overwrite(name, table(name).filter(!pred))
+
+  private def overwrite(name: String, df: DataFrame): Unit = {
+    val tmp = s"$root/tables/.tmp_$name"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = Paths.get(tablePath(name))
+    // Re-point the table directory at the fresh data. Single-writer:
+    // delete old, move new (two steps; crash between them loses the old
+    // copy but never exposes mixed data — acceptable without a log).
+    deleteRecursively(target)
+    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => Files.delete(x))
+    }
+  }
+
+  /** DROP TABLE (S9; cleanup:14-28). */
+  def dropTable(name: String): Unit = deleteRecursively(Paths.get(tablePath(name)))
+
+  // ---- stages (S1-S3) ----
+
+  def stageDir(stage: String): String = s"$root/stages/$stage"
+
+  /** File ingest (S2; put_stream app:379, app:918). */
+  def putFile(stage: String, relativePath: String, bytes: Array[Byte]): Unit = {
+    val p = Paths.get(stageDir(stage), relativePath)
+    Files.createDirectories(p.getParent)
+    Files.write(p, bytes)
+  }
+
+  /** Directory-table scan (S1; app:136-141): list stage files as rows
+    * (relative_path, file_url, size, content). Uses the binaryFile
+    * source so the same scan works on HDFS/S3 at scale; content column
+    * is pruned away by Catalyst unless actually referenced.
+    */
+  def directory(stage: String): DataFrame = {
+    val dir = stageDir(stage)
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_replace(col("path"), s".*/stages/$stage/", "").as("relative_path"),
+        concat(lit(s"@$stage/"),
+          regexp_replace(col("path"), s".*/stages/$stage/", "")).as("file_url"),
+        col("length"),
+        col("content"))
+  }
+
+  /** Stage catalog listing (S3; app:108-133): registered stage dirs
+    * unioned with distinct stage names referenced by NEW_UPLOADS.
+    */
+  def listStages(): Seq[String] = {
+    val d = Paths.get(s"$root/stages")
+    val fsStages =
+      if (!Files.exists(d)) Seq.empty[String]
+      else {
+        val s = Files.list(d)
+        try {
+          val it = s.iterator()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next().getFileName.toString
+          b.result()
+        } finally s.close()
+      }
+    val refStages = table("NEW_UPLOADS").select("stage_name").distinct()
+      .collect().map(_.getString(0)).toSeq.filter(_ != null)
+    (fsStages ++ refStages).distinct.sorted
+  }
+}
+
+object Catalog {
+  /** Canonical DDL from setup:46-90; VARIANT -> JSON string. */
+  val schemas: Map[String, StructType] = Map(
+    "CLASS_PROMPTS" -> StructType(Seq(
+      StructField("class_name", StringType),
+      StructField("prompts", StringType),       // VARIANT (JSON)
+      StructField("created_at", TimestampType),
+      StructField("updated_at", TimestampType))),
+    "DOCUMENTS_PROCESSED" -> StructType(Seq(
+      StructField("file_url", StringType),
+      StructField("file_ref", StringType),
+      StructField("class_name", StringType),
+      StructField("extraction_result", StringType), // VARIANT (JSON)
+      StructField("processed_at", TimestampType))),
+    "DOCUMENTS_EXTRACTED_FIELDS" -> StructType(Seq(
+      StructField("file_url", StringType),
+      StructField("file_ref", StringType),
+      StructField("class_name", StringType),
+      StructField("field_name", StringType),
+      StructField("field_value", StringType),   // VARIANT (JSON)
+      StructField("confidence", DoubleType),    // always NULL today (app:537)
+      StructField("extracted_at", TimestampType))),
+    "NEW_UPLOADS" -> StructType(Seq(
+      StructField("file_name", StringType),
+      StructField("file_ref", StringType),
+      StructField("stage_name", StringType),
+      StructField("processed", BooleanType),
+      StructField("uploaded_at", TimestampType))),
+    "DOCUMENT_OCR" -> StructType(Seq(
+      StructField("file_name", StringType),
+      StructField("file_ref", StringType),
+      StructField("ocr", StringType),           // VARIANT (JSON)
+      StructField("summary", StringType),
+      StructField("processed_at", TimestampType))))
+}

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (Array[Float|Double]).
+  *
+  * Baseline: brute-force cosine top-k — probe set broadcast against the
+  * corpus; norms are precomputed per row BEFORE the pair join so the
+  * per-pair work is one dot product. At 100 TB the corpus side streams
+  * (one scan, no corpus shuffle); only (probe x k) survivors shuffle for
+  * the final rank.
+  *
+  * Scale path: LSH bucketing via signed-random-projection (SRP) bit
+  * signatures — corpus hashed once into buckets, probes join only their
+  * bucket (candidates << corpus), then exact cosine re-rank. Same
+  * equi-join shape as Dedup's MinHash LSH.
+  *
+  * All vector math is zip_with/aggregate codegen expressions — no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two array columns (double math). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity (use only when norms can't be precomputed). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each probe row, the k nearest corpus
+    * rows (excluding self-id matches). Probe side must be small enough
+    * to broadcast; the corpus streams through one scan with per-row
+    * norms computed once.
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("__pv"))
+      .withColumn("__pn", norm(col("__pv")))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** SRP bit signature for one hash table: sign bits of nBits
+    * pseudo-random hyperplane projections. Hyperplane coefficients are
+    * +-1 derived from xxhash64(planeIdx, dimIdx) — deterministic and
+    * computed inline, so corpus and probes agree without a side table.
+    */
+  def srpSignature(vec: Column, nBits: Int, tableIdx: Int = 0): Column =
+    (0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") *
+            when(pmod(xxhash64(concat_ws("_", lit(tableIdx * nBits + p), i)), lit(2)) === 0, 1.0)
+              .otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Explode a table into (table, bucket) rows, one per hash table. */
+  private def bucketed(df: DataFrame, idCol: String, vecCol: String,
+                       idAs: String, vecAs: String,
+                       nBits: Int, nTables: Int): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+      posexplode(array((0 until nTables).map(t =>
+        srpSignature(col(vecCol), nBits, t)): _*)).as(Seq("table", "bucket")))
+
+  /** LSH-bucketed ANN top-k: candidates = corpus rows sharing an SRP
+    * bucket with the probe in any of nTables tables, then exact cosine
+    * re-rank within candidates. Recall < 1 by construction; raise
+    * nTables (or lower nBits) to trade compute for recall.
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nBits: Int = 12, nTables: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = bucketed(corpus, idCol, vecCol, "corpus_id", "__cv", nBits, nTables)
+    val p = bucketed(probes, idCol, vecCol, "query_id", "__pv", nBits, nTables)
+    val cands = c.join(p, Seq("table", "bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("__cv"), col("__pv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    cands
+      .withColumn("cosine", cosine(col("__cv"), col("__pv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
+    * buckets (equi-join, no cross join). Approximate: pairs not sharing
+    * any bucket are missed.
+    */
+  def cosineNearDups(df: DataFrame, threshold: Double,
+                     nBits: Int = 12, nTables: Int = 3,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = bucketed(df, idCol, vecCol, "id_a", "__va", nBits, nTables)
+    val b = bucketed(df, idCol, vecCol, "id_b", "__vb", nBits, nTables)
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb")).distinct()
+      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Exact all-pairs cosine >= threshold (verification / small corpora):
+    * norms precomputed per side, so the quadratic stage is dot-only.
+    */
+  def exactNearDupPairs(df: DataFrame, threshold: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+      .withColumn("__na", norm(col("__va")))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      .withColumn("__nb", norm(col("__vb")))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  * All pure column expressions (whole-stage-codegen'd, no UDFs) so they
+  * stream through a 100 TB scan at full speed and push down column
+  * pruning to the parquet reader.
+  */
+object TextAnalysis {
+
+  /** Whitespace-token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: words + digits + punctuation runs, the classic
+    * GPT-style pre-tokenizer regex approximated for codegen.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Character length. */
+  def charCount(text: Column): Column = length(text)
+
+  /** Mean word length — a cheap fluency signal. */
+  def meanWordLen(text: Column): Column =
+    round(length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(tokenCountWs(text), lit(1)).cast("double"), 4)
+
+  /** Punctuation ratio: punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    round(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+      greatest(length(text), lit(1)).cast("double"), 4)
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "that", "for", "on", "with", "as", "at", "by")
+
+  /** Stopword ratio: fraction of whitespace tokens that are common
+    * English stopwords — a standard quality / language-ID feature.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    round(size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double"), 4)
+  }
+
+  /** Composite quality score in [0,1]: length in a sane band, words not
+    * degenerate, some stopwords present. Deterministic, tunable.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(20, 100000), 1.0).otherwise(0.0)
+    val wordOk = when(tokenCountWs(text) >= lit(5), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) > lit(0.0), 1.0).otherwise(0.0)
+    round((lenOk + wordOk + stopOk) / lit(3.0), 4)
+  }
+
+  /** N-gram-heuristic language ID: scores per-language marker words and
+    * picks the max; "und" when nothing matches. Real pipelines would use
+    * fastText — this keeps the same operator shape with a deterministic
+    * codegen-friendly core.
+    */
+  def langId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is", "with"),
+      "es" -> Seq("el", "la", "los", "que", "de"),
+      "fr" -> Seq("le", "la", "les", "est", "une"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "zh" -> Seq("的", "是", "了", "在", "我"))
+    val toks = split(lower(text), "\\s+")
+    val scores = markers.map { case (lang, ws) =>
+      lang -> size(filter(toks, t => t.isin(ws.map(lit(_)): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Canonical document fingerprint (OpenRefine-style): lowercase,
+    * tokenize, distinct, sort, join, hash. Near-identical wording
+    * collapses to one fingerprint — groupBy(fingerprint) is then an
+    * exact-dedup shuffle at scale.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(
+      split(lower(trim(text)), "\\s+"))), " "))
+
+  /** Rolling content hash over whitespace tokens — an order-sensitive
+    * fingerprint, unlike [[fingerprint]]. Chained hashing
+    * h = xxhash(h, token) via aggregate(): ANSI-safe (no overflowing
+    * arithmetic), all codegen built-ins.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(split(trim(text), "\\s+"), lit(0L),
+      (h, t) => xxhash64(h, t))
+}

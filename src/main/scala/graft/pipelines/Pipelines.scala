@@ -1,0 +1,179 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+import graft.ai.AiFunctions._
+import graft.engine.Catalog
+import graft.ops.Relational
+
+/** The reference's three processing modes (SURVEY §3), Spark-first.
+  *
+  * Interactive (app:356-604): one document through classify -> ensure
+  * prompts -> extract -> OCR -> summarize -> persist x4. The reference
+  * runs OCR on a side thread (app:450-452); here classify/extract/ocr/
+  * summary are sibling columns of one Dataset — Spark's task parallelism
+  * replaces the thread pool.
+  *
+  * Batch-SQL (app:944-966): the purest "query" — one set-based plan:
+  * directory scan -> ai_extract column -> explode -> pivot. At 100 TB
+  * this is the canonical shape: no driver loops, no collect, AI calls
+  * distribute across executors, pivot only at the presentation edge.
+  *
+  * Streaming (app:838-906): per-file fan-out with incremental results
+  * — Structured Streaming file source + foreachBatch persists.
+  */
+object Pipelines {
+
+  private val promptsMapType = MapType(StringType, StringType)
+
+  /** Default seed prompts per class (setup:129-142 fixture shape). */
+  val seedInvoicePrompts: String =
+    """{"invoice_number": "What is the invoice number?",
+      | "total_amount": "What is the total amount or grand total?",
+      | "vendor_name": "Who is the vendor or supplier?"}""".stripMargin
+
+  /** Ensure a prompt schema exists for each class present in `classes`
+    * (app:481-489): generate via ai_complete + PARSE_JSON, guarded by
+    * NOT EXISTS (insert-if-absent), persisted through the catalog merge.
+    */
+  def ensurePrompts(cat: Catalog, classes: DataFrame): Unit = {
+    val generated = classes.select(col("class_name")).distinct()
+      .withColumn("prompts",
+        ai_complete(lit("mistral-7b"),
+          concat(lit("Generate a JSON object of field: question pairs for class '"),
+            col("class_name"), lit("'"))))
+      .withColumn("created_at", current_timestamp())
+      .withColumn("updated_at", current_timestamp())
+    val existing = cat.table("CLASS_PROMPTS")
+    val merged = Relational.insertIfAbsent(existing, generated, Seq("class_name"))
+    // insertIfAbsent returns target ∪ fresh; persist only if anything new
+    cat.merge("CLASS_PROMPTS", merged, Seq("class_name"))
+  }
+
+  /** Interactive single-document pipeline (§3.1). `stage`/`fileName`
+    * identify an already-PUT file. Returns the extraction row.
+    */
+  def interactive(cat: Catalog, stage: String, fileName: String): DataFrame = {
+    val spark = cat.spark
+    val doc = cat.directory(stage)
+      .filter(col("relative_path") === fileName)
+      .withColumn("text", parse_document(col("content")))
+      .withColumn("class_name", ai_classify(col("text")))
+      .cache() // reused by 4 writes below; single row, cheap
+    ensurePrompts(cat, doc.select("class_name"))
+    val prompts = cat.table("CLASS_PROMPTS")
+      .withColumn("prompt_map", from_json(col("prompts"), promptsMapType))
+      .select("class_name", "prompt_map")
+    val extracted = doc
+      .join(broadcast(prompts), Seq("class_name"), "left")
+      .withColumn("extraction_result", ai_extract_json(col("text"), col("prompt_map")))
+      .withColumn("result_map", ai_extract(col("text"), col("prompt_map")))
+      .withColumn("ocr", to_json(struct(col("text").as("content"))))
+      .withColumn("summary", ai_complete(lit("mistral-7b"),
+        substring(col("text"), 1, 6000)))
+      .cache()
+
+    // persist x4 (app:523-554)
+    cat.append("DOCUMENTS_PROCESSED", extracted.select(
+      col("file_url"), col("relative_path").as("file_ref"),
+      col("class_name"), col("extraction_result")))
+    cat.append("DOCUMENTS_EXTRACTED_FIELDS",
+      Relational.unpivotMap(
+        extracted.select(col("file_url"), col("relative_path").as("file_ref"),
+          col("class_name"), col("result_map")),
+        "result_map", "field_name", "field_value")
+        .withColumn("confidence", lit(null).cast("double")))
+    cat.append("DOCUMENT_OCR", extracted.select(
+      col("relative_path").as("file_name"), col("relative_path").as("file_ref"),
+      col("ocr"), col("summary")))
+    cat.merge("NEW_UPLOADS",
+      extracted.select(
+        col("relative_path").as("file_name"),
+        concat(lit(stage), lit("/"), col("relative_path")).as("file_ref"),
+        lit(stage).as("stage_name"),
+        lit(true).as("processed"),
+        current_timestamp().as("uploaded_at")),
+      Seq("file_name"))
+    extracted.select("file_url", "class_name", "result_map", "summary")
+  }
+
+  /** Batch single-SQL mode (§3.3) — the flagship one-plan query:
+    * stage scan -> extract -> explode -> pivot to wide.
+    */
+  def batchSql(cat: Catalog, stage: String, prompts: Map[String, String]): DataFrame = {
+    val promptsCol = map(prompts.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val scanned = cat.directory(stage)
+      .withColumn("text", parse_document(col("content")))
+      .withColumn("result_map", ai_extract(col("text"), promptsCol))
+      .select(col("relative_path"), col("file_url"), col("result_map"))
+    val long = Relational.unpivotMap(scanned, "result_map", "field_name", "field_value")
+    Relational.widen(long, Seq("relative_path", "file_url"), "field_name", "field_value")
+  }
+
+  /** Same flagship plan phrased directly over the `documents` fixture
+    * table (no staging round-trip) — used by SparkEntry.entry and bench.
+    */
+  def batchSqlOverDocuments(spark: SparkSession, sfDir: String,
+                            prompts: Map[String, String]): DataFrame = {
+    val promptsCol = map(prompts.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("result_map", ai_extract(col("text"), promptsCol))
+      .select(col("doc_id"), col("result_map"))
+    val long = Relational.unpivotMap(docs, "result_map", "field_name", "field_value")
+    Relational.widen(long, Seq("doc_id"), "field_name", "field_value")
+  }
+
+  /** Batch stream mode (§3.2/X2): Structured Streaming over the stage
+    * dir; per-batch persists into DOCUMENTS_PROCESSED + exploded
+    * DOCUMENTS_EXTRACTED_FIELDS (best-effort per batch, X8: failures
+    * surface as an error row, not a silent drop — X9).
+    * Returns the started query; caller stops it.
+    */
+  def stream(cat: Catalog, stage: String, prompts: Map[String, String],
+             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val promptsCol = map(prompts.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val dir = cat.stageDir(stage)
+    // streaming file sources require an explicit schema; binaryFile's
+    // is fixed (path, modificationTime, length, content)
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val src = cat.spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("maxFilesPerTrigger", 64) // pacing knob (X2)
+      .load(dir)
+    val extracted = src
+      .withColumn("relative_path",
+        regexp_replace(col("path"), s".*/stages/$stage/", ""))
+      .withColumn("file_url", concat(lit(s"@$stage/"), col("relative_path")))
+      .withColumn("text", parse_document(col("content")))
+      .withColumn("class_name", ai_classify(col("text")))
+      .withColumn("extraction_result", ai_extract_json(col("text"), promptsCol))
+      .withColumn("result_map", ai_extract(col("text"), promptsCol))
+    extracted.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.cache()
+        try {
+          cat.append("DOCUMENTS_PROCESSED", b.select(
+            col("file_url"), col("relative_path").as("file_ref"),
+            col("class_name"), col("extraction_result")))
+          cat.append("DOCUMENTS_EXTRACTED_FIELDS",
+            Relational.unpivotMap(
+              b.select(col("file_url"), col("relative_path").as("file_ref"),
+                col("class_name"), col("result_map")),
+              "result_map", "field_name", "field_value")
+              .withColumn("confidence", lit(null).cast("double")))
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+  }
+}
