@@ -342,12 +342,13 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
 
   private def qSimhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = t(s, d, "documents")
-      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
-    val a = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    // documents share a small vocabulary, so signatures cluster: report
-    // the 50 closest pairs by Hamming distance (deterministic tie-break)
+    // demo on a bounded slice (all sfs have >=500 docs) so the pairwise
+    // report stays cheap; the scale path is Dedup.simhashCandidates'
+    // block equi-join, exercised in the test suite
+    val sig = Dedup.simhashTable(
+      t(s, d, "documents").filter(col("doc_id") < 500), "text", "doc_id")
+    val a = sig.select(col("doc_id").as("id_a"), col("simhash").as("sig_a"))
+    val b = sig.select(col("doc_id").as("id_b"), col("simhash").as("sig_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
@@ -439,8 +440,8 @@ object SparkEntry {
 
   /** Interactive pipeline e2e (§3.1) + History read path (A1). */
   private def qPipelineInteractive(s: SparkSession, d: String): DataFrame = {
-    val cat = stagedCatalog(s, d, nDocs = 5)
-    (0 until 5).foreach(i => Pipelines.interactive(cat, "docs", f"doc_$i%05d.txt"))
+    val cat = stagedCatalog(s, d, nDocs = 3)
+    (0 until 3).foreach(i => Pipelines.interactive(cat, "docs", f"doc_$i%05d.txt"))
     graft.pipelines.HistoryQueries.documents(cat)
       .select(col("file_ref"), col("class_name"), col("fields_extracted"), col("has_ocr"))
       .orderBy(col("file_ref"))

@@ -27,7 +27,7 @@ object AiFunctions {
     */
   private val extractUdf = udf { (text: String, prompts: Map[String, String]) =>
     if (text == null || prompts == null) null
-    else prompts.map { case (f, q) => f -> backend.answer(text, q) }
+    else backend.answerAll(text, prompts)
   }
 
   /** AI_EXTRACT returning the reference's exact JSON envelope
@@ -36,9 +36,10 @@ object AiFunctions {
   private val extractJsonUdf = udf { (text: String, prompts: Map[String, String]) =>
     if (text == null || prompts == null) null
     else {
-      val fields = prompts.toSeq.sortBy(_._1).map { case (f, q) =>
-        val a = backend.answer(text, q).replace("\\", "\\\\").replace("\"", "\\\"")
-        s""""$f": "$a""""
+      val answers = backend.answerAll(text, prompts)
+      val fields = answers.toSeq.sortBy(_._1).map { case (f, a) =>
+        val esc = a.replace("\\", "\\\\").replace("\"", "\\\"")
+        s""""$f": "$esc""""
       }
       s"""{"response": {${fields.mkString(", ")}}}"""
     }

@@ -24,6 +24,14 @@ import java.security.MessageDigest
 trait DocAiBackend extends Serializable {
   /** Answer one question about a document's text. */
   def answer(text: String, question: String): String
+
+  /** Answer a batch of questions about one document. Override when the
+    * backend can amortize per-document work (tokenization, encoding,
+    * a single model call) across questions — the extract UDF always
+    * calls this form.
+    */
+  def answerAll(text: String, prompts: Map[String, String]): Map[String, String] =
+    prompts.map { case (f, q) => f -> answer(text, q) }
   /** Classify a document into a class label. */
   def classify(text: String): String
   /** OCR/parse: binary content -> full text. */
@@ -49,11 +57,21 @@ object DeterministicLocalBackend extends DocAiBackend {
     * question; falls back to a content-hash-seeded token so answers are
     * stable and distinct per (text, question).
     */
-  override def answer(text: String, question: String): String = {
+  override def answer(text: String, question: String): String =
+    answerOne(text.split("(?<=[.!?])\\s+"), text, question)
+
+  private def answerOne(sentences: Array[String], text: String, question: String): String = {
     val qWords = question.toLowerCase.split("\\W+").filter(_.length > 3).toSet
-    val hit = text.split("(?<=[.!?])\\s+")
-      .find(s => qWords.exists(s.toLowerCase.contains))
+    val hit = sentences.find(s => qWords.exists(s.toLowerCase.contains))
     hit.map(_.trim.take(120)).getOrElse(s"ans_${sha(text + "|" + question)}")
+  }
+
+  /** Batch form: sentence-split once per document (the per-question
+    * split dominated extract cost at scale).
+    */
+  override def answerAll(text: String, prompts: Map[String, String]): Map[String, String] = {
+    val sentences = text.split("(?<=[.!?])\\s+")
+    prompts.map { case (f, q) => f -> answerOne(sentences, text, q) }
   }
 
   /** Content-hash bucketed class label — stable per text. */

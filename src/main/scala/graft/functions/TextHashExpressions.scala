@@ -1,0 +1,199 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the text-hashing hot paths of the
+  * dedup operators (SURVEY §7.3 preference order (b): custom Expression
+  * before UDF when bench demands it).
+  *
+  * The composed-builtin formulations (K aggregate() lambdas over a
+  * shingle array / 64 bit-count aggregates over token hashes) are
+  * interpreted per element x per hash — the dominant cost of MinHash
+  * LSH at scale. These expressions do one codegen'd pass per row:
+  * elements x K seeded XXH64 calls with primitive min/count arrays.
+  */
+object TextHashExpressions {
+
+  /** minhash_signature(shingles: array<string>, K): array<long> of
+    * min_{s in shingles} xxh64(s, seed=i) for i in [0, K).
+    * Empty/null-element-free input assumed (shingle arrays are).
+    */
+  case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var j = 0
+      val n = arr.numElements()
+      while (j < n) {
+        val s = arr.getUTF8String(j)
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, i.toLong)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val mins = ctx.freshName("mins")
+        val s = ctx.freshName("s")
+        val h = ctx.freshName("h")
+        s"""
+           |int $n = $x.numElements();
+           |long[] $mins = new long[$numHashes];
+           |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+           |for (int $j = 0; $j < $n; $j++) {
+           |  UTF8String $s = $x.getUTF8String($j);
+           |  for (int $i = 0; $i < $numHashes; $i++) {
+           |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+           |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), (long) $i);
+           |    if ($h < $mins[$i]) $mins[$i] = $h;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** simhash64(tokens: array<string>): 64-bit SimHash — per-bit
+    * majority vote over xxh64(token) hashes, one pass.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      val n = arr.numElements()
+      var j = 0
+      while (j < n) {
+        val s = arr.getUTF8String(j)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var i = 0
+        while (i < 64) {
+          counts(i) += ((h >>> i) & 1L).toInt
+          i += 1
+        }
+        j += 1
+      }
+      var sig = 0L
+      var i = 0
+      while (i < 64) {
+        if (counts(i) * 2 >= n) sig |= (1L << i)
+        i += 1
+      }
+      sig
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val counts = ctx.freshName("counts")
+        val s = ctx.freshName("s")
+        val h = ctx.freshName("h")
+        val sig = ctx.freshName("sig")
+        s"""
+           |int $n = $x.numElements();
+           |int[] $counts = new int[64];
+           |for (int $j = 0; $j < $n; $j++) {
+           |  UTF8String $s = $x.getUTF8String($j);
+           |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+           |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+           |  for (int $i = 0; $i < 64; $i++) { $counts[$i] += (int) (($h >>> $i) & 1L); }
+           |}
+           |long $sig = 0L;
+           |for (int $i = 0; $i < 64; $i++) { if ($counts[$i] * 2 >= $n) $sig |= (1L << $i); }
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** word_shingles(text, K): distinct lowercase word K-grams in first-
+    * occurrence order, one pass. Replaces the composed-builtin
+    * transform(sequence, slice+array_join) tree, which materialized an
+    * intermediate array per shingle under interpreted evaluation.
+    * CodegenFallback is fine here: the cost is algorithmic (single
+    * tokenize + StringBuilder pass), and it sits in a narrow projection.
+    */
+  case class WordShingles(child: Expression, k: Int) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+
+    override def nullSafeEval(a: Any): Any = {
+      val words = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+      val out = new java.util.LinkedHashSet[String]()
+      if (words.length < k) {
+        out.add(words.mkString(" "))
+      } else {
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i <= words.length - k) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j))
+            j += 1
+          }
+          out.add(sb.toString)
+          i += 1
+        }
+      }
+      val arr = new Array[Any](out.size)
+      val it = out.iterator()
+      var i = 0
+      while (it.hasNext) {
+        arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+        i += 1
+      }
+      new GenericArrayData(arr)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def minhash_signature(shingles: Column, numHashes: Int): Column =
+    column(MinHashSignature(expression(shingles), numHashes))
+
+  def word_shingles(text: Column, k: Int): Column =
+    column(WordShingles(expression(text), k))
+
+  def simhash64(tokens: Column): Column =
+    column(SimHash64(expression(tokens)))
+
+  /** Register for spark.sql use (simhash64 only; minhash_signature
+    * needs a literal int arg and is Column-API-first).
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+  }
+}

@@ -57,20 +57,22 @@ object Dedup {
 
   // ---- MinHash + LSH ----
 
-  /** K minhash values per row: min over shingles under K independent
-    * hash functions h_i(s) = xxhash64(seed=i, s) (seeded-hash family
-    * rather than linear permutations — no arithmetic, so it is safe
-    * under ANSI overflow checking and stays pure codegen: transform +
-    * aggregate over the shingle array; no UDF, no UDAF).
+  /** K minhash values from a shingle-array column: min over shingles
+    * under K independent seeded XXH64 hash functions — the custom
+    * codegen Expression (one pass, primitive min array). The
+    * composed-builtin alternative (K aggregate() lambdas) is
+    * interpreted per element x per hash and was the dominant LSH cost.
     */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val base = array_distinct(shingles(text, k))
-    val hashes = (0 until numHashes).map { i =>
-      aggregate(base, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(lit(i), s)))
-    }
-    array(hashes: _*)
-  }
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    graft.functions.TextHashExpressions.minhash_signature(shingleArr, numHashes)
+
+  /** (id, distinct-shingle-array) projection — the staged input for
+    * signature computation and exact-Jaccard verification. Uses the
+    * single-pass WordShingles expression (distinct included).
+    */
+  def shingleTable(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    df.select(col(idCol),
+      graft.functions.TextHashExpressions.word_shingles(col(textCol), k).as("shingle_set"))
 
   /** Candidate near-dup pairs via banded LSH over minhash signatures:
     * rows agreeing on any band land in the same bucket; the bucket
@@ -82,8 +84,8 @@ object Dedup {
                         bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol),
-      minhashSignature(col(textCol), shingleK, numHashes).as("__sig"))
+    val sig = shingleTable(df, textCol, idCol, shingleK)
+      .select(col(idCol), minhashSignature(col("shingle_set"), numHashes).as("__sig"))
     val banded = sig.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",
@@ -97,71 +99,69 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** Exact n-gram Jaccard between two text columns (verification
-    * kernel): |A ∩ B| / |A ∪ B| over distinct k-shingles.
+  /** Exact Jaccard from two materialized distinct-shingle arrays:
+    * |A ∩ B| / |A ∪ B|.
     */
-  def jaccard(textA: Column, textB: Column, k: Int): Column = {
-    val sa = array_distinct(shingles(textA, k))
-    val sb = array_distinct(shingles(textB, k))
+  def jaccardFromSets(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     val uni = size(array_union(sa, sb)).cast("double")
     round(when(uni > 0, inter / uni).otherwise(lit(0.0)), 4)
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates -> exact-Jaccard
-    * verify -> pairs above threshold. The join back to texts broadcasts
-    * only when small; at scale it is a hash join on the id columns.
+    * verify -> pairs above threshold. Shingle sets are materialized
+    * once per document and joined to the candidate pairs (hash join on
+    * the id columns at scale), so the quadratic stage only does array
+    * intersections, never re-tokenization.
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double, shingleK: Int = 3,
                       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, shingleK, numHashes, bands)
-    val texts = df.select(col(idCol), col(textCol))
+    val sets = shingleTable(df, textCol, idCol, shingleK)
     cands
-      .join(texts.withColumnRenamed(idCol, "id_a").withColumnRenamed(textCol, "__ta"), Seq("id_a"))
-      .join(texts.withColumnRenamed(idCol, "id_b").withColumnRenamed(textCol, "__tb"), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("__ta"), col("__tb"), shingleK))
+      .join(sets.select(col(idCol).as("id_a"), col("shingle_set").as("__sa")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("shingle_set").as("__sb")), Seq("id_b"))
+      .withColumn("jaccard", jaccardFromSets(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
-    * token hashes. Implemented as 64 codegen bit-count expressions via
-    * aggregate() — no UDF.
+  /** 64-bit SimHash from a token array: per-bit majority vote of
+    * token hashes — custom codegen Expression, one pass per row.
     */
-  def simhash64(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val hashes = transform(toks, t => xxhash64(t))
-    // For each bit i: count tokens with bit set, majority => bit set.
-    val n = size(hashes)
-    (0 until 64).map { i =>
-      val cnt = aggregate(hashes, lit(0),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)).cast("int"))
-      when(cnt * 2 >= n, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-  }
+  def simhash64(tokens: Column): Column =
+    graft.functions.TextHashExpressions.simhash64(tokens)
 
-  /** SimHash near-dup candidates with Hamming distance <= 3 via the
-    * 4-block pigeonhole trick: split the 64-bit signature into 4
-    * 16-bit blocks; any pair within distance 3 must agree on >=1 block,
-    * so an equi-join per block finds all candidates — no cross join.
+  /** (id, simhash signature) per document. */
+  def simhashTable(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      simhash64(split(lower(trim(col(textCol))), "\\s+")).as("simhash"))
+
+  /** SimHash near-dup candidates with Hamming distance <= maxHamming
+    * via the 4-block pigeonhole trick: split the 64-bit signature into
+    * 4 16-bit blocks; any pair within distance 3 must agree on >=1
+    * block, so an equi-join per block finds all such pairs — no cross
+    * join. (For maxHamming > 3 the block join is a recall-losing
+    * approximation; the guarantee holds at <= 3.)
     */
-  def simhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val sig = df.select(col(idCol), simhash64(col(textCol)).as("__sig"))
-    val blocked = sig.select(col(idCol), col("__sig"),
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val sig = simhashTable(df, textCol, idCol)
+    val blocked = sig.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("__sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("block", "block_val")))
     val a = blocked.select(col("block"), col("block_val"),
-      col(idCol).as("id_a"), col("__sig").as("sig_a"))
+      col(idCol).as("id_a"), col("simhash").as("sig_a"))
     val b = blocked.select(col("block"), col("block_val"),
-      col(idCol).as("id_b"), col("__sig").as("sig_b"))
+      col(idCol).as("id_b"), col("simhash").as("sig_b"))
     a.join(b, Seq("block", "block_val"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming")).distinct()
   }
 }

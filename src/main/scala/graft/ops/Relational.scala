@@ -87,8 +87,14 @@ object Relational {
     * (X3/X5). The pivot is the presentation edge; upstream state stays
     * MapType so 100 TB of drifting schemas never trigger DDL churn.
     */
-  def widen(df: DataFrame, idCols: Seq[String], keyCol: String, valCol: String): DataFrame =
-    df.groupBy(idCols.map(col): _*)
-      .pivot(keyCol)
-      .agg(first(col(valCol), ignoreNulls = true))
+  def widen(df: DataFrame, idCols: Seq[String], keyCol: String, valCol: String,
+            knownKeys: Seq[String] = Nil): DataFrame = {
+    val grouped = df.groupBy(idCols.map(col): _*)
+    // explicit pivot values skip the extra distinct-values pass over the
+    // input — at scale that pass would re-run everything upstream
+    // (including AI extraction) a second time
+    val pivoted = if (knownKeys.nonEmpty) grouped.pivot(keyCol, knownKeys)
+                  else grouped.pivot(keyCol)
+    pivoted.agg(first(col(valCol), ignoreNulls = true))
+  }
 }

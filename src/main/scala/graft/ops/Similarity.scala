@@ -22,15 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array columns (double math). */
+  /** Dot product of two array columns (double accumulation) — the
+    * custom codegen Expression; semantically identical to
+    * aggregate(zip_with(...)) but stays inside whole-stage codegen
+    * (higher-order functions are interpreted).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.vector_dot(a, b)
 
-  /** L2 norm. */
+  /** L2 norm (custom codegen Expression). */
   def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    graft.functions.VectorExpressions.vector_norm(a)
 
   /** Cosine similarity (use only when norms can't be precomputed). */
   def cosine(a: Column, b: Column): Column =
@@ -59,18 +61,28 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Max embedding dimensionality the precomputed hyperplanes cover. */
+  private val MaxDim = 1024
+
+  /** Deterministic +-1 hyperplane coefficients per global plane index,
+    * generated driver-side (seeded LCG) and shipped as array literals —
+    * constant-folded once per plan instead of hashed per (row x dim).
+    */
+  private def planeCoefs(globalPlane: Int): Seq[Double] = {
+    val rnd = new scala.util.Random(0x5eed0000L + globalPlane)
+    Seq.fill(MaxDim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
   /** SRP bit signature for one hash table: sign bits of nBits
-    * pseudo-random hyperplane projections. Hyperplane coefficients are
-    * +-1 derived from xxhash64(planeIdx, dimIdx) — deterministic and
-    * computed inline, so corpus and probes agree without a side table.
+    * pseudo-random hyperplane projections. Corpus and probes agree on
+    * the hyperplanes because they are derived from the same seeds.
     */
   def srpSignature(vec: Column, nBits: Int, tableIdx: Int = 0): Column =
     (0 until nBits).map { p =>
+      val coefs = typedLit(planeCoefs(tableIdx * nBits + p))
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") *
-            when(pmod(xxhash64(concat_ws("_", lit(tableIdx * nBits + p), i)), lit(2)) === 0, 1.0)
-              .otherwise(-1.0)),
+        zip_with(vec, slice(coefs, lit(1), size(vec)),
+          (x, c) => x.cast("double") * c),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))

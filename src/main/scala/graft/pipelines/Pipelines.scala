@@ -110,7 +110,8 @@ object Pipelines {
       .withColumn("result_map", ai_extract(col("text"), promptsCol))
       .select(col("relative_path"), col("file_url"), col("result_map"))
     val long = Relational.unpivotMap(scanned, "result_map", "field_name", "field_value")
-    Relational.widen(long, Seq("relative_path", "file_url"), "field_name", "field_value")
+    Relational.widen(long, Seq("relative_path", "file_url"), "field_name", "field_value",
+      knownKeys = prompts.keys.toSeq.sorted)
   }
 
   /** Same flagship plan phrased directly over the `documents` fixture
@@ -124,7 +125,8 @@ object Pipelines {
       .withColumn("result_map", ai_extract(col("text"), promptsCol))
       .select(col("doc_id"), col("result_map"))
     val long = Relational.unpivotMap(docs, "result_map", "field_name", "field_value")
-    Relational.widen(long, Seq("doc_id"), "field_name", "field_value")
+    Relational.widen(long, Seq("doc_id"), "field_name", "field_value",
+      knownKeys = prompts.keys.toSeq.sorted)
   }
 
   /** Batch stream mode (§3.2/X2): Structured Streaming over the stage
