@@ -105,7 +105,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
     */
   def directory(stage: String): DataFrame = {
     val dir = stageDir(stage)
-    spark.read.format("binaryFile").load(dir)
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true") // stages nest (FIXTURES A4)
+      .load(dir)
       .select(
         regexp_replace(col("path"), s".*/stages/$stage/", "").as("relative_path"),
         concat(lit(s"@$stage/"),

@@ -149,6 +149,7 @@ object Pipelines {
       org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
     val src = cat.spark.readStream.format("binaryFile")
       .schema(binaryFileSchema)
+      .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", 64) // pacing knob (X2)
       .load(dir)
     val extracted = src

@@ -1,0 +1,95 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class CatalogSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def freshCat(): Catalog = {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_test_").toString
+    val cat = new Catalog(spark, root)
+    cat.ensureTables()
+    cat
+  }
+
+  test("ensureTables creates all five empty tables with canonical schemas") {
+    val cat = freshCat()
+    Catalog.schemas.foreach { case (name, schema) =>
+      val t = cat.table(name)
+      assert(t.count() == 0)
+      assert(t.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+    }
+  }
+
+  test("append stamps timestamp defaults and fills missing columns") {
+    val cat = freshCat()
+    cat.append("NEW_UPLOADS",
+      Seq(("a.pdf", "stage/a.pdf", "stage", true)).toDF(
+        "file_name", "file_ref", "stage_name", "processed"))
+    val row = cat.table("NEW_UPLOADS").collect()(0)
+    assert(row.getAs[String]("file_name") == "a.pdf")
+    assert(row.getAs[java.sql.Timestamp]("uploaded_at") != null)
+  }
+
+  test("merge persists an upsert (update + insert)") {
+    val cat = freshCat()
+    cat.append("CLASS_PROMPTS", Seq(("invoice", "{}")).toDF("class_name", "prompts"))
+    cat.merge("CLASS_PROMPTS",
+      cat.table("CLASS_PROMPTS").limit(0) // empty with right schema
+        .unionByName(Seq(("invoice", """{"a":"b"}"""), ("report", "{}"))
+          .toDF("class_name", "prompts")
+          .withColumn("created_at", current_timestamp())
+          .withColumn("updated_at", current_timestamp())),
+      Seq("class_name"))
+    val rows = cat.table("CLASS_PROMPTS")
+      .select("class_name", "prompts").as[(String, String)].collect().toMap
+    assert(rows.keySet == Set("invoice", "report"))
+    assert(rows("invoice") == """{"a":"b"}""")
+  }
+
+  test("deleteWhere removes matching rows only") {
+    val cat = freshCat()
+    cat.append("CLASS_PROMPTS",
+      Seq(("a", "{}"), ("b", "{}")).toDF("class_name", "prompts"))
+    cat.deleteWhere("CLASS_PROMPTS", col("class_name") === "a")
+    assert(cat.table("CLASS_PROMPTS").select("class_name")
+      .as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("putFile + directory scan lists staged files with content") {
+    val cat = freshCat()
+    cat.putFile("mystage", "x.txt", "hello".getBytes(StandardCharsets.UTF_8))
+    cat.putFile("mystage", "sub/y.txt", "world".getBytes(StandardCharsets.UTF_8))
+    val rows = cat.directory("mystage")
+      .select("relative_path", "file_url", "length")
+      .orderBy("relative_path")
+      .as[(String, String, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq("sub/y.txt", "x.txt"))
+    assert(rows(1)._2 == "@mystage/x.txt")
+    assert(rows(1)._3 == 5L)
+    val content = cat.directory("mystage")
+      .filter(col("relative_path") === "x.txt")
+      .select(col("content").cast("string")).as[String].collect()(0)
+    assert(content == "hello")
+  }
+
+  test("listStages unions filesystem stages with NEW_UPLOADS references") {
+    val cat = freshCat()
+    cat.putFile("fs_stage", "a.txt", "x".getBytes(StandardCharsets.UTF_8))
+    cat.append("NEW_UPLOADS",
+      Seq(("f", "ref_stage/f", "ref_stage", false)).toDF(
+        "file_name", "file_ref", "stage_name", "processed"))
+    assert(cat.listStages() == Seq("fs_stage", "ref_stage"))
+  }
+
+  test("dropTable removes the table directory") {
+    val cat = freshCat()
+    cat.dropTable("DOCUMENT_OCR")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cat.root, "tables", "DOCUMENT_OCR")))
+  }
+}

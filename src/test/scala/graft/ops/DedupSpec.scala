@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the green hills tonight"
+  private val nearDup = base.replace("green", "blue") // 1-word edit
+  private val other = "completely different content about database engines and query optimization at massive scale"
+
+  private lazy val docs = Seq(
+    (0L, base), (1L, base), // exact dups
+    (2L, nearDup),          // near dup of 0/1
+    (3L, other))
+    .toDF("doc_id", "text")
+
+  test("exactDedup keeps one row per identical text (min id)") {
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L, 3L))
+  }
+
+  test("exactDupGroups reports duplicate groups only") {
+    val g = Dedup.exactDupGroups(docs, "text", "doc_id").collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("keeper_id") == 0L)
+    assert(g(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("shingles produce n-k+1 k-grams") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(Dedup.shingles(col("t"), 2).as("s"))
+      .as[Seq[String]].collect().head
+    assert(sh == Seq("a b", "b c", "c d"))
+  }
+
+  test("jaccardFromSets: identical=1, disjoint=0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("x", "y")))
+      .toDF("s1", "s2", "s3")
+    val r = df.select(
+      Dedup.jaccardFromSets(col("s1"), col("s2")),
+      Dedup.jaccardFromSets(col("s1"), col("s3"))).collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("minhashNearDups finds exact and near duplicates, not unrelated") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+        threshold = 0.5, shingleK = 3, numHashes = 16, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair must be found")
+    assert(pairs.subsetOf(Set((0L, 1L), (0L, 2L), (1L, 2L))),
+      s"no pair may involve the unrelated doc: $pairs")
+  }
+
+  test("minhash signatures of identical texts are identical") {
+    val sigs = Dedup.shingleTable(docs.filter($"doc_id" < 2), "text", "doc_id", 3)
+      .select(Dedup.minhashSignature(col("shingle_set"), 16).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("simhash: identical texts same signature; near dup within small hamming") {
+    val sigs = Dedup.simhashTable(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    assert(sigs(0) == sigs(1))
+    val hammingNear = java.lang.Long.bitCount(sigs(0) ^ sigs(2))
+    val hammingFar = java.lang.Long.bitCount(sigs(0) ^ sigs(3))
+    assert(hammingNear < hammingFar,
+      s"near-dup hamming $hammingNear should be < unrelated $hammingFar")
+  }
+
+  test("simhashCandidates finds hamming<=3 pairs via block join") {
+    val pairs = Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class RelationalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("mergeInto upserts: updates matching keys, inserts new ones") {
+    val target = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val source = Seq((2, "B"), (4, "d")).toDF("k", "v")
+    val out = Relational.mergeInto(target, source, Seq("k"))
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "a"), (2, "B"), (3, "c"), (4, "d")))
+  }
+
+  test("mergeInto is idempotent") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val source = Seq((2, "B")).toDF("k", "v")
+    val once = Relational.mergeInto(target, source, Seq("k"))
+    val twice = Relational.mergeInto(once, source, Seq("k"))
+    assert(twice.orderBy("k").collect().toSeq ==
+      once.orderBy("k").collect().toSeq)
+  }
+
+  test("mergeInto dedups a multi-row source deterministically") {
+    val target = Seq((1, "a")).toDF("k", "v")
+    val source = Seq((1, "x"), (1, "z"), (1, "y")).toDF("k", "v")
+    val out = Relational.mergeInto(target, source, Seq("k")).as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "z"))) // max by remaining cols
+  }
+
+  test("insertIfAbsent only appends missing keys") {
+    val target = Seq((1, "a")).toDF("k", "v")
+    val source = Seq((1, "CLASH"), (2, "b")).toDF("k", "v")
+    val out = Relational.insertIfAbsent(target, source, Seq("k"))
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "a"), (2, "b")))
+  }
+
+  test("dedupFirst keeps one row per key by ordering") {
+    val df = Seq((1, 10, "old"), (1, 20, "new"), (2, 5, "only"))
+      .toDF("k", "ts", "v")
+    val out = Relational.dedupFirst(df, Seq("k"), Seq(col("ts").desc))
+      .orderBy("k").as[(Int, Int, String)].collect()
+    assert(out.toSeq == Seq((1, 20, "new"), (2, 5, "only")))
+  }
+
+  test("conjunction of empty predicate list is true") {
+    val df = Seq(1, 2, 3).toDF("x")
+    assert(df.filter(Relational.conjunction(Nil)).count() == 3)
+  }
+
+  test("unpivotMap explodes a map column to key/value rows") {
+    val df = Seq((1, Map("a" -> "1", "b" -> "2"))).toDF("id", "m")
+    val out = Relational.unpivotMap(df, "m", "field", "value")
+      .orderBy("field").as[(Int, String, String)].collect()
+    assert(out.toSeq == Seq((1, "a", "1"), (1, "b", "2")))
+  }
+
+  test("widen pivots field rows back to wide columns (round trip)") {
+    val df = Seq((1, Map("a" -> "1", "b" -> "2")), (2, Map("a" -> "3")))
+      .toDF("id", "m")
+    val long = Relational.unpivotMap(df, "m", "field", "value")
+    val wide = Relational.widen(long, Seq("id"), "field", "value")
+      .orderBy("id")
+    assert(wide.columns.toSeq == Seq("id", "a", "b"))
+    val rows = wide.as[(Int, Option[String], Option[String])].collect()
+    assert(rows.toSeq == Seq((1, Some("1"), Some("2")), (2, Some("3"), None)))
+  }
+
+  test("widen with knownKeys produces identical result without value scan") {
+    val df = Seq((1, Map("a" -> "1", "b" -> "2"))).toDF("id", "m")
+    val long = Relational.unpivotMap(df, "m", "field", "value")
+    val a = Relational.widen(long, Seq("id"), "field", "value").orderBy("id").collect()
+    val b = Relational.widen(long, Seq("id"), "field", "value", Seq("a", "b"))
+      .orderBy("id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}

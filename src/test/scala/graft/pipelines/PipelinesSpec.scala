@@ -1,0 +1,95 @@
+package graft.pipelines
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.engine.Catalog
+
+/** End-to-end pipeline tests (SURVEY §5 item 4): run the three modes on
+  * a temp warehouse with planted documents, assert the five tables and
+  * the History read path.
+  */
+class PipelinesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val docA = "Invoice INV-7 from Acme. The total is $250. Due on 2024-03-01."
+  private val docB = "Contract between Foo and Bar. Effective date 2023-12-31. Term two years."
+
+  private def stagedCat(): Catalog = {
+    val root = java.nio.file.Files.createTempDirectory("graft_pipe_test_").toString
+    val cat = new Catalog(spark, root)
+    cat.ensureTables()
+    cat.putFile("docs", "a.txt", docA.getBytes(StandardCharsets.UTF_8))
+    cat.putFile("docs", "b.txt", docB.getBytes(StandardCharsets.UTF_8))
+    cat
+  }
+
+  test("interactive pipeline persists to all four tables and History reads back") {
+    val cat = stagedCat()
+    val out = Pipelines.interactive(cat, "docs", "a.txt")
+    assert(out.count() == 1)
+
+    assert(cat.table("DOCUMENTS_PROCESSED").count() == 1)
+    val dp = cat.table("DOCUMENTS_PROCESSED").collect()(0)
+    assert(dp.getAs[String]("file_url") == "@docs/a.txt")
+    assert(dp.getAs[String]("extraction_result").startsWith("""{"response": {"""))
+
+    assert(cat.table("DOCUMENTS_EXTRACTED_FIELDS").count() >= 1)
+    assert(cat.table("DOCUMENT_OCR").count() == 1)
+    val ocr = cat.table("DOCUMENT_OCR").collect()(0)
+    assert(ocr.getAs[String]("summary").startsWith("Summary: "))
+    assert(get_json_object(lit(ocr.getAs[String]("ocr")), "$.content") != null)
+
+    val uploads = cat.table("NEW_UPLOADS").collect()
+    assert(uploads.length == 1 && uploads(0).getAs[Boolean]("processed"))
+
+    // prompts were generated for the doc's class
+    assert(cat.table("CLASS_PROMPTS").count() >= 1)
+
+    // History read path
+    val hist = HistoryQueries.documents(cat).collect()
+    assert(hist.length == 1)
+    assert(hist(0).getAs[String]("file_ref") == "a.txt")
+    assert(hist(0).getAs[Boolean]("has_ocr"))
+    assert(hist(0).getAs[String]("stage") == "docs")
+    assert(HistoryQueries.classSummary(cat).collect()(0).getAs[Long]("docs") == 1L)
+  }
+
+  test("batchSql pipeline produces one wide row per staged file") {
+    val cat = stagedCat()
+    val wide = Pipelines.batchSql(cat, "docs",
+      Map("title" -> "What is the title?", "date" -> "What is the date?"))
+    val rows = wide.orderBy("relative_path").collect()
+    assert(rows.length == 2)
+    assert(wide.columns.toSeq == Seq("relative_path", "file_url", "date", "title"))
+    assert(rows.map(_.getAs[String]("relative_path")).toSeq == Seq("a.txt", "b.txt"))
+  }
+
+  test("streaming pipeline persists per micro-batch and is restart-safe") {
+    val cat = stagedCat()
+    val checkpoint = cat.root + "/cp"
+    val q1 = Pipelines.stream(cat, "docs", Map("t" -> "What is the title?"), checkpoint)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(cat.table("DOCUMENTS_PROCESSED").count() == 2)
+    assert(cat.table("DOCUMENTS_EXTRACTED_FIELDS").count() == 2)
+
+    // new file arrives; restart from the same checkpoint processes ONLY it
+    cat.putFile("docs", "c.txt", "New doc. About nothing.".getBytes(StandardCharsets.UTF_8))
+    val q2 = Pipelines.stream(cat, "docs", Map("t" -> "What is the title?"), checkpoint)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(cat.table("DOCUMENTS_PROCESSED").count() == 3,
+      "checkpoint must prevent reprocessing of a.txt/b.txt")
+  }
+
+  test("ensurePrompts is idempotent (anti-join guard)") {
+    val cat = stagedCat()
+    val classes = Seq("invoice").toDF("class_name")
+    Pipelines.ensurePrompts(cat, classes)
+    val first = cat.table("CLASS_PROMPTS").select("prompts").as[String].collect()(0)
+    Pipelines.ensurePrompts(cat, classes)
+    assert(cat.table("CLASS_PROMPTS").count() == 1)
+    assert(cat.table("CLASS_PROMPTS").select("prompts").as[String].collect()(0) == first)
+  }
+}
