@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{TextHashExpressions, VectorExpressions}
+
+/** SparkSessionExtensions entry point: makes the engine's native
+  * expressions available in any session via
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * or SparkSession.builder().withExtensions(new GraftExtensions).
+  * (The AI UDFs need a live session and are registered by
+  * [[Graft.init]] instead.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorExpressions.VectorDot].getName, "vector_dot"),
+      exprs => VectorExpressions.VectorDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("vector_norm"),
+      new ExpressionInfo(classOf[VectorExpressions.VectorNorm].getName, "vector_norm"),
+      exprs => VectorExpressions.VectorNorm(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[TextHashExpressions.SimHash64].getName, "simhash64"),
+      exprs => TextHashExpressions.SimHash64(exprs.head)))
+  }
+}
+
+/** One-call library setup for an existing session: registers the AI
+  * UDFs and the native expressions for SQL use.
+  */
+object Graft {
+  def init(spark: SparkSession): Unit = {
+    graft.ai.AiFunctions.register(spark)
+    VectorExpressions.register(spark)
+    TextHashExpressions.register(spark)
+  }
+}

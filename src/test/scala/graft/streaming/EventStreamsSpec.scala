@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import EventStreams._
+
+class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tsOf(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val batch = Seq(
+    Event(1, tsOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+    Event(2, tsOf("2024-01-01 10:10:00"), 1, "click", 2.0),
+    Event(3, tsOf("2024-01-01 11:30:00"), 1, "view", 3.0),  // gap > 30min -> new session
+    Event(4, tsOf("2024-01-01 10:05:00"), 2, "view", 4.0)).toDS()
+
+  test("tumblingCounts groups into hour windows (batch execution)") {
+    val out = tumblingCounts(batch.toDF()).orderBy("window_start", "event_type")
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("10:00", "click", 2L), ("10:00", "view", 1L), ("11:00", "view", 1L)))
+  }
+
+  test("slidingCounts assigns each event to window/slide windows") {
+    val out = slidingCounts(batch.toDF(), "1 hour", "30 minutes")
+    // each event lands in exactly 2 sliding windows
+    assert(out.agg(sum("n")).as[Long].collect()(0) == batch.count() * 2)
+  }
+
+  test("sessionWindowCounts merges events within the gap") {
+    val out = sessionWindowCounts(batch.toDF(), "30 minutes")
+      .orderBy("user_id", "session_start")
+      .select(col("user_id"), col("n_events")).as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("sessionizeBatch emits all sessions incl. the open tail") {
+    val out = sessionizeBatch(batch).orderBy("user_id", "session_id")
+      .select(col("user_id"), col("session_id"), col("n_events"))
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
+  }
+
+  test("streaming end-to-end: watermarked tumbling counts over the events fixture") {
+    // file streaming sources need a directory: stage the fixture file
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_fixture_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val src = readEventStream(spark, dir.toString)
+    val q = tumblingCounts(src)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tumbling_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // append mode only emits windows closed by the watermark; a single
+    // micro-batch closes all but the trailing 2h of the fixture
+    assert(q.exception.isEmpty)
+    assert(spark.table("tumbling_out").count() > 0)
+  }
+
+  test("stateful sessionize on a real stream emits closed sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ev_").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_stream_cp_").toString
+    // two files -> two micro-batches (maxFilesPerTrigger=1)
+    Seq(Event(1, tsOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, tsOf("2024-01-01 10:10:00"), 1, "click", 2.0))
+      .toDS().write.parquet(dir + "/b1")
+    val schema = batch.schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/*")
+    val q = sessionize(src.as[Event])
+      .writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", cp)
+      .queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      // second batch: an event past the gap closes session 0
+      Seq(Event(3, tsOf("2024-01-01 11:30:00"), 1, "view", 3.0))
+        .toDS().write.mode("append").parquet(dir + "/b2")
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out")
+        .select("user_id", "session_id", "n_events").as[(Long, Long, Long)].collect()
+      assert(sessions.toSeq == Seq((1L, 0L, 2L)),
+        s"first session must close when the gap elapses: ${sessions.toSeq}")
+    } finally q.stop()
+  }
+}
