@@ -27,7 +27,10 @@ object AiFunctions {
     */
   private val extractUdf = udf { (text: String, prompts: Map[String, String]) =>
     if (text == null || prompts == null) null
-    else backend.answerAll(text, prompts)
+    else try backend.answerAll(text, prompts)
+    catch { // error-as-row (X9, app:855-856): keep the batch alive
+      case e: Exception => Map("error" -> String.valueOf(e.getMessage))
+    }
   }
 
   /** AI_EXTRACT returning the reference's exact JSON envelope
@@ -35,13 +38,17 @@ object AiFunctions {
     */
   private val extractJsonUdf = udf { (text: String, prompts: Map[String, String]) =>
     if (text == null || prompts == null) null
-    else {
+    else try {
       val answers = backend.answerAll(text, prompts)
       val fields = answers.toSeq.sortBy(_._1).map { case (f, a) =>
         val esc = a.replace("\\", "\\\\").replace("\"", "\\\"")
         s""""$f": "$esc""""
       }
       s"""{"response": {${fields.mkString(", ")}}}"""
+    } catch { // error-as-row (X9): {"error": msg} like app:855-856
+      case e: Exception =>
+        val esc = String.valueOf(e.getMessage).replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"error": "$esc"}"""
     }
   }
 
@@ -57,7 +64,20 @@ object AiFunctions {
     if (prompt == null) null else backend.complete(model, prompt)
   }
 
+  /** Canonicalize a stored prompt-schema VARIANT (any of the accepted
+    * shapes, app:162-183) into the flat {field -> question} map the
+    * extract functions take. Pure Scala core, exposed as a UDF so the
+    * pipeline can apply it in-plan when reading CLASS_PROMPTS (app:490).
+    */
+  private val canonicalizeUdf = udf { (promptsJson: String, className: String) =>
+    graft.ops.Canonicalize(
+      if (promptsJson == null) "" else promptsJson,
+      if (className == null) "document" else className)
+  }
+
   def ai_extract(text: Column, prompts: Column): Column = extractUdf(text, prompts)
+  def canonicalize_prompts(promptsJson: Column, className: Column): Column =
+    canonicalizeUdf(promptsJson, className)
   def ai_extract_json(text: Column, prompts: Column): Column = extractJsonUdf(text, prompts)
   def ai_classify(text: Column): Column = classifyUdf(text)
   def parse_document(content: Column): Column = parseDocumentUdf(content)
@@ -70,5 +90,6 @@ object AiFunctions {
     spark.udf.register("ai_classify", classifyUdf)
     spark.udf.register("parse_document", parseDocumentUdf)
     spark.udf.register("ai_complete", completeUdf)
+    spark.udf.register("canonicalize_prompts", canonicalizeUdf)
   }
 }

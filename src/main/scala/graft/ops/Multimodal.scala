@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -78,4 +78,55 @@ object Multimodal {
       .select(col(idCol), col("meta.format").as("format"),
         col("meta.byte_size").as("byte_size"),
         col("meta.width").as("width"), col("meta.height").as("height"))
+
+  // ---- batched per-partition decode path ----
+
+  case class MediaRow(id: Long, content: Array[Byte])
+
+  case class DecodedMedia(id: Long, format: String, byte_size: Long,
+                          width: Int, height: Int, embedding: Array[Float])
+
+  /** Per-partition batched decode: the Scala analogue of the Python
+    * mapInPandas pattern — an iterator-to-iterator transform that never
+    * materializes the partition, so executor memory stays bounded by
+    * one media item regardless of partition size. A real implementation
+    * replaces `decodeOne` with a native/JNI decoder fed in chunks; the
+    * schema, partitioning, and batch shape here are the production
+    * plumbing.
+    */
+  def decodeBatch(ds: Dataset[MediaRow], embeddingDim: Int = 16): Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition init cost (model load, decoder handle) would sit
+      // here, amortized across the partition's rows
+      rows.map(r => decodeOne(r, embeddingDim))
+    }
+  }
+
+  /** STUB single-item decode: deterministic fakes from content bytes
+    * (no media libs in this container). Same signature a real decoder
+    * would have.
+    */
+  private def decodeOne(r: MediaRow, dim: Int): DecodedMedia = {
+    val bytes = if (r.content == null) Array.emptyByteArray else r.content
+    val h = java.util.Arrays.hashCode(bytes).toLong & 0xFFFFFFFFL
+    val fmt = sniffFormatBytes(bytes)
+    val emb = Array.tabulate(dim)(i =>
+      (((h * 6364136223846793005L + i * 1442695040888963407L) >>> 40) % 2000 - 1000) / 1000.0f)
+    DecodedMedia(r.id, fmt, bytes.length.toLong,
+      (h % 1920 + 32).toInt, ((h / 1920) % 1080 + 32).toInt, emb)
+  }
+
+  /** Magic-byte sniffing on raw bytes (same table as [[sniffFormat]]). */
+  private def sniffFormatBytes(b: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < b.length) b(i) & 0xFF else -1
+    if (at(0) == 0x89 && at(1) == 0x50 && at(2) == 0x4E && at(3) == 0x47) "png"
+    else if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) "jpeg"
+    else if (at(0) == 0x47 && at(1) == 0x49 && at(2) == 0x46 && at(3) == 0x38) "gif"
+    else if (at(0) == 0x52 && at(1) == 0x49 && at(2) == 0x46 && at(3) == 0x46) "riff"
+    else if (at(4) == 0x66 && at(5) == 0x74 && at(6) == 0x79 && at(7) == 0x70) "mp4"
+    else if (at(0) == 0x49 && at(1) == 0x44 && at(2) == 0x33) "mp3"
+    else if (at(0) == 0x25 && at(1) == 0x50 && at(2) == 0x44 && at(3) == 0x46) "pdf"
+    else "unknown"
+  }
 }

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities. AQE's skew-join handling
+  * (spark.sql.adaptive.skewJoin.enabled, on by default) is the first
+  * line of defense and needs no code; explicit salting remains useful
+  * when the build side must be replicated deterministically (e.g. a
+  * hot-key dimension join inside a streaming foreachBatch, where AQE
+  * replanning is unavailable) or when a single key exceeds what one
+  * task can hold even after AQE splitting.
+  */
+object Skew {
+
+  /** Salted equi-join: the (large, skewed) `big` side gets a pseudo-
+    * random salt in [0, salts); the `small` side is replicated once per
+    * salt value. Equal keys still meet (every salt of a key sees the
+    * full small-side slice for that key), but a hot key's rows now
+    * spread over `salts` reducer partitions instead of one.
+    *
+    * Cost model: small side shuffles x salts — only worth it when the
+    * small side is actually small and the big side's key skew is the
+    * bottleneck.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    // per-row salt: hash of a nondeterministic row id — spreads even
+    // identical rows; nondeterminism is fine (any assignment is correct)
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicatedSmall, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

@@ -2,7 +2,6 @@ package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{MapType, StringType}
 
 import graft.ai.AiFunctions._
 import graft.engine.Catalog
@@ -25,8 +24,6 @@ import graft.ops.Relational
   * — Structured Streaming file source + foreachBatch persists.
   */
 object Pipelines {
-
-  private val promptsMapType = MapType(StringType, StringType)
 
   /** Default seed prompts per class (setup:129-142 fixture shape). */
   val seedInvoicePrompts: String =
@@ -63,8 +60,11 @@ object Pipelines {
       .withColumn("class_name", ai_classify(col("text")))
       .cache() // reused by 4 writes below; single row, cheap
     ensurePrompts(cat, doc.select("class_name"))
+    // canonicalize on read (app:490, app:162-183): stored prompt
+    // schemas may be flat dicts, ['q', text] lists, or nested dicts
     val prompts = cat.table("CLASS_PROMPTS")
-      .withColumn("prompt_map", from_json(col("prompts"), promptsMapType))
+      .withColumn("prompt_map",
+        canonicalize_prompts(col("prompts"), col("class_name")))
       .select("class_name", "prompt_map")
     val extracted = doc
       .join(broadcast(prompts), Seq("class_name"), "left")

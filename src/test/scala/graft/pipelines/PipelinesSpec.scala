@@ -83,6 +83,40 @@ class PipelinesSpec extends AnyFunSuite with SparkTestBase {
       "checkpoint must prevent reprocessing of a.txt/b.txt")
   }
 
+  test("interactive pipeline canonicalizes non-flat prompt schemas on read") {
+    val cat = stagedCat()
+    // pre-seed prompts for every class in the backend's class set using
+    // the ['q', text] list shape (app:161-183); ensurePrompts will not
+    // overwrite them (anti-join guard), so extraction must canonicalize
+    import org.apache.spark.sql.functions.current_timestamp
+    val seeded = Seq("invoice", "contract", "report", "letter", "form")
+      .map(c => (c, """["q", "What is this about?"]"""))
+      .toDF("class_name", "prompts")
+      .withColumn("created_at", current_timestamp())
+      .withColumn("updated_at", current_timestamp())
+    cat.merge("CLASS_PROMPTS", seeded, Seq("class_name"))
+    Pipelines.interactive(cat, "docs", "a.txt")
+    val fields = cat.table("DOCUMENTS_EXTRACTED_FIELDS")
+      .select("field_name").as[String].collect().toSeq
+    assert(fields == Seq("q"), s"list-shaped schema must canonicalize to {'q': ...}: $fields")
+  }
+
+  test("HistoryQueries.fields flattens with derived stage and filters compose") {
+    val cat = stagedCat()
+    Pipelines.interactive(cat, "docs", "a.txt")
+    Pipelines.interactive(cat, "docs", "b.txt")
+    val all = HistoryQueries.fields(cat)
+    assert(all.count() >= 2)
+    assert(all.select("stage").distinct().as[String].collect().toSeq == Seq("docs"))
+    // filename filter narrows to one document's fields
+    val filtered = HistoryQueries.fields(cat,
+      HistoryQueries.docFilters(Nil, None, Some("a.txt")))
+    assert(filtered.select("file_ref").distinct().as[String].collect().toSeq == Seq("a.txt"))
+    // class filter with a non-existent class yields nothing
+    assert(HistoryQueries.fields(cat,
+      HistoryQueries.docFilters(Seq("no_such_class"), None, None)).count() == 0)
+  }
+
   test("ensurePrompts is idempotent (anti-join guard)") {
     val cat = stagedCat()
     val classes = Seq("invoice").toDF("class_name")
