@@ -193,6 +193,16 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k_int"))
       .orderBy(col("event_id"))
 
+  /** F7/F9 in Spark-4 VARIANT form: parse_json -> typed variant_get.
+    * The engine stores oracle-visible VARIANT as JSON strings (SURVEY
+    * §7.3) but supports the native type end-to-end.
+    */
+  private def qF9Variant(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .select(col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k_long"))
+      .orderBy(col("event_id"))
+
   private def qF11(s: SparkSession, d: String): DataFrame =
     ev(s, d)
       .select(col("event_id"),
@@ -363,6 +373,13 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private def qSimIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val idx = graft.ops.Ivf.build(emb, k = 16, iters = 3)
+    graft.ops.Ivf.search(idx, emb.filter(col("vec_id") < 10), topK = 5, nProbe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def qAiClassify(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), ai_classify(col("text")).as("document_class"))
@@ -488,6 +505,7 @@ object SparkEntry {
     "q_f1_f2_stage_derive" -> qF1F2,
     "q_f6_iff" -> qF6,
     "q_f7_json_extract" -> qF7,
+    "q_f9_variant" -> qF9Variant,
     "q_f11_try_timestamp" -> qF11,
     "q_f15_f17_strings" -> qF15F17,
     "q_agg1_pricing_summary" -> qAgg1,
@@ -507,6 +525,7 @@ object SparkEntry {
     "q_dedup_minhash" -> qMinhashNearDups,
     "q_dedup_simhash" -> qSimhashPairs,
     "q_sim_lsh_topk" -> qSimLsh,
+    "q_sim_ivf_topk" -> qSimIvf,
     "q_ai_classify" -> qAiClassify,
     "q_ai_extract_wide" -> qAiExtractWide,
     "q_ai_summarize" -> qAiSummarize,
@@ -568,6 +587,8 @@ object SparkEntry {
       "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN TRUE ELSE FALSE END AS is_big FROM orders ORDER BY o_orderkey",
     "q_f7_json_extract" ->
       "SELECT event_id, json_extract_string(props, '$.k') AS k_str, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int FROM events ORDER BY event_id",
+    "q_f9_variant" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long FROM events ORDER BY event_id",
     "q_f11_try_timestamp" ->
       s"SELECT event_id, strftime(TRY_CAST(CASE WHEN event_id % 10 = 0 THEN 'not a ts' ELSE strftime(ts, '$TSD') END AS TIMESTAMP), '$TSD') AS parsed FROM events ORDER BY event_id",
     "q_f15_f17_strings" ->

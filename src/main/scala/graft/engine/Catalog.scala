@@ -28,9 +28,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
     Files.createDirectories(Paths.get(s"$root/tables"))
     Files.createDirectories(Paths.get(s"$root/stages"))
     schemas.foreach { case (name, schema) =>
-      if (!Files.exists(Paths.get(tablePath(name), "_SUCCESS")))
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-          .write.mode(SaveMode.Overwrite).parquet(tablePath(name))
+      if (!Files.exists(Paths.get(tablePath(name), "_SUCCESS"))) {
+        val writer = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          .write.mode(SaveMode.Overwrite)
+        // init with the same layout appends use, so partitioned tables
+        // never mix root-level and partition-dir files
+        partitionSpec.get(name).fold(writer)(cols => writer.partitionBy(cols: _*))
+          .parquet(tablePath(name))
+      }
     }
   }
 
@@ -40,6 +46,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   /** Append sink (S7; write_pandas app:523-546). Timestamp defaults
     * stamped at write time (F12: parquet has no DEFAULT autofill).
+    * Tables with a partition spec are written partitioned so reads
+    * filtering on the partition column prune whole directories — at
+    * 100 TB, per-class queries on the fields table touch only their
+    * class's partitions.
     */
   def append(name: String, df: DataFrame): Unit = {
     val schema = schemas(name)
@@ -49,8 +59,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
         d.withColumn(f.name, current_timestamp())
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }
-    withDefaults.select(schema.fieldNames.map(col): _*)
-      .write.mode(SaveMode.Append).parquet(tablePath(name))
+    val writer = withDefaults.select(schema.fieldNames.map(col): _*)
+      .write.mode(SaveMode.Append)
+    partitionSpec.get(name).fold(writer)(cols => writer.partitionBy(cols: _*))
+      .parquet(tablePath(name))
   }
 
   /** MERGE upsert persisted (J5): anti-join + union, written to a temp
@@ -68,7 +80,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   private def overwrite(name: String, df: DataFrame): Unit = {
     val tmp = s"$root/tables/.tmp_$name"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    partitionSpec.get(name).fold(writer)(cols => writer.partitionBy(cols: _*))
+      .parquet(tmp)
     val target = Paths.get(tablePath(name))
     // Re-point the table directory at the fresh data. Single-writer:
     // delete old, move new (two steps; crash between them loses the old
@@ -139,6 +153,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
 }
 
 object Catalog {
+  /** Partition layout per table (SURVEY §7.1 scale rule 7): the
+    * normalized fields table is the big one — partitioning it by
+    * class_name turns per-class history queries into partition-pruned
+    * scans.
+    */
+  val partitionSpec: Map[String, Seq[String]] = Map(
+    "DOCUMENTS_EXTRACTED_FIELDS" -> Seq("class_name"))
+
   /** Canonical DDL from setup:46-90; VARIANT -> JSON string. */
   val schemas: Map[String, StructType] = Map(
     "CLASS_PROMPTS" -> StructType(Seq(

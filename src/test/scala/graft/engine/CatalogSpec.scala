@@ -86,6 +86,28 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(cat.listStages() == Seq("fs_stage", "ref_stage"))
   }
 
+  test("fields table is written partitioned by class_name and prunes on read") {
+    val cat = freshCat()
+    cat.append("DOCUMENTS_EXTRACTED_FIELDS",
+      Seq(("u1", "f1", "invoice", "total", "\"100\""),
+          ("u2", "f2", "report", "title", "\"t\""))
+        .toDF("file_url", "file_ref", "class_name", "field_name", "field_value"))
+    // physical layout: one dir per class
+    val dirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(cat.root, "tables", "DOCUMENTS_EXTRACTED_FIELDS"))
+      .iterator()
+    var names = List.empty[String]
+    while (dirs.hasNext) names ::= dirs.next().getFileName.toString
+    assert(names.exists(_.startsWith("class_name=invoice")), names.toString)
+    // read back: full schema, and a class filter becomes a PartitionFilter
+    val t = cat.table("DOCUMENTS_EXTRACTED_FIELDS")
+    assert(t.count() == 2)
+    val plan = t.filter(col("class_name") === "invoice")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(class_name"), plan)
+    assert(t.filter(col("class_name") === "invoice").count() == 1)
+  }
+
   test("dropTable removes the table directory") {
     val cat = freshCat()
     cat.dropTable("DOCUMENT_OCR")
