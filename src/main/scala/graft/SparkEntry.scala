@@ -332,6 +332,17 @@ object SparkEntry {
         TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Composed corpus curation (the end-to-end training-data use case):
+    * quality gate -> exact dedup on the gated set. Oracle mirrors the
+    * same quality/langid expressions validated by q_text_stats /
+    * q_text_langid.
+    */
+  private def qCuration(s: SparkSession, d: String): DataFrame =
+    graft.ops.Curation.curate(t(s, d, "documents"), "text", "doc_id",
+        minQuality = 0.6, langs = Nil)
+      .select(col("doc_id"), col("quality"), col("lang_pred"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
   private def qSimTopK(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -520,6 +531,7 @@ object SparkEntry {
     "q_text_langid" -> qTextLangId,
     "q_text_tokens_bpe" -> qTokensBpe,
     "q_sim_topk" -> qSimTopK,
+    "q_corpus_curation" -> qCuration,
     "q_emb_near_dups" -> qEmbNearDups,
     // rows-only (no oracle): AI, LSH-approximate, pipelines
     "q_dedup_minhash" -> qMinhashNearDups,
@@ -623,6 +635,20 @@ object SparkEntry {
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents ORDER BY doc_id",
     "q_sim_topk" ->
       "SELECT query_id, corpus_id, rank FROM (SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank FROM embeddings c, embeddings p WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id) WHERE rank <= 5 ORDER BY query_id, rank",
+    "q_corpus_curation" ->
+      ("WITH s AS (SELECT doc_id, text, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['the','and','of','is','with'], x))) AS s_en, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['el','la','los','que','de'], x))) AS s_es, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['le','la','les','est','une'], x))) AS s_fr, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['der','die','das','und','ist'], x))) AS s_de, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['的','是','了','在','我'], x))) AS s_zh " +
+        "FROM documents), " +
+        s"ann AS (SELECT doc_id, text, round((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END + CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 5 THEN 1.0 ELSE 0.0 END + CASE WHEN round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains($stopList, x))) AS DOUBLE) / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 4) > 0.0 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality, " +
+        "CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und' WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en' WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es' WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr' WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de' ELSE 'zh' END AS lang_pred, " +
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM s), " +
+        "gated AS (SELECT * FROM ann WHERE quality >= 0.6) " +
+        "SELECT doc_id, quality, lang_pred, n_tokens FROM gated " +
+        "WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5(text)) ORDER BY doc_id"),
     "q_emb_near_dups" ->
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b",
   )

@@ -101,6 +101,16 @@ final class Catalog(val spark: SparkSession, val root: String) {
   /** DROP TABLE (S9; cleanup:14-28). */
   def dropTable(name: String): Unit = deleteRecursively(Paths.get(tablePath(name)))
 
+  /** CSV / JSON export sinks (S8; app:574-579, app:766-790): the
+    * reference's download buttons, set-based. Headers on for CSV to
+    * match the pandas to_csv shape.
+    */
+  def exportCsv(df: DataFrame, outDir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(outDir)
+
+  def exportJson(df: DataFrame, outDir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(outDir)
+
   // ---- stages (S1-S3) ----
 
   def stageDir(stage: String): String = s"$root/stages/$stage"
