@@ -126,6 +126,19 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup with bounded state: duplicates arriving
+    * within the watermark horizon are dropped; state older than the
+    * watermark is evicted, so memory stays bounded on an infinite
+    * stream (the batch-mode exact dedup's streaming counterpart).
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+    else // batch backfill parity: global exact dedup
+      events.dropDuplicates(keyCols.head, keyCols.tail: _*)
+
   /** Read the events fixture as a bounded stream (for tests/demos):
     * parquet dir streamed file-by-file.
     */

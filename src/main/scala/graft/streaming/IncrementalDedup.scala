@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Dedup
+
+/** Incremental near-duplicate filtering for a growing corpus — the
+  * 100 TB-shaped alternative to recomputing all-pairs dedup on every
+  * ingest: a persisted (id, band, bucket) signature store; each new
+  * batch hashes ONCE, joins its buckets against the store (equi-join,
+  * candidates only), verifies exact Jaccard against just the candidate
+  * partners, drops near-dups, and appends the survivors' signatures.
+  *
+  * Work per batch is O(batch x hashes) + a hash join keyed on bucket
+  * — independent of corpus size except through bucket collision rate.
+  * Designed for use inside foreachBatch of a document stream.
+  */
+final class IncrementalDedup(spark: SparkSession, storeDir: String,
+                             shingleK: Int = 3, numHashes: Int = 16,
+                             bands: Int = 8, threshold: Double = 0.7) {
+  require(numHashes % bands == 0)
+
+  private val rowsPerBand = numHashes / bands
+
+  private val storeSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("band", IntegerType),
+    StructField("bucket", LongType),
+    StructField("shingle_set", ArrayType(StringType, containsNull = false))))
+
+  private def storePath = s"$storeDir/signatures"
+
+  private def store(): DataFrame =
+    if (Files.exists(Paths.get(storePath)))
+      spark.read.schema(storeSchema).parquet(storePath)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), storeSchema)
+
+  /** Banded (id, band, bucket, shingle_set) rows for a batch. */
+  private def signatures(batch: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sig = Dedup.shingleTable(batch, textCol, idCol, shingleK)
+      .select(col(idCol).as("id"), col("shingle_set"),
+        Dedup.minhashSignature(col("shingle_set"), numHashes).as("__sig"))
+    sig.select(col("id"), col("shingle_set"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          b.cast("string"),
+          array_join(transform(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string")), ","))))).as(Seq("band", "bucket")))
+      .select(col("id"), col("band").cast("int").as("band"), col("bucket"),
+        col("shingle_set"))
+  }
+
+  /** Process one batch: returns the rows that are NOT near-dups of the
+    * already-accepted corpus (nor of an earlier row in the same batch),
+    * and persists their signatures.
+    */
+  def processBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sigs = signatures(batch, textCol, idCol).cache()
+    try {
+      // candidates vs the persisted corpus
+      val cands = sigs.join(
+          store().select(col("band"), col("bucket"),
+            col("shingle_set").as("__corpus_set")),
+          Seq("band", "bucket"))
+        .select(col("id"), col("shingle_set"), col("__corpus_set")).distinct()
+        .withColumn("j", Dedup.jaccardFromSets(col("shingle_set"), col("__corpus_set")))
+        .filter(col("j") >= threshold)
+        .select(col("id")).distinct()
+      // candidates within the batch itself (keep lowest id of a pair)
+      val a = sigs.select(col("band"), col("bucket"), col("id").as("id_a"),
+        col("shingle_set").as("__sa"))
+      val b = sigs.select(col("band"), col("bucket"), col("id").as("id_b"),
+        col("shingle_set").as("__sb"))
+      val intra = a.join(b, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("__sa"), col("__sb")).distinct()
+        .withColumn("j", Dedup.jaccardFromSets(col("__sa"), col("__sb")))
+        .filter(col("j") >= threshold)
+        .select(col("id_b").as("id")).distinct()
+      val dupIds = cands.unionByName(intra).distinct()
+      val kept = batch.join(dupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      // persist the survivors' signatures for future batches
+      val keptSigs = sigs.join(
+        kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      keptSigs.select(col("id"), col("band"), col("bucket"), col("shingle_set"))
+        .write.mode(SaveMode.Append).parquet(storePath)
+      kept
+    } finally sigs.unpersist()
+  }
+}

@@ -66,6 +66,19 @@ class AiFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(m.keySet == Set("invoice_title", "invoice_date", "invoice_party"))
   }
 
+  test("extract failures surface as error rows, not batch failures (X9)") {
+    // a null question NPEs inside the backend; the UDF must catch it
+    val df = Seq(text).toDF("text")
+      .select(ai_extract(col("text"),
+        typedLit(Map("f" -> null.asInstanceOf[String]))).as("m"))
+    val m = df.as[Map[String, String]].collect()(0)
+    assert(m.keySet == Set("error"), s"expected error-as-row, got $m")
+    val j = Seq(text).toDF("text")
+      .select(ai_extract_json(col("text"),
+        typedLit(Map("f" -> null.asInstanceOf[String])))).as[String].collect()(0)
+    assert(j.startsWith("""{"error": """), j)
+  }
+
   test("SQL registration exposes the functions") {
     AiFunctions.register(spark)
     val n = spark.sql(s"SELECT ai_classify('$text') AS c").collect()(0).getString(0)

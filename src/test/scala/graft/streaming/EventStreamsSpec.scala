@@ -62,6 +62,28 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.table("tumbling_out").count() > 0)
   }
 
+  test("streamingDedup drops duplicate keys (batch fallback + stream)") {
+    val rows = Seq(
+      Event(1, tsOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(1, tsOf("2024-01-01 10:00:30"), 1, "click", 1.0), // dup event_id
+      Event(2, tsOf("2024-01-01 10:01:00"), 1, "view", 2.0))
+    // batch fallback
+    val out = streamingDedup(rows.toDS().toDF(), Seq("event_id"))
+      .select("event_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L))
+    // real stream: duplicates within the watermark horizon dropped
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_ev_").toString
+    rows.toDS().write.parquet(dir + "/b1")
+    val src = spark.readStream.schema(rows.toDS().schema).parquet(dir + "/*")
+    val q = streamingDedup(src, Seq("event_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_out")
+      .select("event_id").as[Long].collect().sorted
+    assert(streamed.toSeq == Seq(1L, 2L))
+  }
+
   test("stateful sessionize on a real stream emits closed sessions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_ev_").toString
     val cp = java.nio.file.Files.createTempDirectory("graft_stream_cp_").toString

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the green hills tonight again"
+  private val nearDup = base.replace("green", "blue")
+  private val other = "a completely different corpus row about distributed query engines and shuffle partitioning strategies"
+
+  test("near-dups are dropped across batches and within a batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_").toString
+    val dedup = new IncrementalDedup(spark, dir, threshold = 0.5)
+
+    // batch 1: base accepted; in-batch near-dup (id 2) dropped
+    val b1 = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val kept1 = dedup.processBatch(b1, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept1.toSeq == Seq(1L, 3L), s"in-batch near-dup must drop: ${kept1.toSeq}")
+
+    // batch 2: exact dup of batch-1 row dropped, fresh row kept
+    val fresh = "entirely new content discussing watermark semantics in stateful stream processing pipelines"
+    val b2 = Seq((10L, base), (11L, fresh)).toDF("doc_id", "text")
+    val kept2 = dedup.processBatch(b2, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2.toSeq == Seq(11L), s"cross-batch dup must drop: ${kept2.toSeq}")
+
+    // batch 3: near-dup of batch-2 survivor also dropped
+    val b3 = Seq((20L, fresh.replace("semantics", "rules"))).toDF("doc_id", "text")
+    val kept3 = dedup.processBatch(b3, "text", "doc_id")
+      .select("doc_id").as[Long].collect()
+    assert(kept3.isEmpty, s"near-dup of accepted row must drop: ${kept3.toSeq}")
+  }
+}
