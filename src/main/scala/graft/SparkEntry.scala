@@ -430,6 +430,32 @@ object SparkEntry {
       .orderBy(col("class_name"))
   }
 
+  /** Prompt-schema canonicalization (F18/app:162-183) over the four
+    * accepted shapes — rows-only (pure function demo).
+    */
+  private def qCanonicalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, """{"total": "What is the total?"}"""),
+      (2L, """["q", "Summarize."]"""),
+      (3L, """{"f": {"question": "Inner?"}}"""),
+      (4L, "not json at all"))
+      .toDF("id", "prompts_json")
+      .select(col("id"),
+        graft.ai.AiFunctions.canonicalize_prompts(
+          col("prompts_json"), lit("invoice")).as("canon"))
+      .orderBy(col("id"))
+  }
+
+  /** Approximate distinct (HLL) — rows-only (sketch values are not
+    * oracle-comparable across engines).
+    */
+  private def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
   private def qMultimodalCatalog(s: SparkSession, d: String): DataFrame =
     graft.ops.Multimodal.mediaCatalog(
       t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("blob")),
@@ -543,6 +569,8 @@ object SparkEntry {
     "q_ai_summarize" -> qAiSummarize,
     "q_ai_parse_document" -> qAiParseDocument,
     "q_ai_prompt_gen" -> qAiPromptGen,
+    "q_canonicalize" -> qCanonicalize,
+    "q_approx_distinct" -> qApproxDistinct,
     "q_multimodal_catalog" -> qMultimodalCatalog,
     "q_multimodal_embed" -> qMultimodalEmbed,
     "q_pipeline_batch_sql" -> qPipelineBatchSql,

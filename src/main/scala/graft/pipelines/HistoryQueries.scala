@@ -49,21 +49,37 @@ object HistoryQueries {
     * per aggregate, all on the same (file_ref, class_name) key so AQE
     * can reuse the exchange.
     */
-  def documents(cat: Catalog, filters: Seq[Column] = Nil): DataFrame = {
-    val fields = cat.table("DOCUMENTS_EXTRACTED_FIELDS")
-      .filter(Relational.conjunction(filters))
-    val processed = cat.table("DOCUMENTS_PROCESSED")
+  def documents(cat: Catalog, filters: Seq[Column] = Nil): DataFrame =
+    documentsFrom(cat.table("DOCUMENTS_EXTRACTED_FIELDS"),
+      cat.table("DOCUMENTS_PROCESSED"), cat.table("DOCUMENT_OCR"), filters)
+
+  /** DataFrame-based form with the reference's schema-drift tolerance
+    * (app:696-741): the app's runtime DDL omits the timestamp columns
+    * that setup DDL includes, and the History page falls back from a
+    * timestamp-aware query to a stable-ordered one. Here that is a
+    * STATIC schema probe (`columns.contains`) choosing the plan up
+    * front — no try/except query rewriting (SURVEY §1.3).
+    */
+  def documentsFrom(fields0: DataFrame, processed0: DataFrame, ocr: DataFrame,
+                    filters: Seq[Column] = Nil): DataFrame = {
+    val hasFieldsTs = fields0.columns.contains("extracted_at")
+    val hasProcTs = processed0.columns.contains("processed_at")
+    val fields = fields0.filter(Relational.conjunction(filters))
+    val processed = processed0
       .groupBy(col("file_ref"), col("class_name"))
-      .agg(max(col("processed_at")).as("last_processed_at"))
+      .agg(
+        (if (hasProcTs) max(col("processed_at"))
+         else lit(null).cast("timestamp")).as("last_processed_at"))
     val perDoc = fields
       .groupBy(col("file_ref"), col("class_name"))
       .agg(
         first(col("file_url"), ignoreNulls = true).as("file_url"),
         count(lit(1)).as("fields_extracted"),
-        max(col("extracted_at")).as("extracted_at"))
-    val ocrRefs = cat.table("DOCUMENT_OCR").select(col("file_ref")).distinct()
+        (if (hasFieldsTs) max(col("extracted_at"))
+         else lit(null).cast("timestamp")).as("extracted_at"))
+    val ocrRefs = ocr.select(col("file_ref")).distinct()
       .withColumn("has_ocr_flag", lit(true))
-    perDoc
+    val enriched = perDoc
       .join(processed, Seq("file_ref", "class_name"), "left")
       .join(ocrRefs, Seq("file_ref"), "left")
       .withColumn("processed_at",
@@ -72,7 +88,10 @@ object HistoryQueries {
       .withColumn("stage", derivedStage(col("file_url")))
       .select("file_ref", "class_name", "file_url", "stage",
         "processed_at", "fields_extracted", "has_ocr")
-      .orderBy(col("processed_at").desc_nulls_last, col("file_ref"))
+    // W1 ordering when timestamps exist; W2 stable fallback otherwise
+    if (hasFieldsTs || hasProcTs)
+      enriched.orderBy(col("processed_at").desc_nulls_last, col("file_ref"))
+    else enriched.orderBy(col("file_ref"))
   }
 
   /** Field flatten (app:745-754): all extracted fields, filtered. */

@@ -73,6 +73,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"near-dup hamming $hammingNear should be < unrelated $hammingFar")
   }
 
+  test("Curation.curate with near-dup removal drops the perturbed copy too") {
+    val kept = Curation.curate(docs, "text", "doc_id",
+        minQuality = 0.0, langs = Nil, nearDupJaccard = Some(0.5))
+      .select("doc_id").as[Long].collect().sorted
+    // 1 is an exact dup of 0; 2 is a near-dup of 0 -> both dropped
+    assert(kept.toSeq == Seq(0L, 3L))
+  }
+
   test("simhashCandidates finds hamming<=3 pairs via block join") {
     val pairs = Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

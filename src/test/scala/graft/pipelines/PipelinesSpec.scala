@@ -117,6 +117,20 @@ class PipelinesSpec extends AnyFunSuite with SparkTestBase {
       HistoryQueries.docFilters(Seq("no_such_class"), None, None)).count() == 0)
   }
 
+  test("documentsFrom probes schema and falls back to stable ordering (app:696-741)") {
+    // timestamp-less shapes (the app's reduced runtime DDL)
+    val fields = Seq(("@docs/a.txt", "a.txt", "invoice", "total", "\"1\""))
+      .toDF("file_url", "file_ref", "class_name", "field_name", "field_value")
+    val processed = Seq(("@docs/a.txt", "a.txt", "invoice", "{}"))
+      .toDF("file_url", "file_ref", "class_name", "extraction_result")
+    val ocr = Seq(("a.txt", "a.txt")).toDF("file_name", "file_ref")
+    val out = HistoryQueries.documentsFrom(fields, processed, ocr).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[java.sql.Timestamp]("processed_at") == null)
+    assert(out(0).getAs[Long]("fields_extracted") == 1L)
+    assert(out(0).getAs[Boolean]("has_ocr"))
+  }
+
   test("ensurePrompts is idempotent (anti-join guard)") {
     val cat = stagedCat()
     val classes = Seq("invoice").toDF("class_name")
