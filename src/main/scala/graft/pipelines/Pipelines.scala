@@ -36,17 +36,19 @@ object Pipelines {
     * NOT EXISTS (insert-if-absent), persisted through the catalog merge.
     */
   def ensurePrompts(cat: Catalog, classes: DataFrame): Unit = {
-    val generated = classes.select(col("class_name")).distinct()
+    val existing = cat.table("CLASS_PROMPTS")
+    // NOT EXISTS guard first (J4): only absent classes generate prompts
+    // and only then does the table rewrite happen — the common warm
+    // path (class already known) costs one anti-join probe, no write
+    val fresh = classes.select(col("class_name")).distinct()
+      .join(existing.select(col("class_name")), Seq("class_name"), "left_anti")
       .withColumn("prompts",
         ai_complete(lit("mistral-7b"),
           concat(lit("Generate a JSON object of field: question pairs for class '"),
             col("class_name"), lit("'"))))
       .withColumn("created_at", current_timestamp())
       .withColumn("updated_at", current_timestamp())
-    val existing = cat.table("CLASS_PROMPTS")
-    val merged = Relational.insertIfAbsent(existing, generated, Seq("class_name"))
-    // insertIfAbsent returns target ∪ fresh; persist only if anything new
-    cat.merge("CLASS_PROMPTS", merged, Seq("class_name"))
+    if (!fresh.isEmpty) cat.append("CLASS_PROMPTS", fresh)
   }
 
   /** Interactive single-document pipeline (§3.1). `stage`/`fileName`
