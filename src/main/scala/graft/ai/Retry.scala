@@ -1,0 +1,23 @@
+package graft.ai
+
+/** Driver-side retry around an action (AI4, app:463-474): the
+  * reference retries classification 5 x 0.5 s against an eventually-
+  * consistent stage directory. Unnecessary on a local filesystem but
+  * kept for parity with remote backends behind the DocAiBackend seam.
+  */
+object Retry {
+  def withRetry[A](attempts: Int = 5, delayMs: Long = 500)(f: => A): A = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return f
+      catch {
+        case e: Exception =>
+          last = e
+          i += 1
+          if (i < attempts) Thread.sleep(delayMs)
+      }
+    }
+    throw last
+  }
+}

@@ -111,6 +111,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
   def exportJson(df: DataFrame, outDir: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(outDir)
 
+  /** Session context probe (S4; app:90-96): who/where, as a one-row
+    * frame like the reference's `SELECT CURRENT_ROLE(), CURRENT_DATABASE(),
+    * CURRENT_SCHEMA()`.
+    */
+  def context(): DataFrame =
+    spark.sql("SELECT current_user() AS current_role, " +
+      "current_database() AS current_database, current_schema() AS current_schema")
+
   // ---- stages (S1-S3) ----
 
   def stageDir(stage: String): String = s"$root/stages/$stage"

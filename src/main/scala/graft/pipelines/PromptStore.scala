@@ -1,0 +1,46 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.Catalog
+import graft.ops.Canonicalize
+
+/** Class-prompt management (app:143-199): the save / delete / list
+  * surface of the reference's prompt editor, set-based.
+  *
+  *  - save   = MERGE upsert on class_name (app:188-194)
+  *  - delete = DELETE WHERE class_name (app:198)
+  *  - get    = canonicalized read (app:161-183, app:490)
+  */
+object PromptStore {
+
+  /** Upsert one class's prompt schema (stored canonicalized). */
+  def save(cat: Catalog, className: String, promptsJson: String): Unit = {
+    val spark = cat.spark
+    import spark.implicits._
+    val canon = Canonicalize.toJson(Canonicalize(promptsJson, className))
+    val row = Seq((className, canon)).toDF("class_name", "prompts")
+      .withColumn("created_at", current_timestamp())
+      .withColumn("updated_at", current_timestamp())
+    cat.merge("CLASS_PROMPTS", row, Seq("class_name"))
+  }
+
+  /** Remove a class (app:198). */
+  def delete(cat: Catalog, className: String): Unit =
+    cat.deleteWhere("CLASS_PROMPTS", col("class_name") === className)
+
+  /** All classes, sorted (app:146). */
+  def list(cat: Catalog): DataFrame =
+    cat.table("CLASS_PROMPTS").select(col("class_name"), col("prompts"))
+      .orderBy(col("class_name"))
+
+  /** One class's canonical prompt map (app:153, app:161-183). */
+  def get(cat: Catalog, className: String): Map[String, String] =
+    cat.table("CLASS_PROMPTS")
+      .filter(col("class_name") === className)
+      .select(col("prompts")).collect()
+      .headOption
+      .map(r => Canonicalize(r.getString(0), className))
+      .getOrElse(Map.empty)
+}

@@ -71,6 +71,32 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.toSeq == Seq((1, Some("1"), Some("2")), (2, Some("3"), None)))
   }
 
+  test("mergeInto equals last-writer-wins keyed-map semantics (property)") {
+    // random merge sequences vs a Scala Map foldLeft model (SURVEY §5.3)
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 3) {
+      val batches = Seq.fill(3)(Seq.fill(4)((rnd.nextInt(6), rnd.nextInt(100).toString)))
+      val init = Seq((0, "z0"), (1, "z1")).toDF("k", "v")
+      val model = batches.foldLeft(Map(0 -> "z0", 1 -> "z1")) { (m, b) =>
+        // mergeInto dedups a multi-key source by max remaining cols
+        m ++ b.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      }
+      val got = batches.foldLeft(init) { (df, b) =>
+        Relational.mergeInto(df, b.toDF("k", "v"), Seq("k"))
+      }.as[(Int, String)].collect().toMap
+      assert(got == model, s"batches=$batches")
+    }
+  }
+
+  test("widen is monotone in the key set (X5 property)") {
+    val d1 = Seq((1, Map("a" -> "1"))).toDF("id", "m")
+    val d2 = Seq((1, Map("a" -> "1")), (2, Map("a" -> "2", "b" -> "3"))).toDF("id", "m")
+    val w1 = Relational.widen(Relational.unpivotMap(d1, "m", "f", "v"), Seq("id"), "f", "v")
+    val w2 = Relational.widen(Relational.unpivotMap(d2, "m", "f", "v"), Seq("id"), "f", "v")
+    assert(w1.columns.toSet.subsetOf(w2.columns.toSet),
+      "adding documents may only add columns, never remove them")
+  }
+
   test("widen with knownKeys produces identical result without value scan") {
     val df = Seq((1, Map("a" -> "1", "b" -> "2"))).toDF("id", "m")
     val long = Relational.unpivotMap(df, "m", "field", "value")

@@ -1,0 +1,53 @@
+package graft.pipelines
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.engine.Catalog
+
+class PromptStoreSpec extends AnyFunSuite with SparkTestBase {
+
+  private def freshCat(): Catalog = {
+    val root = java.nio.file.Files.createTempDirectory("graft_ps_test_").toString
+    val cat = new Catalog(spark, root)
+    cat.ensureTables()
+    cat
+  }
+
+  test("save canonicalizes, upserts, and get reads back") {
+    val cat = freshCat()
+    PromptStore.save(cat, "invoice", """["q", "What is this?"]""")
+    assert(PromptStore.get(cat, "invoice") == Map("q" -> "What is this?"))
+    // overwrite with a flat dict (MERGE on class_name)
+    PromptStore.save(cat, "invoice", """{"total": "Total?"}""")
+    assert(PromptStore.get(cat, "invoice") == Map("total" -> "Total?"))
+    assert(PromptStore.list(cat).count() == 1)
+  }
+
+  test("delete removes only the named class") {
+    val cat = freshCat()
+    PromptStore.save(cat, "a", """{"x": "X?"}""")
+    PromptStore.save(cat, "b", """{"y": "Y?"}""")
+    PromptStore.delete(cat, "a")
+    assert(PromptStore.list(cat).collect().map(_.getString(0)).toSeq == Seq("b"))
+    assert(PromptStore.get(cat, "a").isEmpty)
+  }
+
+  test("context probe returns a one-row frame (S4)") {
+    val row = freshCat().context().collect()
+    assert(row.length == 1 && row(0).length == 3)
+  }
+
+  test("Retry retries then succeeds / exhausts") {
+    var calls = 0
+    val got = graft.ai.Retry.withRetry(attempts = 3, delayMs = 1) {
+      calls += 1
+      if (calls < 3) sys.error("flaky")
+      "ok"
+    }
+    assert(got == "ok" && calls == 3)
+    intercept[RuntimeException] {
+      graft.ai.Retry.withRetry(attempts = 2, delayMs = 1)(sys.error("always"))
+    }
+  }
+}
