@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for the vector-similarity hot path.
@@ -104,10 +104,98 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** srp_signatures(vec): one signed-random-projection bit signature
+    * per hash table, all computed in a single codegen pass — the
+    * composed-builtin form (zip_with + aggregate per plane) evaluated
+    * nTables x nBits interpreted lambda chains per row and dominated
+    * LSH cost at corpus scale. Hyperplane coefficients are
+    * deterministic (seeded per global plane index, +-1 per dimension,
+    * covering up to maxDim dims) and shipped to generated code as a
+    * reference object.
+    */
+  case class SrpSignatures(child: Expression, nBits: Int, nTables: Int)
+      extends UnaryExpression {
+    private val maxDim = 1024
+
+    // deterministic, matches Similarity.srpSignature's plane seeds
+    @transient private lazy val coefs: Array[Array[Double]] =
+      Array.tabulate(nTables * nBits) { g =>
+        val rnd = new scala.util.Random(0x5eed0000L + g)
+        Array.fill(maxDim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+      }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "srp_signatures"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), maxDim)
+      val f = elemIsFloat(child)
+      val v = new Array[Double](n)
+      var d = 0
+      while (d < n) { v(d) = if (f) x.getFloat(d).toDouble else x.getDouble(d); d += 1 }
+      val sigs = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        var sig = 0L
+        var p = 0
+        while (p < nBits) {
+          val c = coefs(t * nBits + p)
+          var proj = 0.0
+          var i = 0
+          while (i < n) { proj += v(i) * c(i); i += 1 }
+          if (proj >= 0) sig |= (1L << p)
+          p += 1
+        }
+        sigs(t) = sig
+        t += 1
+      }
+      new GenericArrayData(sigs)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val coefsRef = ctx.addReferenceObj("srpCoefs", coefs, "double[][]")
+        val n = ctx.freshName("n")
+        val v = ctx.freshName("v")
+        val d = ctx.freshName("d")
+        val t = ctx.freshName("t")
+        val p = ctx.freshName("p")
+        val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        val proj = ctx.freshName("proj")
+        val sig = ctx.freshName("sig")
+        val sigs = ctx.freshName("sigs")
+        val get = if (elemIsFloat(child)) s"(double) $x.getFloat($d)" else s"$x.getDouble($d)"
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $maxDim);
+           |double[] $v = new double[$n];
+           |for (int $d = 0; $d < $n; $d++) { $v[$d] = $get; }
+           |long[] $sigs = new long[$nTables];
+           |for (int $t = 0; $t < $nTables; $t++) {
+           |  long $sig = 0L;
+           |  for (int $p = 0; $p < $nBits; $p++) {
+           |    double[] $c = $coefsRef[$t * $nBits + $p];
+           |    double $proj = 0.0;
+           |    for (int $i = 0; $i < $n; $i++) { $proj += $v[$i] * $c[$i]; }
+           |    if ($proj >= 0) $sig |= (1L << $p);
+           |  }
+           |  $sigs[$t] = $sig;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   def vector_dot(a: Column, b: Column): Column = column(VectorDot(expression(a), expression(b)))
   def vector_norm(a: Column): Column = column(VectorNorm(expression(a)))
+  def srp_signatures(vec: Column, nBits: Int, nTables: Int): Column =
+    column(SrpSignatures(expression(vec), nBits, nTables))
 
   /** Register vector_dot / vector_norm for spark.sql use. */
   def register(spark: SparkSession): Unit = {

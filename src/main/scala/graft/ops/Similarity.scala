@@ -87,13 +87,15 @@ object Similarity {
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
-  /** Explode a table into (table, bucket) rows, one per hash table. */
+  /** Explode a table into (table, bucket) rows, one per hash table —
+    * signatures via the one-pass codegen SrpSignatures expression.
+    */
   private def bucketed(df: DataFrame, idCol: String, vecCol: String,
                        idAs: String, vecAs: String,
                        nBits: Int, nTables: Int): DataFrame =
     df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-      posexplode(array((0 until nTables).map(t =>
-        srpSignature(col(vecCol), nBits, t)): _*)).as(Seq("table", "bucket")))
+      posexplode(graft.functions.VectorExpressions
+        .srp_signatures(col(vecCol), nBits, nTables)).as(Seq("table", "bucket")))
 
   /** LSH-bucketed ANN top-k: candidates = corpus rows sharing an SRP
     * bucket with the probe in any of nTables tables, then exact cosine
@@ -104,15 +106,26 @@ object Similarity {
               nBits: Int = 12, nTables: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = bucketed(corpus, idCol, vecCol, "corpus_id", "__cv", nBits, nTables)
+      .select("table", "bucket", "corpus_id")
     val p = bucketed(probes, idCol, vecCol, "query_id", "__pv", nBits, nTables)
+      .select("table", "bucket", "query_id")
+    // dedup candidate PAIRS as bare ids — the multi-table explode makes
+    // duplicates common, and distinct() on rows carrying both vectors
+    // would shuffle k-dim arrays per duplicate; ids shuffle 16 bytes
     val cands = c.join(p, Seq("table", "bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"), col("__cv"), col("__pv"))
+      .select(col("query_id"), col("corpus_id"))
       .distinct()
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val pv = probes.select(col(idCol).as("query_id"), col(vecCol).as("__pv"))
+      .withColumn("__pn", norm(col("__pv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     cands
-      .withColumn("cosine", cosine(col("__cv"), col("__pv")))
+      .join(cv, Seq("corpus_id"))
+      .join(broadcast(pv), Seq("query_id"))
+      .withColumn("cosine", dot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("rank"),
@@ -127,11 +140,19 @@ object Similarity {
                      nBits: Int = 12, nTables: Int = 3,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = bucketed(df, idCol, vecCol, "id_a", "__va", nBits, nTables)
+      .select("table", "bucket", "id_a")
     val b = bucketed(df, idCol, vecCol, "id_b", "__vb", nBits, nTables)
-    a.join(b, Seq("table", "bucket"))
+      .select("table", "bucket", "id_b")
+    val cands = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__va"), col("__vb")).distinct()
-      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 4))
+      .select(col("id_a"), col("id_b")).distinct()
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+      .withColumn("__na", norm(col("__va")))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      .withColumn("__nb", norm(col("__vb")))
+    cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cosine",
+        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
