@@ -70,6 +70,32 @@ object Multimodal {
     filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
       i => pmod(i, lit(stride)) === 0)
 
+  /** Resize plan: target dimensions preserving aspect ratio with the
+    * long edge capped at maxDim — the real (non-stub) geometry half of
+    * an image resize; the pixel work would happen in [[decodeBatch]].
+    */
+  def resizePlan(width: Column, height: Column, maxDim: Int): Column = {
+    val longEdge = greatest(width, height)
+    val scale = when(longEdge <= maxDim, lit(1.0))
+      .otherwise(lit(maxDim).cast("double") / longEdge.cast("double"))
+    struct(
+      round(width.cast("double") * scale).cast("int").as("out_w"),
+      round(height.cast("double") * scale).cast("int").as("out_h"),
+      round(scale, 6).as("scale"))
+  }
+
+  /** STUB audio metadata: deterministic fake duration/sample-rate from
+    * content hash; format sniffing is real.
+    */
+  def decodeAudioMeta(bytes: Column): Column = struct(
+    sniffFormat(bytes).as("format"),
+    length(bytes).cast("long").as("byte_size"),
+    lit(null).cast("int").as("width"),
+    lit(null).cast("int").as("height"),
+    (pmod(xxhash64(bytes), lit(90000)) + 1000).cast("int").as("n_frames"),
+    array(lit(16000), lit(22050), lit(44100))
+      .getItem(pmod(xxhash64(md5(bytes)), lit(3)).cast("int")).as("sample_rate"))
+
   /** Attach media metadata to a binary-column DataFrame and project the
     * narrow analytics view (blobs dropped before any shuffle).
     */

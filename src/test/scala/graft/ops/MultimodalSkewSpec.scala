@@ -43,6 +43,26 @@ class MultimodalSkewSpec extends AnyFunSuite with SparkTestBase {
     assert(idx == Seq(0L, 3L, 6L, 9L))
   }
 
+  test("resizePlan caps the long edge and preserves aspect ratio") {
+    val df = Seq((1920, 1080), (100, 50)).toDF("w", "h")
+    val r = df.select(Multimodal.resizePlan(col("w"), col("h"), 512).as("p"))
+      .select("p.out_w", "p.out_h", "p.scale")
+      .as[(Int, Int, Double)].collect()
+    assert(r(0) == ((512, 288, 0.266667)))
+    assert(r(1) == ((100, 50, 1.0))) // under the cap: untouched
+  }
+
+  test("decodeAudioMeta yields deterministic typed metadata") {
+    val a = "ID3audio-bytes".getBytes("UTF-8")
+    val r1 = Seq(Tuple1(a)).toDF("b")
+      .select(Multimodal.decodeAudioMeta(col("b")).as("m"))
+      .select("m.format", "m.sample_rate", "m.n_frames")
+      .as[(String, Int, Int)].collect()(0)
+    assert(r1._1 == "mp3")
+    assert(Seq(16000, 22050, 44100).contains(r1._2))
+    assert(r1._3 >= 1000)
+  }
+
   test("saltedJoin matches plain join semantics (inner and left)") {
     val big = Seq((1, "a1"), (1, "a2"), (1, "a3"), (2, "b"), (3, "c"))
       .toDF("k", "v")
