@@ -151,6 +151,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
   /** Stage catalog listing (S3; app:108-133): registered stage dirs
     * unioned with distinct stage names referenced by NEW_UPLOADS.
     */
+  // stage-list TTL memo (X7; app:108's 60 s stage-list cache)
+  private val stageListCache = new TtlCache[String, Seq[String]](ttlMs = 60000)
+
+  /** [[listStages]] behind a 60 s TTL memo — the metadata-read path UIs
+    * poll (app:108).
+    */
+  def listStagesCached(): Seq[String] =
+    stageListCache.getOrElseUpdate("stages")(listStages())
+
   def listStages(): Seq[String] = {
     val d = Paths.get(s"$root/stages")
     val fsStages =

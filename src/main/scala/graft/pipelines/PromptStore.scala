@@ -15,6 +15,12 @@ import graft.ops.Canonicalize
   */
 object PromptStore {
 
+  // class-prompt cache: no TTL, explicit invalidation on save/delete —
+  // exactly the reference's @st.cache_data + .clear() pattern (app:143,
+  // app:195, app:199). Keyed by (warehouse root, class).
+  private val promptCache =
+    new graft.engine.TtlCache[(String, String), Map[String, String]](Long.MaxValue)
+
   /** Upsert one class's prompt schema (stored canonicalized). */
   def save(cat: Catalog, className: String, promptsJson: String): Unit = {
     val spark = cat.spark
@@ -24,23 +30,30 @@ object PromptStore {
       .withColumn("created_at", current_timestamp())
       .withColumn("updated_at", current_timestamp())
     cat.merge("CLASS_PROMPTS", row, Seq("class_name"))
+    promptCache.invalidate((cat.root, className))
   }
 
   /** Remove a class (app:198). */
-  def delete(cat: Catalog, className: String): Unit =
+  def delete(cat: Catalog, className: String): Unit = {
     cat.deleteWhere("CLASS_PROMPTS", col("class_name") === className)
+    promptCache.invalidate((cat.root, className))
+  }
 
   /** All classes, sorted (app:146). */
   def list(cat: Catalog): DataFrame =
     cat.table("CLASS_PROMPTS").select(col("class_name"), col("prompts"))
       .orderBy(col("class_name"))
 
-  /** One class's canonical prompt map (app:153, app:161-183). */
+  /** One class's canonical prompt map (app:153, app:161-183), served
+    * from the invalidation-based cache.
+    */
   def get(cat: Catalog, className: String): Map[String, String] =
-    cat.table("CLASS_PROMPTS")
-      .filter(col("class_name") === className)
-      .select(col("prompts")).collect()
-      .headOption
-      .map(r => Canonicalize(r.getString(0), className))
-      .getOrElse(Map.empty)
+    promptCache.getOrElseUpdate((cat.root, className)) {
+      cat.table("CLASS_PROMPTS")
+        .filter(col("class_name") === className)
+        .select(col("prompts")).collect()
+        .headOption
+        .map(r => Canonicalize(r.getString(0), className))
+        .getOrElse(Map.empty)
+    }
 }

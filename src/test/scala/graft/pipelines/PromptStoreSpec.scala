@@ -38,6 +38,19 @@ class PromptStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(row.length == 1 && row(0).length == 3)
   }
 
+  test("get serves from cache until save/delete invalidates") {
+    val cat = freshCat()
+    PromptStore.save(cat, "c", """{"x": "X?"}""")
+    assert(PromptStore.get(cat, "c") == Map("x" -> "X?"))
+    // write behind the store's back: cached value still served
+    cat.deleteWhere("CLASS_PROMPTS",
+      org.apache.spark.sql.functions.col("class_name") === "c")
+    assert(PromptStore.get(cat, "c") == Map("x" -> "X?"))
+    // explicit delete invalidates and the miss is observed
+    PromptStore.delete(cat, "c")
+    assert(PromptStore.get(cat, "c").isEmpty)
+  }
+
   test("Retry retries then succeeds / exhausts") {
     var calls = 0
     val got = graft.ai.Retry.withRetry(attempts = 3, delayMs = 1) {
