@@ -33,6 +33,29 @@ object AiFunctions {
     }
   }
 
+  /** RFC-8259-complete JSON string escape: backslash, quote, and ALL
+    * control chars — answers are raw document sentences, which can
+    * embed newlines/tabs that would otherwise corrupt the envelope.
+    */
+  private def jsonEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case _ if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** AI_EXTRACT returning the reference's exact JSON envelope
     * {"response": {field: answer}} (app:503, app:854, app:962).
     */
@@ -41,14 +64,12 @@ object AiFunctions {
     else try {
       val answers = backend.answerAll(text, prompts)
       val fields = answers.toSeq.sortBy(_._1).map { case (f, a) =>
-        val esc = a.replace("\\", "\\\\").replace("\"", "\\\"")
-        s""""$f": "$esc""""
+        s""""${jsonEscape(f)}": "${jsonEscape(a)}""""
       }
       s"""{"response": {${fields.mkString(", ")}}}"""
     } catch { // error-as-row (X9): {"error": msg} like app:855-856
       case e: Exception =>
-        val esc = String.valueOf(e.getMessage).replace("\\", "\\\\").replace("\"", "\\\"")
-        s"""{"error": "$esc"}"""
+        s"""{"error": "${jsonEscape(String.valueOf(e.getMessage))}"}"""
     }
   }
 

@@ -137,13 +137,16 @@ final class Catalog(val spark: SparkSession, val root: String) {
     */
   def directory(stage: String): DataFrame = {
     val dir = stageDir(stage)
+    // quote the stage name: regex metacharacters in it ("v1.2", "a+b")
+    // must match literally
+    val prefix = ".*/stages/" + java.util.regex.Pattern.quote(stage) + "/"
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true") // stages nest (FIXTURES A4)
       .load(dir)
       .select(
-        regexp_replace(col("path"), s".*/stages/$stage/", "").as("relative_path"),
+        regexp_replace(col("path"), prefix, "").as("relative_path"),
         concat(lit(s"@$stage/"),
-          regexp_replace(col("path"), s".*/stages/$stage/", "")).as("file_url"),
+          regexp_replace(col("path"), prefix, "")).as("file_url"),
         col("length"),
         col("content"))
   }

@@ -9,21 +9,27 @@ import java.util.concurrent.ConcurrentHashMap
   * — executor-side data caching stays `df.cache()`.
   */
 final class TtlCache[K, V](ttlMs: Long, clock: () => Long = () => System.currentTimeMillis()) {
-  private case class Entry(value: V, at: Long)
+  // The value is a lazy holder: compute() installs cheaply inside the
+  // map's bin lock (mapping functions must be short — the thunk may be
+  // a multi-second Spark job), while the holder's own lazy val
+  // synchronization guarantees exactly-once computation shared by all
+  // concurrent callers of the same key.
+  private final class Holder(thunk: () => V) { lazy val value: V = thunk() }
+  private case class Entry(holder: Holder, at: Long)
   private val map = new ConcurrentHashMap[K, Entry]()
 
   def getOrElseUpdate(key: K)(compute: => V): V = {
-    // atomic check-then-act: expiry is re-evaluated inside the mapping
-    // function so concurrent callers neither double-compute nor stomp a
-    // fresher entry (or resurrect a concurrently invalidated key)
-    map.compute(key, (_, cur) => {
+    val entry = map.compute(key, (_, cur) => {
       val now = clock()
       if (cur != null && now - cur.at < ttlMs) cur
-      else Entry(compute, now)
-    }).value
+      else Entry(new Holder(() => compute), now)
+    })
+    entry.holder.value // forced OUTSIDE the bin lock
   }
 
   /** Explicit invalidation (app:195/199: clear-on-save/delete). */
   def invalidate(key: K): Unit = map.remove(key)
+  def invalidateIf(pred: K => Boolean): Unit =
+    map.keySet.removeIf(k => pred(k))
   def invalidateAll(): Unit = map.clear()
 }

@@ -44,16 +44,13 @@ object Dedup {
 
   // ---- shingles / n-grams ----
 
-  /** Word k-shingles of a text column as an array of strings. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val n = size(toks)
-    // transform over 0..n-k producing joined k-grams; empty when n<k
-    when(n >= k,
-      transform(sequence(lit(0), n - lit(k)),
-        i => array_join(slice(toks, i + 1, lit(k)), " ")))
-      .otherwise(array(array_join(toks, " ")))
-  }
+  /** Distinct word k-shingles of a text column (first-occurrence
+    * order) — the single-pass codegen-adjacent WordShingles expression;
+    * one definition shared by signature computation and Jaccard
+    * verification.
+    */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.TextHashExpressions.word_shingles(text, k)
 
   // ---- MinHash + LSH ----
 
@@ -67,12 +64,10 @@ object Dedup {
     graft.functions.TextHashExpressions.minhash_signature(shingleArr, numHashes)
 
   /** (id, distinct-shingle-array) projection — the staged input for
-    * signature computation and exact-Jaccard verification. Uses the
-    * single-pass WordShingles expression (distinct included).
+    * signature computation and exact-Jaccard verification.
     */
   def shingleTable(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    df.select(col(idCol),
-      graft.functions.TextHashExpressions.word_shingles(col(textCol), k).as("shingle_set"))
+    df.select(col(idCol), shingles(col(textCol), k).as("shingle_set"))
 
   /** Candidate near-dup pairs via banded LSH over minhash signatures:
     * rows agreeing on any band land in the same bucket; the bucket

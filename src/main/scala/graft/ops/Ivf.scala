@@ -64,13 +64,17 @@ object Ivf {
       val assigned = assignToNearest(corpus, centroids, idCol, vecCol)
       // new centroid = element-wise mean of members: explode to
       // (centroid_id, pos, val), aggregate, re-assemble ordered by pos
-      val next = assigned
+      val means = assigned
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg(col("v").cast("double")).as("m"))
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
+      // keep centroids whose cluster went empty (groupBy drops them) —
+      // otherwise k silently shrinks across iterations
+      val next = means.unionByName(
+        centroids.join(means.select("centroid_id"), Seq("centroid_id"), "left_anti"))
       val old = centroids
       centroids = next.cache()
       centroids.count()

@@ -36,7 +36,8 @@ object Multimodal {
       .when(head.startsWith("FFD8FF"), "jpeg")
       .when(head.startsWith("47494638"), "gif")
       .when(head.startsWith("52494646"), "riff") // wav/avi container
-      .when(head.startsWith("66747970"), "mp4")
+      // mp4: 'ftyp' box sits AFTER the 4-byte size, i.e. bytes 4-7
+      .when(substring(head, 9, 8) === "66747970", "mp4")
       .when(head.startsWith("494433"), "mp3")
       .when(head.startsWith("25504446"), "pdf")
       .otherwise("unknown")

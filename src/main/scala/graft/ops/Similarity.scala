@@ -61,31 +61,13 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
-  /** Max embedding dimensionality the precomputed hyperplanes cover. */
-  private val MaxDim = 1024
-
-  /** Deterministic +-1 hyperplane coefficients per global plane index,
-    * generated driver-side (seeded LCG) and shipped as array literals —
-    * constant-folded once per plan instead of hashed per (row x dim).
-    */
-  private def planeCoefs(globalPlane: Int): Seq[Double] = {
-    val rnd = new scala.util.Random(0x5eed0000L + globalPlane)
-    Seq.fill(MaxDim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-  }
-
-  /** SRP bit signature for one hash table: sign bits of nBits
-    * pseudo-random hyperplane projections. Corpus and probes agree on
-    * the hyperplanes because they are derived from the same seeds.
+  /** SRP bit signature for one hash table — delegates to the codegen
+    * SrpSignatures expression so every caller shares one definition of
+    * the hyperplanes (corpus and probes must agree).
     */
   def srpSignature(vec: Column, nBits: Int, tableIdx: Int = 0): Column =
-    (0 until nBits).map { p =>
-      val coefs = typedLit(planeCoefs(tableIdx * nBits + p))
-      val proj = aggregate(
-        zip_with(vec, slice(coefs, lit(1), size(vec)),
-          (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    element_at(graft.functions.VectorExpressions
+      .srp_signatures(vec, nBits, tableIdx + 1), tableIdx + 1)
 
   /** Explode a table into (table, bucket) rows, one per hash table —
     * signatures via the one-pass codegen SrpSignatures expression.

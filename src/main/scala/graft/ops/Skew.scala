@@ -26,6 +26,13 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // outer-on-the-small-side joins would emit one null-extended copy
+    // per salt for unmatched small rows — reject them
+    val supported = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(supported.contains(joinType.toLowerCase.replace("_", "")) ||
+      supported.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/semi/anti/cross, not $joinType")
     // per-row salt: hash of a nondeterministic row id — spreads even
     // identical rows; nondeterminism is fine (any assignment is correct)
     val saltedBig = big.withColumn("__salt",

@@ -48,7 +48,10 @@ object Pipelines {
             col("class_name"), lit("'"))))
       .withColumn("created_at", current_timestamp())
       .withColumn("updated_at", current_timestamp())
-    if (!fresh.isEmpty) cat.append("CLASS_PROMPTS", fresh)
+    if (!fresh.isEmpty) {
+      cat.append("CLASS_PROMPTS", fresh)
+      PromptStore.invalidateAll(cat) // negative results may be cached
+    }
   }
 
   /** Interactive single-document pipeline (§3.1). `stage`/`fileName`
@@ -61,6 +64,7 @@ object Pipelines {
       .withColumn("text", parse_document(col("content")))
       .withColumn("class_name", ai_classify(col("text")))
       .cache() // reused by 4 writes below; single row, cheap
+    try {
     ensurePrompts(cat, doc.select("class_name"))
     // canonicalize on read (app:490, app:162-183): stored prompt
     // schemas may be flat dicts, ['q', text] lists, or nested dicts
@@ -76,7 +80,7 @@ object Pipelines {
       .withColumn("summary", ai_complete(lit("mistral-7b"),
         substring(col("text"), 1, 6000)))
       .cache()
-
+    try {
     // persist x4 (app:523-554)
     cat.append("DOCUMENTS_PROCESSED", extracted.select(
       col("file_url"), col("relative_path").as("file_ref"),
@@ -98,7 +102,16 @@ object Pipelines {
         lit(true).as("processed"),
         current_timestamp().as("uploaded_at")),
       Seq("file_name"))
-    extracted.select("file_url", "class_name", "result_map", "summary")
+    // materialize into a local relation so the cached inputs can be
+    // released without invalidating the returned frame
+    val spark2 = cat.spark
+    val resultRows = extracted
+      .select("file_url", "class_name", "result_map", "summary").collect()
+    val resultSchema = extracted
+      .select("file_url", "class_name", "result_map", "summary").schema
+    spark2.createDataFrame(java.util.Arrays.asList(resultRows: _*), resultSchema)
+    } finally extracted.unpersist()
+    } finally doc.unpersist()
   }
 
   /** Batch single-SQL mode (§3.3) — the flagship one-plan query:
@@ -154,9 +167,10 @@ object Pipelines {
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", 64) // pacing knob (X2)
       .load(dir)
+    val stagePrefix = ".*/stages/" + java.util.regex.Pattern.quote(stage) + "/"
     val extracted = src
       .withColumn("relative_path",
-        regexp_replace(col("path"), s".*/stages/$stage/", ""))
+        regexp_replace(col("path"), stagePrefix, ""))
       .withColumn("file_url", concat(lit(s"@$stage/"), col("relative_path")))
       .withColumn("text", parse_document(col("content")))
       .withColumn("class_name", ai_classify(col("text")))

@@ -39,6 +39,13 @@ object PromptStore {
     promptCache.invalidate((cat.root, className))
   }
 
+  /** Invalidate every cached class of a warehouse — called by any
+    * writer that touches CLASS_PROMPTS outside save/delete (e.g.
+    * Pipelines.ensurePrompts' auto-generation).
+    */
+  def invalidateAll(cat: Catalog): Unit =
+    promptCache.invalidateIf(_._1 == cat.root)
+
   /** All classes, sorted (app:146). */
   def list(cat: Catalog): DataFrame =
     cat.table("CLASS_PROMPTS").select(col("class_name"), col("prompts"))

@@ -77,6 +77,14 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(content == "hello")
   }
 
+  test("directory scan handles stage names containing regex metacharacters") {
+    val cat = freshCat()
+    cat.putFile("v1.2+x", "doc.txt", "hi".getBytes(StandardCharsets.UTF_8))
+    val rows = cat.directory("v1.2+x")
+      .select("relative_path", "file_url").as[(String, String)].collect()
+    assert(rows.toSeq == Seq(("doc.txt", "@v1.2+x/doc.txt")))
+  }
+
   test("listStages unions filesystem stages with NEW_UPLOADS references") {
     val cat = freshCat()
     cat.putFile("fs_stage", "a.txt", "x".getBytes(StandardCharsets.UTF_8))
