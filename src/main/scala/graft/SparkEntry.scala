@@ -113,6 +113,38 @@ object SparkEntry {
       .orderBy(col("r_regionkey"))
   }
 
+  /** As-of join (J7, north-star extension): for each event, the user's
+    * latest purchase at-or-before it. One shuffle (union-tag window),
+    * oracled by DuckDB's native ASOF LEFT JOIN.
+    */
+  private def qJ7AsOf(s: SparkSession, d: String): DataFrame = {
+    val events = ev(s, d)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.ops.AsOf.asofJoin(
+        events.select(col("user_id"), col("ts"), col("event_id")),
+        purchases, Seq("user_id"), "ts", "ts", payloadPrefix = "p_")
+      .select(col("event_id"),
+        col("p_event_id").as("prev_purchase_id"),
+        col("p_value").as("prev_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range join (J8): lineitems shipped within 30 days of their
+    * order's date — equi key + time-band predicate.
+    */
+  private def qJ8Range(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val l = t(s, d, "lineitem")
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("n_shipped_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
   private def qP2(s: SparkSession, d: String): DataFrame =
     t(s, d, "part").filter(col("p_brand") === "Brand#13")
       .select(col("p_partkey"), col("p_name"), col("p_brand"))
@@ -530,6 +562,8 @@ object SparkEntry {
     "q_j3_semi_join" -> qJ3,
     "q_j4_anti_join" -> qJ4,
     "q_j5_merge" -> qJ5,
+    "q_j7_asof_join" -> qJ7AsOf,
+    "q_j8_range_join" -> qJ8Range,
     "q_p2_eq_filter" -> qP2,
     "q_p3_in_filter" -> qP3,
     "q_p4_ilike" -> qP4,
@@ -603,6 +637,10 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
     "q_j5_merge" ->
       "SELECT r_regionkey, r_name FROM (SELECT r_regionkey, r_name FROM region WHERE r_regionkey NOT IN (0, 5) UNION ALL SELECT * FROM (VALUES (0, 'AFRICA_UPDATED'), (5, 'ANTARCTICA')) s(r_regionkey, r_name)) ORDER BY r_regionkey",
+    "q_j7_asof_join" ->
+      "SELECT e.event_id, p.event_id AS prev_purchase_id, p.value AS prev_purchase_value FROM events e ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p ON e.user_id = p.user_id AND p.ts <= e.ts ORDER BY e.event_id",
+    "q_j8_range_join" ->
+      "SELECT o_orderkey, COUNT(l_orderkey) AS n_shipped_30d FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY GROUP BY o_orderkey ORDER BY o_orderkey",
     "q_p2_eq_filter" ->
       "SELECT p_partkey, p_name, p_brand FROM part WHERE p_brand = 'Brand#13' ORDER BY p_partkey",
     "q_p3_in_filter" ->
