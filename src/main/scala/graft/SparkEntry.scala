@@ -251,6 +251,16 @@ object SparkEntry {
         regexp_extract(concat(col("source"), lit("/a/b.txt")), "([^/]+)$", 1).as("base"))
       .orderBy(col("doc_id"))
 
+  /** ROLLUP aggregation (beyond the reference's surface; Catalyst
+    * built-in): per (returnflag, linestatus) totals with subtotal and
+    * grand-total rows.
+    */
+  private def qAggRollup(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** TPC-H Q1-shaped pricing summary — the headline agg benchmark. */
   private def qAgg1(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -580,6 +590,7 @@ object SparkEntry {
     "q_f11_try_timestamp" -> qF11,
     "q_f15_f17_strings" -> qF15F17,
     "q_agg1_pricing_summary" -> qAgg1,
+    "q_agg_rollup" -> qAggRollup,
     "q_history_composite" -> qHistory,
     "q_win_tumbling" -> qWinTumbling,
     "q_win_sliding" -> qWinSliding,
@@ -673,6 +684,8 @@ object SparkEntry {
       "SELECT doc_id, substring(regexp_replace(text, ' {2,}', chr(10), 'g'), 1, 50) AS head50, regexp_extract(source || '/a/b.txt', '([^/]+)$', 1) AS base FROM documents ORDER BY doc_id",
     "q_agg1_pricing_summary" ->
       "SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty, round(SUM(l_extendedprice), 2) AS sum_base, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q_agg_rollup" ->
+      "SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST",
     "q_history_composite" ->
       s"SELECT o_custkey, o_orderkey, order_date, last_ship, n_items, has_items FROM (SELECT o_custkey, o_orderkey, strftime(o_orderdate, '$TSD') AS order_date, COALESCE(ls.last_ship, '') AS last_ship, COALESCE(ls.n_items, 0) AS n_items, ls.n_items IS NOT NULL AS has_items FROM orders LEFT JOIN (SELECT l_orderkey, strftime(MAX(l_shipdate), '$TSD') AS last_ship, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey) ls ON o_orderkey = ls.l_orderkey QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY order_date DESC, o_orderkey DESC) = 1) ORDER BY o_custkey",
     "q_win_tumbling" ->

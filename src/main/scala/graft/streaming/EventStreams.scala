@@ -126,6 +126,31 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-stream join (purchase attribution): each view
+    * joined to purchases by the same user within `horizon` AFTER the
+    * view. Both sides carry watermarks and the join condition bounds
+    * the time band, so state for rows older than watermark + horizon
+    * is evicted — the canonical bounded-state stream-stream join.
+    * Works identically on batch frames (backfill).
+    */
+  def purchaseAttribution(events: DataFrame, horizon: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("purchase_value"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+  }
+
   /** Streaming exact dedup with bounded state: duplicates arriving
     * within the watermark horizon are dropped; state older than the
     * watermark is evicted, so memory stays bounded on an infinite

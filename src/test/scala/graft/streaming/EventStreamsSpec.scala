@@ -84,6 +84,29 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.toSeq == Seq(1L, 2L))
   }
 
+  test("purchaseAttribution joins views to in-horizon purchases (batch + stream)") {
+    val rows = Seq(
+      Event(1, tsOf("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Event(2, tsOf("2024-01-01 10:20:00"), 1, "purchase", 9.99), // in horizon
+      Event(3, tsOf("2024-01-01 12:00:00"), 1, "purchase", 5.0),  // out of horizon
+      Event(4, tsOf("2024-01-01 10:10:00"), 2, "view", 0.0))      // no purchase
+    // batch semantics
+    val out = purchaseAttribution(rows.toDS().toDF())
+      .select("view_id", "purchase_id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L)))
+    // streaming: same result through a real stream-stream join
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_ev_").toString
+    rows.toDS().write.parquet(dir + "/b1")
+    val src = spark.readStream.schema(rows.toDS().schema).parquet(dir + "/*")
+    val q = purchaseAttribution(src)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("attr_out")
+      .select("view_id", "purchase_id").as[(Long, Long)].collect()
+    assert(streamed.toSeq == Seq((1L, 2L)))
+  }
+
   test("stateful sessionize on a real stream emits closed sessions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_ev_").toString
     val cp = java.nio.file.Files.createTempDirectory("graft_stream_cp_").toString
