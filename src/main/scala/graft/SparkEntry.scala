@@ -428,7 +428,7 @@ object SparkEntry {
 
   private def qSimIvf(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val idx = graft.ops.Ivf.build(emb, k = 16, iters = 3)
+    val idx = graft.ops.Ivf.build(emb, k = 16, iters = 2)
     graft.ops.Ivf.search(idx, emb.filter(col("vec_id") < 10), topK = 5, nProbe = 4)
       .orderBy(col("query_id"), col("rank"))
   }

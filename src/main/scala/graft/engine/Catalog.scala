@@ -27,15 +27,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
   def ensureTables(): Unit = {
     Files.createDirectories(Paths.get(s"$root/tables"))
     Files.createDirectories(Paths.get(s"$root/stages"))
-    schemas.foreach { case (name, schema) =>
-      if (!Files.exists(Paths.get(tablePath(name), "_SUCCESS"))) {
-        val writer = spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-          .write.mode(SaveMode.Overwrite)
-        // init with the same layout appends use, so partitioned tables
-        // never mix root-level and partition-dir files
-        partitionSpec.get(name).fold(writer)(cols => writer.partitionBy(cols: _*))
-          .parquet(tablePath(name))
+    schemas.foreach { case (name, _) =>
+      // an empty table is just its directory + _SUCCESS: table() reads
+      // with an explicit schema, so no parquet footer needs to exist
+      // and init costs zero Spark jobs (was: 5 empty-write jobs)
+      val dir = Paths.get(tablePath(name))
+      if (!Files.exists(dir.resolve("_SUCCESS"))) {
+        Files.createDirectories(dir)
+        Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
       }
     }
   }
