@@ -136,9 +136,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     */
   def directory(stage: String): DataFrame = {
     val dir = stageDir(stage)
-    // quote the stage name: regex metacharacters in it ("v1.2", "a+b")
-    // must match literally
-    val prefix = ".*/stages/" + java.util.regex.Pattern.quote(stage) + "/"
+    val prefix = Catalog.stagePathPrefix(stage)
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true") // stages nest (FIXTURES A4)
       .load(dir)
@@ -182,6 +180,23 @@ final class Catalog(val spark: SparkSession, val root: String) {
 }
 
 object Catalog {
+  /** Regex matching everything up to and including a stage's directory
+    * in a file path. Stage names are Pattern-quoted so regex
+    * metacharacters in them ("v1.2", "a+b") match literally. Shared by
+    * the batch directory scan and the streaming source.
+    */
+  def stagePathPrefix(stage: String): String =
+    ".*/stages/" + java.util.regex.Pattern.quote(stage) + "/"
+
+  /** Fixed schema of Spark's binaryFile source — streaming file
+    * sources require it explicitly.
+    */
+  val binaryFileSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
   /** Partition layout per table (SURVEY §7.1 scale rule 7): the
     * normalized fields table is the big one — partitioning it by
     * class_name turns per-class history queries into partition-pruned

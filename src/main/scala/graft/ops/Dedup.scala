@@ -74,6 +74,18 @@ object Dedup {
     * equi-join yields candidates. `bands` must divide numHashes.
     * Returns (idCol_a, idCol_b) with a < b, distinct.
     */
+  /** Per-band bucket hashes of a minhash signature: band b's bucket is
+    * a hash of its rowsPerBand signature slice. Shared by batch LSH
+    * candidates and the incremental signature store so both sides of
+    * any future join agree on bucketing.
+    */
+  def bandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws("_",
+        b.cast("string"),
+        array_join(transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          _.cast("string")), ","))))
+
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, numHashes: Int = 16,
                         bands: Int = 4): DataFrame = {
@@ -82,11 +94,8 @@ object Dedup {
     val sig = shingleTable(df, textCol, idCol, shingleK)
       .select(col(idCol), minhashSignature(col("shingle_set"), numHashes).as("__sig"))
     val banded = sig.select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_",
-          b.cast("string"),
-          array_join(transform(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            _.cast("string")), ","))))).as(Seq("band", "bucket")))
+      posexplode(bandBuckets(col("__sig"), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))

@@ -28,10 +28,8 @@ object Skew {
     require(salts > 0, "salts must be positive")
     // outer-on-the-small-side joins would emit one null-extended copy
     // per salt for unmatched small rows — reject them
-    val supported = Set("inner", "left", "left_outer", "leftouter",
-      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
-    require(supported.contains(joinType.toLowerCase.replace("_", "")) ||
-      supported.contains(joinType.toLowerCase),
+    val supported = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    require(supported.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left/semi/anti/cross, not $joinType")
     // per-row salt: hash of a nondeterministic row id — spreads even
     // identical rows; nondeterminism is fine (any assignment is correct)

@@ -25,11 +25,12 @@ import graft.ops.Relational
   */
 object Pipelines {
 
-  /** Default seed prompts per class (setup:129-142 fixture shape). */
-  val seedInvoicePrompts: String =
-    """{"invoice_number": "What is the invoice number?",
-      | "total_amount": "What is the total amount or grand total?",
-      | "vendor_name": "Who is the vendor or supplier?"}""".stripMargin
+  /** Build a sorted map literal Column from a prompts map — shared by
+    * every pipeline mode that ships prompts into the plan.
+    */
+  private def promptsLiteral(prompts: Map[String, String]) =
+    map(prompts.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
 
   /** Ensure a prompt schema exists for each class present in `classes`
     * (app:481-489): generate via ai_complete + PARSE_JSON, guarded by
@@ -118,8 +119,7 @@ object Pipelines {
     * stage scan -> extract -> explode -> pivot to wide.
     */
   def batchSql(cat: Catalog, stage: String, prompts: Map[String, String]): DataFrame = {
-    val promptsCol = map(prompts.toSeq.sortBy(_._1)
-      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val promptsCol = promptsLiteral(prompts)
     val scanned = cat.directory(stage)
       .withColumn("text", parse_document(col("content")))
       .withColumn("result_map", ai_extract(col("text"), promptsCol))
@@ -134,8 +134,7 @@ object Pipelines {
     */
   def batchSqlOverDocuments(spark: SparkSession, sfDir: String,
                             prompts: Map[String, String]): DataFrame = {
-    val promptsCol = map(prompts.toSeq.sortBy(_._1)
-      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val promptsCol = promptsLiteral(prompts)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("result_map", ai_extract(col("text"), promptsCol))
       .select(col("doc_id"), col("result_map"))
@@ -152,22 +151,14 @@ object Pipelines {
     */
   def stream(cat: Catalog, stage: String, prompts: Map[String, String],
              checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val promptsCol = map(prompts.toSeq.sortBy(_._1)
-      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val promptsCol = promptsLiteral(prompts)
     val dir = cat.stageDir(stage)
-    // streaming file sources require an explicit schema; binaryFile's
-    // is fixed (path, modificationTime, length, content)
-    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
     val src = cat.spark.readStream.format("binaryFile")
-      .schema(binaryFileSchema)
+      .schema(Catalog.binaryFileSchema)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", 64) // pacing knob (X2)
       .load(dir)
-    val stagePrefix = ".*/stages/" + java.util.regex.Pattern.quote(stage) + "/"
+    val stagePrefix = Catalog.stagePathPrefix(stage)
     val extracted = src
       .withColumn("relative_path",
         regexp_replace(col("path"), stagePrefix, ""))

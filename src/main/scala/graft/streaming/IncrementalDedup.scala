@@ -39,20 +39,18 @@ final class IncrementalDedup(spark: SparkSession, storeDir: String,
     else spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), storeSchema)
 
-  /** Banded (id, band, bucket, shingle_set) rows for a batch. */
-  private def signatures(batch: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val sig = Dedup.shingleTable(batch, textCol, idCol, shingleK)
+  /** Banded (id, band, bucket, shingle_set) rows for a batch — same
+    * bucketing as Dedup.minhashCandidates via Dedup.bandBuckets.
+    */
+  private def signatures(batch: DataFrame, textCol: String, idCol: String): DataFrame =
+    Dedup.shingleTable(batch, textCol, idCol, shingleK)
       .select(col(idCol).as("id"), col("shingle_set"),
         Dedup.minhashSignature(col("shingle_set"), numHashes).as("__sig"))
-    sig.select(col("id"), col("shingle_set"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_",
-          b.cast("string"),
-          array_join(transform(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            _.cast("string")), ","))))).as(Seq("band", "bucket")))
+      .select(col("id"), col("shingle_set"),
+        posexplode(Dedup.bandBuckets(col("__sig"), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
       .select(col("id"), col("band").cast("int").as("band"), col("bucket"),
         col("shingle_set"))
-  }
 
   /** Process one batch: returns the rows that are NOT near-dups of the
     * already-accepted corpus (nor of an earlier row in the same batch),
