@@ -194,6 +194,18 @@ object SparkEntry {
       .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
       .distinct().orderBy(col("nationkey"))
 
+  /** INTERSECT / EXCEPT (set-op breadth beyond the reference's U1):
+    * nation keys present in both customer and supplier, and customer
+    * nations with no supplier.
+    */
+  private def qU2(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+    val sup = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.intersect(sup).withColumn("op", lit("both"))
+      .unionByName(c.except(sup).withColumn("op", lit("customer_only")))
+      .orderBy(col("op"), col("nationkey"))
+  }
+
   private def qO1(s: SparkSession, d: String): DataFrame =
     ev(s, d)
       .select(col("event_id"),
@@ -582,6 +594,7 @@ object SparkEntry {
     "q_p7_exists_flag" -> qP7,
     "q_p8_insert_if_absent" -> qP8,
     "q_u1_union_distinct" -> qU1,
+    "q_u2_intersect_except" -> qU2,
     "q_o1_order_nulls_last" -> qO1,
     "q_f1_f2_stage_derive" -> qF1F2,
     "q_f6_iff" -> qF6,
@@ -670,6 +683,8 @@ object SparkEntry {
       "SELECT DISTINCT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier) ORDER BY nationkey",
     "q_o1_order_nulls_last" ->
       "SELECT event_id, CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v FROM events ORDER BY v DESC NULLS LAST, event_id LIMIT 100",
+    "q_u2_intersect_except" ->
+      "SELECT nationkey, 'both' AS op FROM (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier) UNION ALL SELECT nationkey, 'customer_only' AS op FROM (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier) ORDER BY op, nationkey",
     "q_f1_f2_stage_derive" ->
       "SELECT doc_id, regexp_replace(split_part('@' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt', '/', 1), '^@', '') AS stage, regexp_extract('@' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt', '([^/]+)$', 1) AS fname FROM documents ORDER BY doc_id",
     "q_f6_iff" ->

@@ -66,6 +66,18 @@ class AiFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(m.keySet == Set("invoice_title", "invoice_date", "invoice_party"))
   }
 
+  test("extract envelope escapes control characters into valid JSON") {
+    val gnarly = "Line one:\n\tTAB and \"quotes\" \\ backslash. Second sentence."
+    val df = Seq(gnarly).toDF("text")
+      .select(ai_extract_json(col("text"),
+        typedLit(Map("f" -> "What is on line one?"))).as("j"))
+    // parseability is the assertion: get_json_object returns null on
+    // malformed JSON
+    val parsed = df.select(get_json_object(col("j"), "$.response.f"))
+      .as[String].collect()(0)
+    assert(parsed != null, "envelope must stay valid JSON with control chars in answers")
+  }
+
   test("extract failures surface as error rows, not batch failures (X9)") {
     // a null question NPEs inside the backend; the UDF must catch it
     val df = Seq(text).toDF("text")
