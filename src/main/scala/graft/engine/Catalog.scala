@@ -100,6 +100,25 @@ final class Catalog(val spark: SparkSession, val root: String) {
   /** DROP TABLE (S9; cleanup:14-28). */
   def dropTable(name: String): Unit = deleteRecursively(Paths.get(tablePath(name)))
 
+  /** Compact a table's small files: streaming/per-document appends
+    * leave one parquet file per micro-batch write, and scan-task count
+    * (and NameNode/listing pressure at 100 TB) grows with file count,
+    * not data size. Rewrites the table into ceil(bytes/targetBytes)
+    * files via the same atomic temp-swap as merge. Run out-of-band
+    * (single-writer, like merge).
+    */
+  def compact(name: String, targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val dir = Paths.get(tablePath(name))
+    if (!Files.exists(dir)) return
+    val walk = Files.walk(dir)
+    val bytes =
+      try walk.filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(p => Files.size(p)).sum()
+      finally walk.close()
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    overwrite(name, table(name).repartition(parts))
+  }
+
   /** CSV / JSON export sinks (S8; app:574-579, app:766-790): the
     * reference's download buttons, set-based. Headers on for CSV to
     * match the pandas to_csv shape.

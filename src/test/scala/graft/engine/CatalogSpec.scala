@@ -116,6 +116,23 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(t.filter(col("class_name") === "invoice").count() == 1)
   }
 
+  test("compact collapses many small append files into few") {
+    val cat = freshCat()
+    (1 to 8).foreach { i =>
+      cat.append("DOCUMENT_OCR",
+        Seq((s"f$i", s"f$i", "{}", "s")).toDF("file_name", "file_ref", "ocr", "summary"))
+    }
+    def fileCount = {
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(cat.root, "tables", "DOCUMENT_OCR"))
+      try s.filter(p => p.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    assert(fileCount >= 8, "each append writes its own file(s)")
+    cat.compact("DOCUMENT_OCR")
+    assert(fileCount == 1, s"compaction should leave one file, got $fileCount")
+    assert(cat.table("DOCUMENT_OCR").count() == 8)
+  }
+
   test("dropTable removes the table directory") {
     val cat = freshCat()
     cat.dropTable("DOCUMENT_OCR")
