@@ -397,6 +397,39 @@ object SparkEntry {
       .select(col("doc_id"), col("quality"), col("lang_pred"), col("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Corpus vocabulary: top-100 tokens by frequency — the explode/
+    * Generator path (A-extension) oracle-checked.
+    */
+  private def qTextVocab(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(100)
+
+  /** TF-IDF: for each (doc, term), tf * ln(N / df), top-3 terms per
+    * document by score — the standard relevance-scoring pipeline as
+    * one plan: explode -> two aggregations -> join -> window top-k.
+    */
+  private def qTextTfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+    val nDocs = docs.count().toDouble
+    val terms = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+    val tf = terms.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word"))
+    tf.join(df_, Seq("word"))
+      .withColumn("tfidf", round(col("tf") * log(lit(nDocs) / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("word"), col("tfidf"), col("rank").cast("long").as("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   private def qSimTopK(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -614,6 +647,8 @@ object SparkEntry {
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_langid" -> qTextLangId,
     "q_text_tokens_bpe" -> qTokensBpe,
+    "q_text_vocab" -> qTextVocab,
+    "q_text_tfidf" -> qTextTfidf,
     "q_sim_topk" -> qSimTopK,
     "q_corpus_curation" -> qCuration,
     "q_emb_near_dups" -> qEmbNearDups,
@@ -727,6 +762,10 @@ object SparkEntry {
         "FROM documents) SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und' WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en' WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es' WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr' WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de' ELSE 'zh' END AS lang_pred FROM s ORDER BY doc_id"),
     "q_text_tokens_bpe" ->
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents ORDER BY doc_id",
+    "q_text_vocab" ->
+      "SELECT word, COUNT(*) AS n FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 100",
+    "q_text_tfidf" ->
+      "WITH terms AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents), tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM terms GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word), n AS (SELECT COUNT(*) AS n_docs FROM documents) SELECT doc_id, word, tfidf, rank FROM (SELECT tf.doc_id, tf.word, round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf, ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) DESC, tf.word) AS rank FROM tf JOIN df USING (word) CROSS JOIN n) WHERE rank <= 3 ORDER BY doc_id, rank",
     "q_sim_topk" ->
       "SELECT query_id, corpus_id, rank FROM (SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank FROM embeddings c, embeddings p WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id) WHERE rank <= 5 ORDER BY query_id, rank",
     "q_corpus_curation" ->
