@@ -512,8 +512,9 @@ object SparkEntry {
           concat(lit("Generate a JSON object of field: question pairs for class '"),
             col("class_name"), lit("'"))))
       .select(col("class_name"),
-        map_keys(from_json(col("prompts_json"), MapType(StringType, StringType)))
-          .as("fields"))
+        array_join(array_sort(
+          map_keys(from_json(col("prompts_json"), MapType(StringType, StringType)))), ",")
+          .as("fields_csv"))
       .orderBy(col("class_name"))
   }
 
@@ -529,8 +530,8 @@ object SparkEntry {
       (4L, "not json at all"))
       .toDF("id", "prompts_json")
       .select(col("id"),
-        graft.ai.AiFunctions.canonicalize_prompts(
-          col("prompts_json"), lit("invoice")).as("canon"))
+        to_json(graft.ai.AiFunctions.canonicalize_prompts(
+          col("prompts_json"), lit("invoice"))).as("canon_json"))
       .orderBy(col("id"))
   }
 
@@ -552,7 +553,8 @@ object SparkEntry {
   private def qMultimodalEmbed(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"),
-        graft.ops.Multimodal.fakeEmbedding(col("text").cast("binary"), 8).as("embedding"))
+        to_json(graft.ops.Multimodal.fakeEmbedding(col("text").cast("binary"), 8))
+          .as("embedding_json"))
       .orderBy(col("doc_id"))
 
   /** Full pipeline e2e (S1/S2/S6/S7/AI1-AI3/X3): stage 50 docs as files
@@ -743,7 +745,7 @@ object SparkEntry {
     "q_win_sliding" ->
       s"SELECT strftime(ws, '$TSD') AS window_start, event_type, COUNT(*) AS n FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type FROM events UNION ALL SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, event_type FROM events) GROUP BY ws, event_type ORDER BY window_start, event_type",
     "q_win_session" ->
-      s"WITH x AS (SELECT user_id, ts, event_id, CASE WHEN LAG(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), y AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_n FROM x) SELECT user_id, session_n, COUNT(*) AS n_events, strftime(MIN(ts), '$TSD') AS session_start, strftime(MAX(ts), '$TSD') AS session_end FROM y GROUP BY user_id, session_n ORDER BY user_id, session_n",
+      s"WITH x AS (SELECT user_id, ts, event_id, CASE WHEN LAG(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), y AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_n FROM x) SELECT user_id, CAST(session_n AS BIGINT) AS session_n, COUNT(*) AS n_events, strftime(MIN(ts), '$TSD') AS session_start, strftime(MAX(ts), '$TSD') AS session_end FROM y GROUP BY user_id, session_n ORDER BY user_id, session_n",
     "q_dedup_exact_groups" ->
       "SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies FROM documents GROUP BY md5(text) ORDER BY text_hash",
     "q_dedup_exact_keep" ->
