@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,21 +9,27 @@ import Similarity.{dot, norm}
 /** IVF (inverted-file) approximate nearest neighbor — the coarse-
   * quantizer scale path for similarity search, complementing SRP-LSH:
   *
-  *  1. build: Lloyd's k-means over the corpus (centroid set broadcast
-  *     each iteration — k x dim doubles, tiny), producing per-vector
-  *     centroid assignments = the inverted lists.
-  *  2. search: each probe scores only the k centroids (broadcast),
-  *     keeps the nProbe nearest lists, and re-ranks exactly within
-  *     those lists via an equi-join on centroid_id.
+  *  1. build: Lloyd's k-means over the corpus. The centroid set is
+  *     k x dim doubles — small by construction — so it lives on the
+  *     driver and ships inside the task closure (MLlib-style). Each
+  *     Lloyd pass is then a map-only projection over the corpus (no
+  *     crossJoin, no window, no shuffle of the corpus) followed by
+  *     one (centroid_id, pos) mean aggregation whose k x dim result
+  *     rows return to the driver.
+  *  2. search: each probe ranks the k closure centroids in the same
+  *     map-only way, explodes its nProbe nearest list ids, and
+  *     re-ranks exactly within those lists via an equi-join on
+  *     centroid_id.
   *
-  * Shuffle profile at 100 TB: build is `iters` passes of
-  * broadcast-join + groupBy(centroid) mean — the corpus itself never
-  * shuffles by content, only the (centroid_id, pos, val) aggregation
-  * rows do. Search joins candidates on centroid_id — a plain hash
-  * join; with balanced lists each probe touches corpus/k * nProbe
+  * Shuffle profile at 100 TB: the corpus never shuffles by content —
+  * per Lloyd pass only (centroid_id, pos, mean-fragment) aggregation
+  * rows move, and at search time only probe x nProbe list keys join
+  * against the inverted lists (AQE broadcasts whichever side is
+  * small). With balanced lists each probe touches corpus/k * nProbe
   * vectors instead of the whole corpus.
   *
-  * Deterministic: initial centroids are the lowest-id vectors.
+  * Deterministic: initial centroids are the lowest-id vectors; all
+  * argmax tie-breaks prefer the lowest centroid_id.
   */
 object Ivf {
 
@@ -32,71 +38,85 @@ object Ivf {
     */
   case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
 
-  private def assignToNearest(vecs: DataFrame, centroids: DataFrame,
-                              idCol: String, vecCol: String): DataFrame = {
-    val scored = vecs.select(col(idCol), col(vecCol))
-      .withColumn("__vn", norm(col(vecCol)))
-      .crossJoin(broadcast(centroids
-        .select(col("centroid_id"), col("centroid"),
-          norm(col("centroid")).as("__cn"))))
-      .withColumn("__cos", dot(col(vecCol), col("centroid")) / (col("__vn") * col("__cn")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__cos").desc, col("centroid_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+  /** Driver-side centroid set: (centroid_id, vector). */
+  private type Cen = Array[(Int, Array[Double])]
+
+  /** Cosine of `emb` against every centroid, best-first by
+    * (cos desc, id asc); shared by assignment and probe-list choice.
+    * A plain Scala closure over the driver-side centroid array keeps
+    * the expression tree tiny (no k x dim literal tree to optimize)
+    * and ships with the task closure exactly like MLlib's k-means.
+    */
+  private def rankedCentroids(cen: Cen)(emb: Seq[Double]): Array[Int] = {
+    val sorted = cen.sortBy(_._1)
+    val e = emb.toArray
+    var vn = 0.0
+    var j = 0
+    while (j < e.length) { vn += e(j) * e(j); j += 1 }
+    vn = math.sqrt(vn)
+    sorted.map { case (id, cv) =>
+      var d = 0.0
+      var cn = 0.0
+      var i = 0
+      while (i < cv.length) { d += cv(i) * e(i); cn += cv(i) * cv(i); i += 1 }
+      (id, d / (vn * math.sqrt(cn)))
+    }.sortBy { case (id, cos) => (-cos, id) }.map(_._1)
+  }
+
+  /** Map-side nearest-centroid assignment (the k-means E-step). */
+  private def assign(corpus: DataFrame, cen: Cen,
+                     idCol: String, vecCol: String): DataFrame = {
+    val nearest = udf((emb: Seq[Double]) => rankedCentroids(cen)(emb).head)
+    corpus.select(col(idCol), col(vecCol),
+      nearest(col(vecCol).cast("array<double>")).as("centroid_id"))
   }
 
   /** Build the index with `iters` Lloyd iterations. */
   def build(corpus: DataFrame, k: Int, iters: Int = 5,
             idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
-    // deterministic init: the k lowest-id vectors, cast to double arrays
-    var centroids = Relational.dedupFirst(
-        corpus.select(col(idCol), col(vecCol)), Seq(idCol), Seq(col(idCol)))
-      .orderBy(col(idCol)).limit(k)
-      .select(
-        (row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"),
-        transform(col(vecCol), x => x.cast("double")).as("centroid"))
-      .cache()
-    centroids.count()
+    val spark = corpus.sparkSession
+    // deterministic init: the k lowest-id vectors
+    var cen: Cen = corpus
+      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .orderBy(col(idCol)).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
 
     for (_ <- 0 until iters) {
-      val assigned = assignToNearest(corpus, centroids, idCol, vecCol)
-      // new centroid = element-wise mean of members: explode to
-      // (centroid_id, pos, val), aggregate, re-assemble ordered by pos
-      val means = assigned
+      // M-step: element-wise member means come back as k x dim rows
+      // (tiny); clusters that went empty keep their old centroid so k
+      // never silently shrinks across iterations
+      val means = assign(corpus, cen, idCol, vecCol)
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg(col("v").cast("double")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
-      // keep centroids whose cluster went empty (groupBy drops them) —
-      // otherwise k silently shrinks across iterations
-      val next = means.unionByName(
-        centroids.join(means.select("centroid_id"), Seq("centroid_id"), "left_anti"))
-      val old = centroids
-      centroids = next.cache()
-      centroids.count()
-      old.unpersist()
+        .collect()
+        .groupBy(_.getInt(0))
+      cen = cen.map { case (id, old) =>
+        means.get(id) match {
+          case Some(rows) => (id, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
+          case None       => (id, old)
+        }
+      }
     }
-    IvfIndex(centroids, assignToNearest(corpus, centroids, idCol, vecCol))
+    import spark.implicits._
+    val centroids = cen.toSeq.toDF("centroid_id", "centroid")
+    IvfIndex(centroids, assign(corpus, cen, idCol, vecCol))
   }
 
   /** ANN top-k: nProbe nearest lists per probe, exact re-rank within. */
   def search(index: IvfIndex, probes: DataFrame, topK: Int, nProbe: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("__pv"))
+    val cen: Cen = index.centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // per-probe list selection is a projection: rank the k centroids
+    // in the closure, keep nProbe ids, explode
+    val lists = udf((emb: Seq[Double]) => rankedCentroids(cen)(emb).take(nProbe))
+    val chosen = probes
+      .select(col(idCol).as("query_id"), col(vecCol).as("__pv"))
       .withColumn("__pn", norm(col("__pv")))
-    // score the k centroids per probe (k is small: broadcast)
-    val probeLists = p.crossJoin(broadcast(index.centroids
-        .select(col("centroid_id"), col("centroid"), norm(col("centroid")).as("__cn"))))
-      .withColumn("__cos", dot(col("__pv"), col("centroid")) / (col("__pn") * col("__cn")))
-    val wl = Window.partitionBy(col("query_id"))
-      .orderBy(col("__cos").desc, col("centroid_id"))
-    val chosen = probeLists.withColumn("__rn", row_number().over(wl))
-      .filter(col("__rn") <= nProbe)
-      .select(col("query_id"), col("__pv"), col("__pn"), col("centroid_id"))
+      .select(col("query_id"), col("__pv"), col("__pn"),
+        explode(lists(col("__pv").cast("array<double>"))).as("centroid_id"))
     // candidates: equi-join on centroid_id, then exact cosine re-rank
     val cands = chosen.join(
       index.assignments.select(col(idCol).as("corpus_id"),
