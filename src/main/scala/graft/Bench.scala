@@ -15,10 +15,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, parquet footer cache, JIT) on a tiny
-    // scan so the first timed query is not charged for session init
-    try spark.read.parquet(s"$sfDir/region.parquet")
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // scan plus a small slice of the text-expression machinery so the
+    // first timed query is not charged for session init / first-JIT
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .write.format("noop").mode("overwrite").save()
+      graft.ops.TextAnalysis.annotateStats(
+          spark.read.parquet(s"$sfDir/documents.parquet").limit(64), "text")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val only = args.toSet // optional query-name filter for local runs
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

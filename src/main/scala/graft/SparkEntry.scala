@@ -358,17 +358,16 @@ object SparkEntry {
     Dedup.exactDedup(t(s, d, "documents"), "text", "doc_id")
       .select(col("doc_id")).orderBy(col("doc_id"))
 
-  private def qTextStats(s: SparkSession, d: String): DataFrame = {
-    val txt = col("text")
-    t(s, d, "documents").select(col("doc_id"),
-      TextAnalysis.charCount(txt).cast("long").as("n_chars_m"),
-      TextAnalysis.tokenCountWs(txt).cast("long").as("n_tokens"),
-      TextAnalysis.meanWordLen(txt).as("mean_word_len"),
-      TextAnalysis.punctRatio(txt).as("punct_ratio"),
-      TextAnalysis.stopwordRatio(txt).as("stopword_ratio"),
-      TextAnalysis.qualityScore(txt).as("quality"))
+  private def qTextStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.annotateStats(t(s, d, "documents"), "text")
+      .select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars_m"),
+        col("n_tokens"),
+        col("mean_word_len"),
+        col("punct_ratio"),
+        col("stopword_ratio"),
+        col("quality"))
       .orderBy(col("doc_id"))
-  }
 
   private def qTextFingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
@@ -376,8 +375,8 @@ object SparkEntry {
       .orderBy(col("doc_id"))
 
   private def qTextLangId(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    TextAnalysis.annotateStats(t(s, d, "documents"), "text")
+      .select(col("doc_id"), col("lang_pred"))
       .orderBy(col("doc_id"))
 
   private def qTokensBpe(s: SparkSession, d: String): DataFrame =
@@ -392,7 +391,7 @@ object SparkEntry {
     * q_text_langid.
     */
   private def qCuration(s: SparkSession, d: String): DataFrame =
-    graft.ops.Curation.curate(t(s, d, "documents"), "text", "doc_id",
+    graft.ops.Curation.curateStats(t(s, d, "documents"), "text", "doc_id",
         minQuality = 0.6, langs = Nil)
       .select(col("doc_id"), col("quality"), col("lang_pred"), col("n_tokens"))
       .orderBy(col("doc_id"))
@@ -418,8 +417,9 @@ object SparkEntry {
     val terms = docs
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
     val tf = terms.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val df_ = terms.select(col("doc_id"), col("word")).distinct()
-      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // df derives from tf (one row per (doc, word) already): the corpus
+    // is exploded and shuffled once, not twice + a full-width distinct
+    val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word"))
     tf.join(df_, Seq("word"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -56,18 +56,19 @@ object TextAnalysis {
     round((lenOk + wordOk + stopOk) / lit(3.0), 4)
   }
 
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "los", "que", "de"),
+    "fr" -> Seq("le", "la", "les", "est", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
   /** N-gram-heuristic language ID: scores per-language marker words and
     * picks the max; "und" when nothing matches. Real pipelines would use
     * fastText — this keeps the same operator shape with a deterministic
     * codegen-friendly core.
     */
   def langId(text: Column): Column = {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "is", "with"),
-      "es" -> Seq("el", "la", "los", "que", "de"),
-      "fr" -> Seq("le", "la", "les", "est", "une"),
-      "de" -> Seq("der", "die", "das", "und", "ist"),
-      "zh" -> Seq("的", "是", "了", "在", "我"))
     val toks = split(lower(text), "\\s+")
     val scores = markers.map { case (lang, ws) =>
       lang -> size(filter(toks, t => t.isin(ws.map(lit(_)): _*)))
@@ -86,6 +87,57 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(
       split(lower(trim(text)), "\\s+"))), " "))
+
+  /** One-pass DataFrame-level stats annotation: tokenizes once into an
+    * intermediate column and derives every token-based metric from the
+    * shared array. The scalar helpers above each re-split the text;
+    * array HOFs run interpreted (not codegen) in Spark 4, so on a wide
+    * stats projection the repeated tokenization dominated the profile.
+    * CollapseProject keeps the non-cheap intermediates materialized
+    * instead of re-inlining them into every consumer, so this is one
+    * split + one filter pass per metric family per row.
+    *
+    * Values are expression-for-expression identical to the scalar
+    * helpers (same rounding, same tie-breaks): lowering before the
+    * shared split cannot change whitespace, so token/stopword/marker
+    * counts are unchanged.
+    *
+    * Adds: n_chars, n_tokens (long), mean_word_len, punct_ratio,
+    * stopword_ratio, quality, lang_pred.
+    */
+  def annotateStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val sCols = markers.map { case (lang, _) => s"__s_$lang" }
+    val best = greatest(sCols.map(col): _*)
+    val langPred = markers.zip(sCols).foldRight(lit("und"): Column) {
+      case (((lang, _), s), acc) =>
+        when(col(s) === best && best > 0, lang).otherwise(acc)
+    }
+    val ratio = round(col("__n_stop").cast("double") /
+      greatest(col("__n_toks"), lit(1)).cast("double"), 4)
+    val lenOk = when(length(t).between(20, 100000), 1.0).otherwise(0.0)
+    val wordOk = when(col("__n_toks") >= lit(5), 1.0).otherwise(0.0)
+    val stopOk = when(ratio > lit(0.0), 1.0).otherwise(0.0)
+    markers.zip(sCols)
+      .foldLeft(df.withColumn("__toks", split(lower(trim(t)), "\\s+"))) {
+        case (d, ((_, ws), s)) =>
+          d.withColumn(s, size(filter(col("__toks"),
+            x => x.isin(ws.map(lit(_)): _*))))
+      }
+      .withColumn("__n_toks", size(col("__toks")))
+      .withColumn("__n_stop", size(filter(col("__toks"),
+        x => x.isin(stopwords.map(lit(_)): _*))))
+      .withColumn("n_chars", charCount(t))
+      .withColumn("n_tokens", col("__n_toks").cast("long"))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(t, "\\s+", "")).cast("double") /
+          greatest(col("__n_toks"), lit(1)).cast("double"), 4))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", ratio)
+      .withColumn("quality", round((lenOk + wordOk + stopOk) / lit(3.0), 4))
+      .withColumn("lang_pred", langPred)
+      .drop("__toks" +: "__n_toks" +: "__n_stop" +: sCols: _*)
+  }
 
   /** Rolling content hash over whitespace tokens — an order-sensitive
     * fingerprint, unlike [[fingerprint]]. Chained hashing
