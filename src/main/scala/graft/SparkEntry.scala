@@ -464,6 +464,24 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** Exact n-gram (3-shingle) Jaccard near-dup pairs on a bounded
+    * slice — the verification kernel of the MinHash pipeline run
+    * standalone and oracle-checked end to end (shingling + set
+    * intersection semantics). The unbounded scale path is
+    * Dedup.minhashNearDups, where LSH prunes the pair space first.
+    */
+  private def qDedupJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingleTable(
+      t(s, d, "documents").filter(col("doc_id") < 200), "text", "doc_id", k = 3)
+    val a = sh.select(col("doc_id").as("id_a"), col("shingle_set").as("__sa"))
+    val b = sh.select(col("doc_id").as("id_b"), col("shingle_set").as("__sb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", Dedup.jaccardFromSets(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= 0.05)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private def qSimLsh(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, nBits = 10, nTables = 4)
@@ -535,13 +553,17 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
-  /** Approximate distinct (HLL) — rows-only (sketch values are not
-    * oracle-comparable across engines).
+  /** Approximate distinct (HLL). Sketch estimates are engine-specific,
+    * so the oracle-checked contract is the estimate's 5% relative-error
+    * bound against the exact count (rsd = 0.02), not the raw estimate.
     */
   private def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     ev(s, d).groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("__approx"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("__approx") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("approx_within_5pct"))
       .orderBy(col("event_type"))
 
   private def qMultimodalCatalog(s: SparkSession, d: String): DataFrame =
@@ -645,6 +667,7 @@ object SparkEntry {
     "q_win_session" -> qSession,
     "q_dedup_exact_groups" -> qDedupExactGroups,
     "q_dedup_exact_keep" -> qDedupExactKeep,
+    "q_dedup_jaccard" -> qDedupJaccard,
     "q_text_stats" -> qTextStats,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_langid" -> qTextLangId,
@@ -750,6 +773,13 @@ object SparkEntry {
       "SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies FROM documents GROUP BY md5(text) ORDER BY text_hash",
     "q_dedup_exact_keep" ->
       "SELECT doc_id FROM documents WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text)) ORDER BY doc_id",
+    "q_dedup_jaccard" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents WHERE doc_id < 200), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) END AS sh FROM t) " +
+        "SELECT id_a, id_b, jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard " +
+        "FROM s a, s b WHERE a.doc_id < b.doc_id) WHERE jaccard >= 0.05 ORDER BY id_a, id_b"),
     "q_text_stats" ->
       s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS mean_word_len, round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio, round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains($stopList, x))) AS DOUBLE) / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 4) AS stopword_ratio, round((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END + CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 5 THEN 1.0 ELSE 0.0 END + CASE WHEN round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains($stopList, x))) AS DOUBLE) / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 4) > 0.0 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality FROM documents ORDER BY doc_id",
     "q_text_fingerprint" ->
@@ -786,5 +816,91 @@ object SparkEntry {
         "WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5(text)) ORDER BY doc_id"),
     "q_emb_near_dups" ->
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b",
+    // fake-AI oracles: the deterministic local backend is plain
+    // sha256/identity logic, so DuckDB can replay it exactly.
+    // classify = classes[floorMod(signed first sha256 byte, 5)]
+    "q_ai_classify" ->
+      (s"WITH c AS (SELECT $duckClassifyExpr AS document_class FROM documents) " +
+        "SELECT document_class, COUNT(*) AS n_docs FROM c GROUP BY document_class ORDER BY document_class"),
+    // parse_document on already-text content is a UTF-8 round trip
+    "q_ai_parse_document" ->
+      "SELECT doc_id, CAST(length(text) AS BIGINT) AS ocr_chars FROM documents ORDER BY doc_id",
+    // prompt generation emits {cls_title, cls_date, cls_party}; sorted
+    // key join = date,party,title
+    "q_ai_prompt_gen" ->
+      (s"WITH c AS (SELECT DISTINCT $duckClassifyExpr AS class_name FROM documents) " +
+        "SELECT class_name, class_name || '_date,' || class_name || '_party,' || class_name || '_title' AS fields_csv " +
+        "FROM c ORDER BY class_name"),
+    // summarize = 'Summary: ' + first two sentences of trim(text[:6000]),
+    // capped at 300 chars. RE2 has no lookbehind, so the Java split on
+    // (?<=[.!?])\s+ is replayed as extract-first-sentence + strip-prefix.
+    "q_ai_summarize" ->
+      ("WITH b AS (SELECT doc_id, trim(substr(text, 1, 6000)) AS body FROM documents WHERE doc_id < 20), " +
+        "r AS (SELECT doc_id, body, regexp_extract(body, '^([\\s\\S]*?[.!?])\\s', 1) AS s1, " +
+        "regexp_replace(body, '^[\\s\\S]*?[.!?]\\s+', '') AS rest FROM b), " +
+        "r2 AS (SELECT doc_id, body, s1, rest, regexp_extract(rest, '^([\\s\\S]*?[.!?])\\s', 1) AS s2p FROM r) " +
+        "SELECT doc_id, 'Summary: ' || substr(CASE WHEN s1 <> '' THEN s1 || ' ' || (CASE WHEN s2p <> '' THEN s2p ELSE rest END) ELSE body END, 1, 300) AS summary " +
+        "FROM r2 ORDER BY doc_id"),
+    // extract = per question, first sentence containing a >3-char
+    // question keyword, else a content-hash fallback token. The
+    // sentence split is replayed via a chr(1) separator marker.
+    "q_ai_extract_wide" ->
+      (s"SELECT doc_id, ${duckAnswerExpr("What is the title?", Seq("what", "title"))} AS title, " +
+        s"${duckAnswerExpr("What is this document about?", Seq("what", "this", "document", "about"))} AS topic, " +
+        s"${duckAnswerExpr("Who is the vendor or supplier?", Seq("vendor", "supplier"))} AS vendor " +
+        "FROM documents ORDER BY doc_id"),
+    // pipeline e2e oracles: the staged files ARE the first N documents
+    // (stagedCatalog), so the whole stage->parse->classify->extract
+    // round trip must reproduce the same answers from the raw table.
+    "q_pipeline_batch_sql" ->
+      (s"SELECT $duckDocFile AS relative_path, '@docs/' || $duckDocFile AS file_url, " +
+        s"${duckAnswerExpr("What is the title?", Seq("what", "title"))} AS title, " +
+        s"${duckAnswerExpr("What is this document about?", Seq("what", "this", "document", "about"))} AS topic " +
+        "FROM documents WHERE doc_id < 50 ORDER BY relative_path"),
+    "q_pipeline_stream" ->
+      (s"""SELECT $duckDocFile AS file_ref, $duckClassifyExpr AS class_name, '{"response": {"title": ' || """ +
+        s"""to_json(${duckAnswerExpr("What is the title?", Seq("what", "title"))}) || '}}' AS extraction_result """ +
+        "FROM documents WHERE doc_id < 50 ORDER BY file_ref"),
+    // interactive: per-doc run persists 3 generated prompt fields and
+    // an OCR row; the history view must read those invariants back
+    "q_pipeline_interactive" ->
+      (s"SELECT $duckDocFile AS file_ref, $duckClassifyExpr AS class_name, " +
+        "CAST(3 AS BIGINT) AS fields_extracted, TRUE AS has_ocr " +
+        "FROM documents WHERE doc_id < 3 ORDER BY file_ref"),
+    // HLL contract: exact counts match, estimate within the rsd bound
+    "q_approx_distinct" ->
+      "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_within_5pct FROM events GROUP BY event_type ORDER BY event_type",
+    // canonicalization goldens for the four accepted prompt shapes
+    "q_canonicalize" ->
+      ("SELECT CAST(id AS BIGINT) AS id, canon_json FROM (VALUES " +
+        "(1, '{\"total\":\"What is the total?\"}'), " +
+        "(2, '{\"q\":\"Summarize.\"}'), " +
+        "(3, '{\"f\":\"Inner?\"}'), " +
+        "(4, '{\"q\":\"Extract key facts for class invoice.\"}')) t(id, canon_json) ORDER BY id"),
   )
+
+  /** Staged file name for a documents row (stagedCatalog's naming). */
+  private val duckDocFile: String =
+    "'doc_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.txt'"
+
+  /** DuckDB replay of DeterministicLocalBackend.answer for a fixed
+    * question: sentence list via the chr(1)-marker split, first hit on
+    * the question's >3-char keywords, sha256 fallback.
+    */
+  private def duckAnswerExpr(question: String, kws: Seq[String]): String = {
+    val kw = kws.map(w => s"contains(lower(s), '$w')").mkString(" OR ")
+    "(WITH x AS (SELECT list_filter(string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)), " +
+      s"s -> $kw) AS hits) " +
+      "SELECT CASE WHEN len(hits) > 0 THEN substr(trim(hits[1]), 1, 120) " +
+      s"ELSE 'ans_' || substr(sha256(text || '|$question'), 1, 16) END FROM x)"
+  }
+
+  /** DuckDB replay of DeterministicLocalBackend.classify: signed first
+    * byte of sha256(text), floorMod 5, indexed into the class list.
+    */
+  private val duckClassifyExpr: String =
+    "['invoice','contract','report','letter','form']" +
+      "[1 + (((CASE WHEN CAST('0x' || substr(sha256(text), 1, 2) AS INT) > 127 " +
+      "THEN CAST('0x' || substr(sha256(text), 1, 2) AS INT) - 256 " +
+      "ELSE CAST('0x' || substr(sha256(text), 1, 2) AS INT) END) % 5) + 5) % 5]"
 }
