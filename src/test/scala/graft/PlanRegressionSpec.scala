@@ -48,6 +48,36 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("text stats tokenize exactly once (annotateStats)") {
+    val p = plan("q_text_stats")
+    val splits = "split\\(lower\\(trim\\(".r.findAllIn(p).length
+    assert(splits == 1, s"expected exactly 1 tokenization, found $splits:\n$p")
+  }
+
+  test("TF-IDF keeps df skew-safe: partial-agg + broadcast, no distinct shuffle") {
+    val p = plan("q_text_tfidf")
+    // df derives from tf's aggregate (pruned to a keys-only distinct by
+    // Catalyst), so at most the two corpus explodes remain — the old
+    // shape added a third full-width distinct exchange on top
+    val explodes = "Generate explode".r.findAllIn(p).length
+    assert(explodes <= 2, s"expected <=2 explodes, found $explodes")
+    assert(p.contains("BroadcastExchange"),
+      s"df side must broadcast (hot words never co-locate):\n$p")
+  }
+
+  test("IVF assignment is map-only (no shuffle of the corpus)") {
+    val idx = graft.ops.Ivf.build(
+      spark.read.parquet(s"$sf/embeddings.parquet"), k = 4, iters = 1)
+    val p = idx.assignments.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"k-means E-step must not shuffle:\n$p")
+  }
+
+  test("curation stats shuffle carries no text bodies") {
+    val p = plan("q_corpus_curation")
+    val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shufflePart.contains("text#"), s"text must not shuffle:\n$shufflePart")
+  }
+
   test("as-of join plans exactly one exchange for the union-window (J7)") {
     val p = plan("q_j7_asof_join")
     // one hash exchange for the window partitioning + the final sort's

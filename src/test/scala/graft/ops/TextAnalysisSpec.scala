@@ -43,6 +43,48 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(!r(0))
   }
 
+  test("annotateStats matches the scalar helpers value-for-value") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog. It was fast!"),
+      (2L, ""),
+      (3L, "   "),
+      (4L, "word"),
+      (5L, "el que la los de una cosa y otra mas aqui."),
+      (6L, "a, b! c? d; e: f."),
+      (7L, "x " * 30 + "the end."),
+      (8L, "的 是 了 在 我 something 的 mixed"))
+      .toDF("doc_id", "text")
+    val fast = TextAnalysis.annotateStats(docs, "text")
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("mean_word_len"), col("punct_ratio"), col("stopword_ratio"),
+        col("quality"), col("lang_pred"))
+    val slow = docs.select(col("doc_id"),
+      TextAnalysis.charCount(col("text")).as("n_chars"),
+      TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+      s"fast=${fast.collect().toSeq}\nslow=${slow.collect().toSeq}")
+  }
+
+  test("curateStats equals curate minus the text column") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it was fast."),
+      (2L, "the quick brown fox jumps over the lazy dog and it was fast."),
+      (3L, "short"),
+      (4L, "another long enough document with the stopwords of a normal text."))
+      .toDF("doc_id", "text")
+    val viaJoin = Curation.curate(docs, "text", "doc_id")
+      .select(col("doc_id"), col("quality"), col("lang_pred"), col("n_tokens"))
+    val viaWindow = Curation.curateStats(docs, "text", "doc_id")
+      .select(col("doc_id"), col("quality"), col("lang_pred"), col("n_tokens"))
+    assert(viaJoin.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaJoin).isEmpty,
+      s"join=${viaJoin.collect().toSeq}\nwindow=${viaWindow.collect().toSeq}")
+  }
+
   test("langId picks the language with most marker hits") {
     val df = Seq(
       ("the cat and the dog is with of", "en"),
