@@ -430,6 +430,41 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Sliding-window chunking (32-token chunks, 8 overlap) — the
+    * context-window preparation explode, token counts oracle-checked.
+    */
+  private def qChunking(s: SparkSession, d: String): DataFrame =
+    graft.ops.Corpus.chunk(t(s, d, "documents"), "text", "doc_id",
+        chunkSize = 32, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Deterministic split assignment + per-shard sequence packing in
+    * one pass: md5-bucket split, 8 hash shards, 4096-token packs.
+    */
+  private def qSplitPack(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("long"))
+      .withColumn("split", graft.ops.Corpus.assignSplit(col("doc_id")))
+    graft.ops.Corpus.packSequences(n, "doc_id", "n_tokens",
+        budget = 4096, shardCols = Seq("shard"))
+      .select(col("doc_id"), col("split"), col("shard"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII scrubbing over text with synthetically-appended contact info
+    * (the corpus itself is clean), replacement semantics oracle-checked.
+    */
+  private def qTextScrub(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.ops.Corpus.scrubPii(concat(col("text"),
+          lit(" contact: user"), col("doc_id"), lit("@example.com or +1 (555) 010-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .as("scrubbed"))
+      .orderBy(col("doc_id"))
+
   private def qSimTopK(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -674,6 +709,9 @@ object SparkEntry {
     "q_text_tokens_bpe" -> qTokensBpe,
     "q_text_vocab" -> qTextVocab,
     "q_text_tfidf" -> qTextTfidf,
+    "q_chunking" -> qChunking,
+    "q_split_pack" -> qSplitPack,
+    "q_text_scrub" -> qTextScrub,
     "q_sim_topk" -> qSimTopK,
     "q_corpus_curation" -> qCuration,
     "q_emb_near_dups" -> qEmbNearDups,
@@ -870,6 +908,26 @@ object SparkEntry {
     // HLL contract: exact counts match, estimate within the rsd bound
     "q_approx_distinct" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_within_5pct FROM events GROUP BY event_type ORDER BY event_type",
+    // corpus-prep: chunking / split+pack / scrub
+    "q_chunking" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +
+        "SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id, " +
+        "array_to_string(toks[s+1:s+32], ' ') AS chunk_text, " +
+        "CAST(len(toks[s+1:s+32]) AS BIGINT) AS n_chunk_tokens " +
+        "FROM t, LATERAL (SELECT unnest(range(0, greatest(len(toks)-1, 0)+1, 24)) AS s) u " +
+        "ORDER BY doc_id, chunk_id"),
+    "q_split_pack" ->
+      ("WITH n AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+        "doc_id % 8 AS shard, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS bucket FROM documents) " +
+        "SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, " +
+        "shard, CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 4096 AS BIGINT) AS pack_id " +
+        "FROM n ORDER BY doc_id"),
+    "q_text_scrub" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(" +
+        "text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), " +
+        "'\\+?[0-9][0-9()\\- ]{6,}[0-9]', '[PHONE]', 'g') AS scrubbed " +
+        "FROM documents ORDER BY doc_id"),
     // canonicalization goldens for the four accepted prompt shapes
     "q_canonicalize" ->
       ("SELECT CAST(id AS BIGINT) AS id, canon_json FROM (VALUES " +

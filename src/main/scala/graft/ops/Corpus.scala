@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for LLM training-data pipelines:
+  * sliding-window chunking, deterministic train/val/test splits,
+  * sequence packing, and PII scrubbing. All pure column expressions
+  * or map-side explodes — the only shuffle in the family is the
+  * per-shard window in [[packSequences]].
+  */
+object Corpus {
+
+  /** Sliding token-window chunking: explode each document into
+    * `chunkSize`-token chunks advancing by `chunkSize - overlap`
+    * tokens (the standard context-window preparation step). Map-side
+    * only — tokens never shuffle; a trailing chunk may be shorter
+    * than `chunkSize`.
+    */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+            chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(step)),
+          s => struct(
+            array_join(slice(col("__toks"), s + 1, lit(chunkSize)), " ").as("chunk_text"),
+            size(slice(col("__toks"), s + 1, lit(chunkSize))).cast("long")
+              .as("n_chunk_tokens"))))
+          .as(Seq("chunk_id", "__c")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("__c.chunk_text").as("chunk_text"),
+        col("__c.n_chunk_tokens").as("n_chunk_tokens"))
+  }
+
+  /** Deterministic train/val/test assignment: md5-bucket of the id.
+    * Stable across runs, engines, and cluster layouts — no RNG, no
+    * sampling order dependence; any engine that can md5 reproduces
+    * the exact split.
+    */
+  def assignSplit(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct + valPct <= 100, "train + val must be <= 100")
+    val bucket = conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Greedy-by-order sequence packing: documents are concatenated in
+    * id order and cut at `budget`-token boundaries, so
+    * pack_id = floor(exclusive-prefix-tokens / budget). Shard columns
+    * bound the window partitions — at 100 TB packing is per shard
+    * (each shard's cumsum is independent), never a single global
+    * ordering.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long, shardCols: Seq[String] = Nil): DataFrame = {
+    val base =
+      if (shardCols.isEmpty) Window.orderBy(col(idCol))
+      else Window.partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
+    val cum = sum(col(tokenCol)).over(base.rowsBetween(Window.unboundedPreceding, 0))
+    df.withColumn("pack_id", floor((cum - col(tokenCol)) / budget))
+  }
+
+  /** PII scrub: replace emails then phone-number runs with typed
+    * placeholder tokens. Patterns are RE2-compatible (no lookarounds)
+    * so any engine reproduces them.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+      "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "[PHONE]")
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class CorpusSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("chunk slides with overlap and covers every token") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Corpus.chunk(docs, "text", "doc_id", chunkSize = 4, overlap = 1)
+      .orderBy("chunk_id")
+      .as[(Long, Long, String, Long)].collect()
+    // starts 0,3,6,9 -> 4 chunks; last is the single trailing token
+    assert(chunks.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(chunks(0)._3 == "w1 w2 w3 w4")
+    assert(chunks(1)._3 == "w4 w5 w6 w7") // 1-token overlap
+    assert(chunks(3)._3 == "w10" && chunks(3)._4 == 1L)
+  }
+
+  test("chunk emits exactly one chunk for short and empty docs") {
+    val docs = Seq((1L, "only two"), (2L, "")).toDF("doc_id", "text")
+    val n = Corpus.chunk(docs, "text", "doc_id", 8, 2)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(n == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("assignSplit is deterministic and roughly proportioned") {
+    val ids = (0L until 1000L).toDF("id")
+    val dist = ids.select(Corpus.assignSplit(col("id")).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(dist.values.sum == 1000)
+    assert(dist("train") > 700 && dist("train") < 900, dist.toString)
+    assert(dist("val") > 50 && dist("val") < 150, dist.toString)
+    // determinism: same ids -> same assignment
+    val again = ids.select(Corpus.assignSplit(col("id")).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(again == dist)
+  }
+
+  test("packSequences cuts at budget boundaries per shard") {
+    val rows = Seq(
+      (1L, 0L, 100L), (2L, 0L, 100L), (3L, 0L, 100L), // cum-excl 0,100,200
+      (4L, 1L, 250L), (5L, 1L, 100L))                 // cum-excl 0,250
+      .toDF("id", "shard", "n")
+    val packed = Corpus.packSequences(rows, "id", "n", budget = 250,
+        shardCols = Seq("shard"))
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 1L))
+  }
+
+  test("scrubPii replaces emails and phones, leaves prose alone") {
+    val df = Seq("mail a.b+c@x-corp.io or call +1 (555) 010-1234 today").toDF("t")
+    val r = df.select(Corpus.scrubPii(col("t"))).as[String].collect()(0)
+    assert(r == "mail [EMAIL] or call [PHONE] today", r)
+  }
+}
