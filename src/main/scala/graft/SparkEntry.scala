@@ -511,6 +511,11 @@ object SparkEntry {
     val a = sh.select(col("doc_id").as("id_a"), col("shingle_set").as("__sa"))
     val b = sh.select(col("doc_id").as("id_b"), col("shingle_set").as("__sb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      // length prefilter (PPJoin-style): J <= min/max of the set sizes,
+      // so size-incompatible pairs are provably below threshold and
+      // skip the O(|A|+|B|) intersection — output is unchanged
+      .filter(least(size(col("__sa")), size(col("__sb"))).cast("double") >=
+        greatest(size(col("__sa")), size(col("__sb"))) * 0.05)
       .withColumn("jaccard", Dedup.jaccardFromSets(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= 0.05)
       .select(col("id_a"), col("id_b"), col("jaccard"))

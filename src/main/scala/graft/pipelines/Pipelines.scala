@@ -41,6 +41,10 @@ object Pipelines {
     // NOT EXISTS guard first (J4): only absent classes generate prompts
     // and only then does the table rewrite happen — the common warm
     // path (class already known) costs one anti-join probe, no write
+    // class sets are metadata-bounded (a handful of labels), so one
+    // driver round-trip decides absent-vs-present AND materializes the
+    // generated prompts — the old isEmpty-then-append shape ran the
+    // classify/anti-join subtree twice
     val fresh = classes.select(col("class_name")).distinct()
       .join(existing.select(col("class_name")), Seq("class_name"), "left_anti")
       .withColumn("prompts",
@@ -49,8 +53,10 @@ object Pipelines {
             col("class_name"), lit("'"))))
       .withColumn("created_at", current_timestamp())
       .withColumn("updated_at", current_timestamp())
-    if (!fresh.isEmpty) {
-      cat.append("CLASS_PROMPTS", fresh)
+    val freshRows = fresh.collect()
+    if (freshRows.nonEmpty) {
+      cat.append("CLASS_PROMPTS", cat.spark.createDataFrame(
+        java.util.Arrays.asList(freshRows: _*), fresh.schema))
       PromptStore.invalidateAll(cat) // negative results may be cached
     }
   }
