@@ -505,7 +505,10 @@ object SparkEntry {
     * intersection semantics). The unbounded scale path is
     * Dedup.minhashNearDups, where LSH prunes the pair space first.
     */
-  private def qDedupJaccard(s: SparkSession, d: String): DataFrame = {
+  /** Bounded-slice exact-Jaccard pairs — shared by the pairwise report
+    * and the cluster-resolution query.
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.shingleTable(
       t(s, d, "documents").filter(col("doc_id") < 200), "text", "doc_id", k = 3)
     val a = sh.select(col("doc_id").as("id_a"), col("shingle_set").as("__sa"))
@@ -519,8 +522,17 @@ object SparkEntry {
       .withColumn("jaccard", Dedup.jaccardFromSets(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= 0.05)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  private def qDedupJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(s, d).orderBy(col("id_a"), col("id_b"))
+
+  /** Duplicate-cluster resolution: connected components over the
+    * near-dup pairs (min-label propagation) — pairwise A~B, B~C
+    * becomes one removable group with keeper min(id).
+    */
+  private def qDedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.clusterPairs(jaccardPairs(s, d)).orderBy(col("id"))
 
   private def qSimLsh(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
@@ -619,6 +631,29 @@ object SparkEntry {
           .as("embedding_json"))
       .orderBy(col("doc_id"))
 
+  /** Export round-trip (S8): write an events slice to CSV and JSON
+    * sinks, read each back through the matching source, aggregate —
+    * the oracle over the original parquet must agree, proving the
+    * text formats preserve the data. Exact-integer aggregates only
+    * (text round-trips must not hash-drift on float formatting).
+    */
+  private def qExportRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_export_").toString
+    val slice = ev(s, d).filter(col("event_id") < 1000)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    slice.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    slice.write.mode("overwrite").json(s"$dir/json")
+    val schema = "event_id LONG, event_type STRING, user_id LONG"
+    val csvBack = s.read.option("header", "true").schema(schema).csv(s"$dir/csv")
+    val jsonBack = s.read.schema(schema).json(s"$dir/json")
+    csvBack.withColumn("source", lit("csv"))
+      .unionByName(jsonBack.withColumn("source", lit("json")))
+      .groupBy(col("source"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"), sum(col("user_id")).as("sum_users"))
+      .orderBy(col("source"), col("event_type"))
+  }
+
   /** Full pipeline e2e (S1/S2/S6/S7/AI1-AI3/X3): stage 50 docs as files
     * in a temp warehouse, run the batch-SQL pipeline over the stage.
     */
@@ -708,6 +743,7 @@ object SparkEntry {
     "q_dedup_exact_groups" -> qDedupExactGroups,
     "q_dedup_exact_keep" -> qDedupExactKeep,
     "q_dedup_jaccard" -> qDedupJaccard,
+    "q_dedup_clusters" -> qDedupClusters,
     "q_text_stats" -> qTextStats,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_langid" -> qTextLangId,
@@ -734,6 +770,7 @@ object SparkEntry {
     "q_approx_distinct" -> qApproxDistinct,
     "q_multimodal_catalog" -> qMultimodalCatalog,
     "q_multimodal_embed" -> qMultimodalEmbed,
+    "q_export_roundtrip" -> qExportRoundtrip,
     "q_pipeline_batch_sql" -> qPipelineBatchSql,
     "q_pipeline_stream" -> qPipelineStream,
     "q_pipeline_interactive" -> qPipelineInteractive,
@@ -913,6 +950,24 @@ object SparkEntry {
     // HLL contract: exact counts match, estimate within the rsd bound
     "q_approx_distinct" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_within_5pct FROM events GROUP BY event_type ORDER BY event_type",
+    // S8 export sinks: both text formats must preserve the slice
+    "q_export_roundtrip" ->
+      ("WITH s AS (SELECT * FROM events WHERE event_id < 1000), " +
+        "a AS (SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id, SUM(user_id) AS sum_users FROM s GROUP BY event_type) " +
+        "SELECT source, event_type, n, min_id, max_id, CAST(sum_users AS BIGINT) AS sum_users " +
+        "FROM (SELECT 'csv' AS source, * FROM a UNION ALL SELECT 'json', * FROM a) ORDER BY source, event_type"),
+    // connected components over the jaccard pairs: transitive closure
+    // via recursive CTE, component label = min reachable id
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents WHERE doc_id < 200), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) END AS sh FROM t), " +
+        "p AS (SELECT id_a, id_b FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard " +
+        "FROM s a, s b WHERE a.doc_id < b.doc_id) WHERE jaccard >= 0.05), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+        "reach(src, dst) AS (SELECT src, dst FROM e UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src) " +
+        "SELECT src AS id, least(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src ORDER BY id"),
     // corpus-prep: chunking / split+pack / scrub
     "q_chunking" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +

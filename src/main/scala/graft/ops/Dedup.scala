@@ -168,4 +168,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming")).distinct()
   }
+
+  /** Duplicate clusters from near-dup pairs: connected components via
+    * iterative min-label propagation. Pairwise output (the *NearDups /
+    * *Candidates families) under-counts duplication — A~B and B~C make
+    * one removable group {A,B,C}; this resolves each member to
+    * cluster_id = min id in its component, the canonical keeper.
+    *
+    * Each round is one equi-join + aggregation on ids (narrow rows);
+    * label propagation converges in <= diameter rounds (near-dup
+    * components are small and dense, so a handful). The driver-side
+    * loop moves only a single converged? count per round — the edge
+    * and label sets never leave the executors.
+    *
+    * Input: (id_a, id_b) pairs, any orientation. Output: (id,
+    * cluster_id) for every id that appears in a pair.
+    */
+  def clusterPairs(pairs: DataFrame,
+                   idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    while (!converged) {
+      // every node adopts min(own label, neighbors' labels)
+      val next = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("__nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__minNbr"))
+        .join(labels, Seq("id"))
+        .select(col("id"), least(col("cluster_id"), col("__minNbr")).as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "__old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("__old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    labels
+  }
 }

@@ -86,4 +86,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("clusterPairs resolves transitive chains to min-id components") {
+    // chain 1-2-3 (2~1, 3~2 but 3!~1), separate pair 7-9, long chain 10..14
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L), labels.toString)
+  }
 }
