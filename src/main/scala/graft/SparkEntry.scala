@@ -631,6 +631,21 @@ object SparkEntry {
           .as("embedding_json"))
       .orderBy(col("doc_id"))
 
+  /** Salted skew join: the hot-key mitigation path must be exactly
+    * semantics-preserving — the oracle is the PLAIN join. events
+    * (every user_id hot: ~150 keys x thousands of rows) joins the
+    * customer dim salted 8 ways, then aggregates per segment.
+    */
+  private def qSkewSaltedJoin(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skew.saltedJoin(
+        ev(s, d).select(col("user_id"), col("event_type")),
+        t(s, d, "customer").select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+        Seq("user_id"), salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("c_mktsegment"))
+
   /** Export round-trip (S8): write an events slice to CSV and JSON
     * sinks, read each back through the matching source, aggregate —
     * the oracle over the original parquet must agree, proving the
@@ -771,6 +786,7 @@ object SparkEntry {
     "q_multimodal_catalog" -> qMultimodalCatalog,
     "q_multimodal_embed" -> qMultimodalEmbed,
     "q_export_roundtrip" -> qExportRoundtrip,
+    "q_skew_salted_join" -> qSkewSaltedJoin,
     "q_pipeline_batch_sql" -> qPipelineBatchSql,
     "q_pipeline_stream" -> qPipelineStream,
     "q_pipeline_interactive" -> qPipelineInteractive,
@@ -950,6 +966,10 @@ object SparkEntry {
     // HLL contract: exact counts match, estimate within the rsd bound
     "q_approx_distinct" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_within_5pct FROM events GROUP BY event_type ORDER BY event_type",
+    // salting is invisible to results: oracle is the plain join
+    "q_skew_salted_join" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users " +
+        "FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     // S8 export sinks: both text formats must preserve the slice
     "q_export_roundtrip" ->
       ("WITH s AS (SELECT * FROM events WHERE event_id < 1000), " +
