@@ -186,9 +186,13 @@ object Dedup {
     */
   def clusterPairs(pairs: DataFrame,
                    idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    // pair generation upstream may be expensive (LSH, crossJoin
+    // kernels) — pin the edge set so each propagation round reads the
+    // materialized ids instead of replaying the whole dedup pipeline
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+      .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
     var converged = false
@@ -206,6 +210,7 @@ object Dedup {
       labels = next
       converged = changed == 0
     }
-    labels
+    edges.unpersist()
+    labels // left cached: tiny (id, cluster_id) rows, lineage is the whole loop
   }
 }
