@@ -78,6 +78,17 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(!shufflePart.contains("text#"), s"text must not shuffle:\n$shufflePart")
   }
 
+  test("range join rides the equi key — no nested-loop explosion (J8)") {
+    val p = plan("q_j8_range_join")
+    assert(!p.contains("NestedLoop"),
+      s"the time-band predicate must stay a join filter on the equi join:\n$p")
+  }
+
+  test("salted join spreads the big side without extra exchanges") {
+    val p = plan("q_skew_salted_join")
+    assert(!p.contains("NestedLoop"), p)
+  }
+
   test("as-of join plans exactly one exchange for the union-window (J7)") {
     val p = plan("q_j7_asof_join")
     // one hash exchange for the window partitioning + the final sort's
