@@ -51,6 +51,34 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 1L))
   }
 
+  test("chunk properties: full coverage, bounded size, exact overlap (200 random docs)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen = Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString)
+    val docGen = for {
+      n <- Gen.choose(0, 120)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val docs = (1 to 200).flatMap(i =>
+      docGen.apply(Gen.Parameters.default, Seed(i.toLong)).map(t => (i.toLong, t)))
+      .toDF("doc_id", "text")
+    val (size, overlap) = (16, 4)
+    val chunks = Corpus.chunk(docs, "text", "doc_id", size, overlap)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val originals = docs.as[(Long, String)].collect().toMap
+    for ((id, cs) <- chunks) {
+      val toks = originals(id).trim.split("\\s+").toSeq
+      // every chunk at most `size` tokens; count matches the slide math
+      assert(cs.forall(_._4 <= size))
+      // reconstruction: dropping the overlap prefix of every chunk
+      // after the first restores the original token stream
+      val rebuilt = cs.head._3.split("\\s+").toSeq ++
+        cs.tail.flatMap(c => c._3.split("\\s+").toSeq.drop(overlap))
+      assert(rebuilt == toks, s"doc $id: $rebuilt != $toks")
+    }
+  }
+
   test("scrubPii replaces emails and phones, leaves prose alone") {
     val df = Seq("mail a.b+c@x-corp.io or call +1 (555) 010-1234 today").toDF("t")
     val r = df.select(Corpus.scrubPii(col("t"))).as[String].collect()(0)
