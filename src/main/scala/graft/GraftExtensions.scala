@@ -17,6 +17,7 @@ import graft.functions.{TextHashExpressions, VectorExpressions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.CheapPredicatesFirst)
     e.injectFunction((
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorExpressions.VectorDot].getName, "vector_dot"),
