@@ -180,6 +180,44 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** jaccard_sets(a, b): |A ∩ B| / |A ∪ B| of two distinct-element
+    * string arrays, rounded to 4dp (HALF_UP, matching Spark round);
+    * 0.0 when the union is empty. One hash-set pass instead of the
+    * interpreted array_intersect + array_union pair — this sits in the
+    * quadratic candidate-verification stage, the exact spot the module
+    * doc says must not run interpreted.
+    */
+  case class JaccardSets(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaccard_sets"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]
+      val bb = b.asInstanceOf[ArrayData]
+      val na = aa.numElements()
+      val nb = bb.numElements()
+      val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](na * 2)
+      var i = 0
+      while (i < na) { set.add(aa.getUTF8String(i)); i += 1 }
+      var inter = 0
+      i = 0
+      while (i < nb) { if (set.contains(bb.getUTF8String(i))) inter += 1; i += 1 }
+      val union = na + nb - inter
+      if (union <= 0) 0.0
+      else java.math.BigDecimal.valueOf(inter.toDouble / union)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def jaccard_sets(a: Column, b: Column): Column =
+    column(JaccardSets(expression(a), expression(b)))
+
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     column(MinHashSignature(expression(shingles), numHashes))
 

@@ -104,13 +104,11 @@ object Dedup {
   }
 
   /** Exact Jaccard from two materialized distinct-shingle arrays:
-    * |A ∩ B| / |A ∪ B|.
+    * |A ∩ B| / |A ∪ B| — single hash-set pass (custom Expression),
+    * not the interpreted array_intersect + array_union pair.
     */
-  def jaccardFromSets(sa: Column, sb: Column): Column = {
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val uni = size(array_union(sa, sb)).cast("double")
-    round(when(uni > 0, inter / uni).otherwise(lit(0.0)), 4)
-  }
+  def jaccardFromSets(sa: Column, sb: Column): Column =
+    graft.functions.TextHashExpressions.jaccard_sets(sa, sb)
 
   /** Full MinHash-LSH near-dup pipeline: candidates -> exact-Jaccard
     * verify -> pairs above threshold. Shingle sets are materialized
