@@ -631,6 +631,33 @@ object SparkEntry {
           .as("embedding_json"))
       .orderBy(col("doc_id"))
 
+  /** Grouped top-k via the typed Aggregator (bounded buffer, partial
+    * aggregation — no full per-group sort); oracle is the window-rank
+    * formulation.
+    */
+  private def qTopKPerGroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val events = ev(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .as[(String, Long, Double)]
+    val topk = new graft.functions.TopKAggregator(3).toColumn
+    events.groupByKey(_._1)
+      .mapValues(e => (e._2, e._3))
+      .agg(topk)
+      .flatMap { case (et, items) =>
+        items.zipWithIndex.map { case ((id, v), i) => (et, i + 1L, id, v) } }
+      .toDF("event_type", "rank", "event_id", "value")
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  /** Deterministic stratified sample: 10 events per event_type by
+    * md5-of-id order — reproducible balanced subsampling.
+    */
+  private def qSampleStratified(s: SparkSession, d: String): DataFrame =
+    graft.ops.Corpus.sampleStratified(
+        ev(s, d).select(col("event_type"), col("event_id")), "event_type", "event_id", n = 10)
+      .orderBy(col("event_type"), col("event_id"))
+
   /** Salted skew join: the hot-key mitigation path must be exactly
     * semantics-preserving — the oracle is the PLAIN join. events
     * (every user_id hot: ~150 keys x thousands of rows) joins the
@@ -658,11 +685,14 @@ object SparkEntry {
       .select(col("event_id"), col("event_type"), col("user_id"))
     slice.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
     slice.write.mode("overwrite").json(s"$dir/json")
+    slice.write.mode("overwrite").orc(s"$dir/orc")
     val schema = "event_id LONG, event_type STRING, user_id LONG"
     val csvBack = s.read.option("header", "true").schema(schema).csv(s"$dir/csv")
     val jsonBack = s.read.schema(schema).json(s"$dir/json")
+    val orcBack = s.read.schema(schema).orc(s"$dir/orc")
     csvBack.withColumn("source", lit("csv"))
       .unionByName(jsonBack.withColumn("source", lit("json")))
+      .unionByName(orcBack.withColumn("source", lit("orc")))
       .groupBy(col("source"), col("event_type"))
       .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
         max(col("event_id")).as("max_id"), sum(col("user_id")).as("sum_users"))
@@ -787,6 +817,8 @@ object SparkEntry {
     "q_multimodal_embed" -> qMultimodalEmbed,
     "q_export_roundtrip" -> qExportRoundtrip,
     "q_skew_salted_join" -> qSkewSaltedJoin,
+    "q_topk_per_group" -> qTopKPerGroup,
+    "q_sample_stratified" -> qSampleStratified,
     "q_pipeline_batch_sql" -> qPipelineBatchSql,
     "q_pipeline_stream" -> qPipelineStream,
     "q_pipeline_interactive" -> qPipelineInteractive,
@@ -966,6 +998,16 @@ object SparkEntry {
     // HLL contract: exact counts match, estimate within the rsd bound
     "q_approx_distinct" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_within_5pct FROM events GROUP BY event_type ORDER BY event_type",
+    // typed Aggregator top-k == window-rank formulation
+    "q_topk_per_group" ->
+      ("SELECT event_type, rank, event_id, value FROM (SELECT event_type, event_id, value, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS rank FROM events) " +
+        "WHERE rank <= 3 ORDER BY event_type, rank"),
+    // md5-ordered stratified sample is engine-reproducible
+    "q_sample_stratified" ->
+      ("SELECT event_type, event_id FROM (SELECT event_type, event_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn FROM events) " +
+        "WHERE rn <= 10 ORDER BY event_type, event_id"),
     // salting is invisible to results: oracle is the plain join
     "q_skew_salted_join" ->
       ("SELECT c_mktsegment, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users " +
@@ -975,7 +1017,7 @@ object SparkEntry {
       ("WITH s AS (SELECT * FROM events WHERE event_id < 1000), " +
         "a AS (SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id, SUM(user_id) AS sum_users FROM s GROUP BY event_type) " +
         "SELECT source, event_type, n, min_id, max_id, CAST(sum_users AS BIGINT) AS sum_users " +
-        "FROM (SELECT 'csv' AS source, * FROM a UNION ALL SELECT 'json', * FROM a) ORDER BY source, event_type"),
+        "FROM (SELECT 'csv' AS source, * FROM a UNION ALL SELECT 'json', * FROM a UNION ALL SELECT 'orc', * FROM a) ORDER BY source, event_type"),
     // connected components over the jaccard pairs: transitive closure
     // via recursive CTE, component label = min reachable id
     "q_dedup_clusters" ->

@@ -67,6 +67,22 @@ object Corpus {
     df.withColumn("pack_id", floor((cum - col(tokenCol)) / budget))
   }
 
+  /** Deterministic stratified sampling: n rows per stratum, chosen by
+    * md5-of-id order — reproducible across runs and engines (no RNG,
+    * no partition-layout dependence), uniform-ish because the hash
+    * decorrelates the choice from the id sequence. One shuffle on the
+    * stratum key; WindowGroupLimit bounds each partition's sort to n.
+    */
+  def sampleStratified(df: DataFrame, strataCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** PII scrub: replace emails then phone-number runs with typed
     * placeholder tokens. Patterns are RE2-compatible (no lookarounds)
     * so any engine reproduces them.

@@ -79,6 +79,17 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sampleStratified takes exactly n per stratum, deterministically") {
+    val rows = (0L until 100L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val s1 = Corpus.sampleStratified(rows, "g", "id", 5)
+      .as[(Long, String)].collect().toSet
+    val s2 = Corpus.sampleStratified(rows, "g", "id", 5)
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2, "must be reproducible")
+    val perGroup = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perGroup == Map("g0" -> 5, "g1" -> 5, "g2" -> 5), perGroup.toString)
+  }
+
   test("scrubPii replaces emails and phones, leaves prose alone") {
     val df = Seq("mail a.b+c@x-corp.io or call +1 (555) 010-1234 today").toDF("t")
     val r = df.select(Corpus.scrubPii(col("t"))).as[String].collect()(0)
