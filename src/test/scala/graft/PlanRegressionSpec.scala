@@ -89,6 +89,17 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("NestedLoop"), p)
   }
 
+  test("stratified sample bounds per-partition sorts (WindowGroupLimit)") {
+    val p = plan("q_sample_stratified")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("typed top-k aggregator partial-aggregates before the shuffle") {
+    val p = plan("q_topk_per_group")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
+  }
+
   test("as-of join plans exactly one exchange for the union-window (J7)") {
     val p = plan("q_j7_asof_join")
     // one hash exchange for the window partitioning + the final sort's
