@@ -699,6 +699,27 @@ object SparkEntry {
       .orderBy(col("source"), col("event_type"))
   }
 
+  /** Media geometry ops oracle-gated: resize planning (aspect-
+    * preserving, long edge capped) and stride frame sampling are exact
+    * arithmetic, so dimensions derived from doc lengths (not content
+    * hashes) let DuckDB replay them.
+    */
+  private def qMultimodalResize(s: SparkSession, d: String): DataFrame = {
+    val len = length(col("text"))
+    val w = (len % 1920 + 32).cast("int")
+    val h = (len * 7 % 1080 + 32).cast("int")
+    val nf = (len % 300).cast("int")
+    t(s, d, "documents")
+      .select(col("doc_id"), w.as("in_w"), h.as("in_h"),
+        graft.ops.Multimodal.resizePlan(w, h, maxDim = 512).as("__rp"),
+        size(graft.ops.Multimodal.sampleFrameIdx(nf, stride = 10)).cast("long")
+          .as("n_sampled"))
+      .select(col("doc_id"), col("in_w"), col("in_h"),
+        col("__rp.out_w").as("out_w"), col("__rp.out_h").as("out_h"),
+        col("__rp.scale").as("scale"), col("n_sampled"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Full pipeline e2e (S1/S2/S6/S7/AI1-AI3/X3): stage 50 docs as files
     * in a temp warehouse, run the batch-SQL pipeline over the stage.
     */
@@ -814,6 +835,7 @@ object SparkEntry {
     "q_canonicalize" -> qCanonicalize,
     "q_approx_distinct" -> qApproxDistinct,
     "q_multimodal_catalog" -> qMultimodalCatalog,
+    "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_embed" -> qMultimodalEmbed,
     "q_export_roundtrip" -> qExportRoundtrip,
     "q_skew_salted_join" -> qSkewSaltedJoin,
@@ -998,6 +1020,14 @@ object SparkEntry {
     // HLL contract: exact counts match, estimate within the rsd bound
     "q_approx_distinct" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_within_5pct FROM events GROUP BY event_type ORDER BY event_type",
+    // media geometry: aspect-preserving resize + stride frame sampling
+    "q_multimodal_resize" ->
+      ("WITH m AS (SELECT doc_id, CAST(length(text) % 1920 + 32 AS INT) AS in_w, " +
+        "CAST(length(text) * 7 % 1080 + 32 AS INT) AS in_h, CAST(length(text) % 300 AS INT) AS nf FROM documents), " +
+        "r AS (SELECT *, CASE WHEN greatest(in_w, in_h) <= 512 THEN 1.0 ELSE CAST(512 AS DOUBLE) / greatest(in_w, in_h) END AS sc FROM m) " +
+        "SELECT doc_id, in_w, in_h, CAST(round(in_w * sc) AS INT) AS out_w, CAST(round(in_h * sc) AS INT) AS out_h, " +
+        "round(sc, 6) AS scale, CAST(len(list_filter(range(0, greatest(nf - 1, 0) + 1), x -> x % 10 = 0)) AS BIGINT) AS n_sampled " +
+        "FROM r ORDER BY doc_id"),
     // typed Aggregator top-k == window-rank formulation
     "q_topk_per_group" ->
       ("SELECT event_type, rank, event_id, value FROM (SELECT event_type, event_id, value, " +
