@@ -14,14 +14,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen, parquet footer cache, JIT) on a tiny
-    // scan plus a small slice of the text-expression machinery so the
-    // first timed query is not charged for session init / first-JIT
+    // warm the session (codegen, parquet footer cache, JIT) on tiny
+    // slices of each expression family so no timed query is charged
+    // for session init / first-JIT of its machinery
     try {
+      import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/region.parquet")
         .write.format("noop").mode("overwrite").save()
-      graft.ops.TextAnalysis.annotateStats(
-          spark.read.parquet(s"$sfDir/documents.parquet").limit(64), "text")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+      graft.ops.TextAnalysis.annotateStats(docs, "text")
+        .write.format("noop").mode("overwrite").save()
+      val sh = graft.ops.Dedup.shingleTable(docs.limit(8), "text", "doc_id", 3)
+      sh.crossJoin(sh.select(col("shingle_set").as("__b")))
+        .select(graft.ops.Dedup.jaccardFromSets(col("shingle_set"), col("__b")))
+        .write.format("noop").mode("overwrite").save()
+      docs.limit(8)
+        .select(graft.ai.AiFunctions.ai_classify(col("text")),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1)).orderBy(col("doc_id"))))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val only = args.toSet // optional query-name filter for local runs
