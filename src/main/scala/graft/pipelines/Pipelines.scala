@@ -88,19 +88,29 @@ object Pipelines {
         substring(col("text"), 1, 6000)))
       .cache()
     try {
-    // persist x4 (app:523-554)
-    cat.append("DOCUMENTS_PROCESSED", extracted.select(
-      col("file_url"), col("relative_path").as("file_ref"),
-      col("class_name"), col("extraction_result")))
-    cat.append("DOCUMENTS_EXTRACTED_FIELDS",
-      Relational.unpivotMap(
-        extracted.select(col("file_url"), col("relative_path").as("file_ref"),
-          col("class_name"), col("result_map")),
-        "result_map", "field_name", "field_value")
-        .withColumn("confidence", lit(null).cast("double")))
-    cat.append("DOCUMENT_OCR", extracted.select(
-      col("relative_path").as("file_name"), col("relative_path").as("file_ref"),
-      col("ocr"), col("summary")))
+    // persist x4 (app:523-554). The three appends hit independent
+    // tables, so they run as concurrent Spark jobs — the engine's form
+    // of the reference's side-thread OCR/summary pool (app:450-452),
+    // including its 120 s join timeout (app:515). The NEW_UPLOADS
+    // merge stays sequential: it is a read-modify-swap.
+    {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.DurationInt
+      Await.result(Future.sequence(Seq(
+        Future(cat.append("DOCUMENTS_PROCESSED", extracted.select(
+          col("file_url"), col("relative_path").as("file_ref"),
+          col("class_name"), col("extraction_result")))),
+        Future(cat.append("DOCUMENTS_EXTRACTED_FIELDS",
+          Relational.unpivotMap(
+            extracted.select(col("file_url"), col("relative_path").as("file_ref"),
+              col("class_name"), col("result_map")),
+            "result_map", "field_name", "field_value")
+            .withColumn("confidence", lit(null).cast("double")))),
+        Future(cat.append("DOCUMENT_OCR", extracted.select(
+          col("relative_path").as("file_name"), col("relative_path").as("file_ref"),
+          col("ocr"), col("summary")))))), 120.seconds)
+    }
     cat.merge("NEW_UPLOADS",
       extracted.select(
         col("relative_path").as("file_name"),
