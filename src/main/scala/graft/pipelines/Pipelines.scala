@@ -188,15 +188,20 @@ object Pipelines {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.cache()
         try {
-          cat.append("DOCUMENTS_PROCESSED", b.select(
-            col("file_url"), col("relative_path").as("file_ref"),
-            col("class_name"), col("extraction_result")))
-          cat.append("DOCUMENTS_EXTRACTED_FIELDS",
-            Relational.unpivotMap(
-              b.select(col("file_url"), col("relative_path").as("file_ref"),
-                col("class_name"), col("result_map")),
-              "result_map", "field_name", "field_value")
-              .withColumn("confidence", lit(null).cast("double")))
+          // independent tables -> concurrent jobs (as in interactive)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.DurationInt
+          Await.result(Future.sequence(Seq(
+            Future(cat.append("DOCUMENTS_PROCESSED", b.select(
+              col("file_url"), col("relative_path").as("file_ref"),
+              col("class_name"), col("extraction_result")))),
+            Future(cat.append("DOCUMENTS_EXTRACTED_FIELDS",
+              Relational.unpivotMap(
+                b.select(col("file_url"), col("relative_path").as("file_ref"),
+                  col("class_name"), col("result_map")),
+                "result_map", "field_name", "field_value")
+                .withColumn("confidence", lit(null).cast("double")))))), 120.seconds)
         } finally b.unpersist()
         ()
       }
