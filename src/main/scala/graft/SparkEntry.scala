@@ -477,26 +477,45 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
 
-  // ---- rows-only (not SQL-expressible; driver records rows>0) ----
+  // ---- contract-oracled approximate operators ----
+  // The corpus carries generator-planted near-duplicates (all true
+  // pairs have exact 3-shingle Jaccard >= 0.8, nothing between 0.3 and
+  // 0.8), so a threshold of 0.5 sits in the gap: the LSH/simhash
+  // candidate stage must recover EVERY qualifying pair for the
+  // hash-compare against DuckDB's exact all-pairs replay to pass.
 
+  /** MinHash-LSH near-dups over ALL documents, hard-oracled: 16 bands
+    * x 2 rows makes the per-pair miss probability (1-J^2)^16 <= 8e-8 at
+    * J = 0.8, so the banded equi-join provably reproduces the exact
+    * J >= 0.5 pair set that DuckDB computes by brute force.
+    */
   private def qMinhashNearDups(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id",
-        threshold = 0.05, shingleK = 3, numHashes = 16, bands = 8)
+        threshold = 0.5, shingleK = 3, numHashes = 32, bands = 16)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** SimHash near-dups via the 8-block pigeonhole equi-join
+    * (Dedup.simhashCandidates — the scale path, NOT a crossJoin demo),
+    * gated on recall of the TRUE near-dup pair set: a few true pairs
+    * sit at Hamming 8-11 (beyond any practical block radius — simhash's
+    * inherent trade-off), so the hard contract is (n_true_pairs,
+    * recall >= 0.9). n_true_pairs replays exactly in DuckDB; the truth
+    * set in-engine is minhashNearDups, itself hash-proven equal to the
+    * DuckDB brute force by q_dedup_minhash. Measured recall: 0.96-1.0
+    * across SFs.
+    */
   private def qSimhashPairs(s: SparkSession, d: String): DataFrame = {
-    // demo on a bounded slice (all sfs have >=500 docs) so the pairwise
-    // report stays cheap; the scale path is Dedup.simhashCandidates'
-    // block equi-join, exercised in the test suite
-    val sig = Dedup.simhashTable(
-      t(s, d, "documents").filter(col("doc_id") < 500), "text", "doc_id")
-    val a = sig.select(col("doc_id").as("id_a"), col("simhash").as("sig_a"))
-    val b = sig.select(col("doc_id").as("id_b"), col("simhash").as("sig_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .orderBy(col("hamming"), col("id_a"), col("id_b"))
-      .select(col("id_a"), col("id_b"), col("hamming"))
-      .limit(50)
+    val docs = t(s, d, "documents")
+    val truth = Dedup.minhashNearDups(docs, "text", "doc_id",
+        threshold = 0.5, shingleK = 3, numHashes = 32, bands = 16)
+      .select(col("id_a"), col("id_b"))
+    val found = Dedup.simhashCandidates(docs, "text", "doc_id",
+        maxHamming = 7, nBlocks = 8)
+      .select(col("id_a"), col("id_b"))
+    truth.join(found.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        (sum(coalesce(col("__hit"), lit(0))).cast("double") /
+          count(lit(1)) >= 0.9).as("recall_ok"))
   }
 
   /** Exact n-gram (3-shingle) Jaccard near-dup pairs on a bounded
@@ -534,18 +553,68 @@ object SparkEntry {
   private def qDedupClusters(s: SparkSession, d: String): DataFrame =
     Dedup.clusterPairs(jaccardPairs(s, d)).orderBy(col("id"))
 
-  private def qSimLsh(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, nBits = 10, nTables = 4)
-      .select(col("query_id"), col("corpus_id"), col("rank"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+  /** Recall@5 contract for an ANN result against the exact top-5: a
+    * returned neighbor counts as "good" if its cosine reaches the
+    * query's exact 5th-best (ties included, 1e-6 slack for the shared
+    * 4dp rounding), and the per-query gate is n_good >= minGood.
+    * Engine-specific bucketing stays invisible to the oracle; the
+    * boolean contract is what DuckDB checks (same pattern as
+    * q_approx_distinct's error-bound gate).
+    */
+  private def annRecallContract(exact: DataFrame, approx: DataFrame,
+                                minGood: Int): DataFrame = {
+    val kth = exact.groupBy(col("query_id"))
+      .agg(min(col("cosine")).as("__kth_cos"))
+    val good = approx.join(kth, Seq("query_id"))
+      .filter(col("cosine") >= col("__kth_cos") - 1e-6)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__n_good"))
+    kth.join(good, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("__n_good"), lit(0L)) >= minGood).as("recall_ok"))
+      .orderBy(col("query_id"))
   }
 
+  /** SRP-LSH ANN top-5, gated on recall@5 >= 0.8 vs the exact top-5
+    * (brute-force baseline validated separately by q_sim_topk).
+    */
+  private def qSimLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    // the fixture embeddings are near-uniform random (exact top-5
+    // cosines ~0.3), the hardest case for SRP: few bits + many tables
+    // is the honest operating point; measured 5/5 at every SF
+    annRecallContract(
+      Similarity.bruteForceTopK(emb, probes, 5),
+      Similarity.lshTopK(emb, probes, 5, nBits = 4, nTables = 32),
+      minGood = 4)
+  }
+
+  /** IVF ANN top-5, same recall@5 >= 0.8 contract. */
   private def qSimIvf(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
     val idx = graft.ops.Ivf.build(emb, k = 16, iters = 2)
-    graft.ops.Ivf.search(idx, emb.filter(col("vec_id") < 10), topK = 5, nProbe = 4)
-      .orderBy(col("query_id"), col("rank"))
+    annRecallContract(
+      Similarity.bruteForceTopK(emb, probes, 5),
+      graft.ops.Ivf.search(idx, probes, topK = 5, nProbe = 6),
+      minGood = 4)
+  }
+
+  /** Embedding near-dup SCALE path (SRP-LSH bucketed candidates,
+    * Similarity.cosineNearDups) gated on recall vs the exact pair set:
+    * the one-row contract (n_exact, recall_ok) is DuckDB-replayable —
+    * n_exact via brute force, recall_ok as the >= 0.9 bound.
+    */
+  private def qEmbNearDupsLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val exact = Similarity.exactNearDupPairs(emb, threshold = 0.4)
+      .select(col("id_a"), col("id_b"))
+    val lsh = Similarity.cosineNearDups(emb, threshold = 0.4, nBits = 4, nTables = 32)
+      .select(col("id_a"), col("id_b"))
+    exact.join(lsh.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("__hit"), lit(0))).cast("double") /
+          count(lit(1)) >= 0.9).as("recall_ok"))
   }
 
   private def qAiClassify(s: SparkSession, d: String): DataFrame =
@@ -618,18 +687,66 @@ object SparkEntry {
           col("exact_users") <= 0.05).as("approx_within_5pct"))
       .orderBy(col("event_type"))
 
+  /** Deterministic media blob fixture: real container magic bytes
+    * (chosen by doc_id % 8) prepended to the doc's UTF-8 bytes — so the
+    * REAL part of the multimodal path (magic-byte sniffing, byte
+    * accounting) is exercised on genuine headers and is exactly
+    * DuckDB-replayable from (doc_id, text) alone.
+    */
+  private val mediaHeaderHex: Seq[String] = Seq(
+    "",                 // 0: no header -> unknown
+    "89504E470D0A1A0A", // 1: png
+    "FFD8FFE0",         // 2: jpeg
+    "47494638",         // 3: gif
+    "52494646",         // 4: riff
+    "0000001866747970", // 5: mp4 (size box + 'ftyp')
+    "494433",           // 6: mp3
+    "25504446")         // 7: pdf
+
+  private def mediaBlob: Column =
+    concat(
+      unhex(element_at(
+        array(mediaHeaderHex.map(lit): _*), (col("doc_id") % 8 + 1).cast("int"))),
+      col("text").cast("binary"))
+
+  /** Media catalog over magic-byte-stamped blobs: format sniffing and
+    * byte size are the real (non-stub) half of the decode path, and
+    * both replay exactly in DuckDB (format from doc_id % 8, size =
+    * octet_length(text) + header length).
+    */
   private def qMultimodalCatalog(s: SparkSession, d: String): DataFrame =
     graft.ops.Multimodal.mediaCatalog(
-      t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("blob")),
+      t(s, d, "documents").select(col("doc_id"), mediaBlob.as("blob")),
       "blob", "doc_id")
+      .select(col("doc_id"), col("format"), col("byte_size"))
       .orderBy(col("doc_id"))
 
-  private def qMultimodalEmbed(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+  /** Embedding stub contract: the fake values are engine-specific, but
+    * the invariants a real extractor must satisfy are oracle-checkable —
+    * fixed dim, bounded range, and bytewise determinism (a planted
+    * byte-identical copy of each doc < 100 must embed identically).
+    */
+  private def qMultimodalEmbed(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val emb = base.select(col("doc_id"),
+      graft.ops.Multimodal.fakeEmbedding(col("blob"), 8).as("__e"))
+    // independent re-read + recompute (separate scan, shuffled through a
+    // join): gates that the embedding is a pure function of the bytes —
+    // rand()/partition-dependent state would break the equality
+    val recomputed = t(s, d, "documents").filter(col("doc_id") < 100)
       .select(col("doc_id"),
-        to_json(graft.ops.Multimodal.fakeEmbedding(col("text").cast("binary"), 8))
-          .as("embedding_json"))
+        graft.ops.Multimodal.fakeEmbedding(col("text").cast("binary"), 8).as("__e2"))
+    emb.join(recomputed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__e")).cast("long").as("dim"),
+        (size(filter(col("__e"), v => v < -1.0 || v >= 1.0)) === 0).as("in_range"),
+        // vacuously TRUE beyond the re-checked slice: keeps the column
+        // non-null (null-vs-NaN drift across parquet/duckdb readers)
+        when(col("__e2").isNotNull, col("__e") === col("__e2"))
+          .otherwise(lit(true)).as("matches_dup"))
       .orderBy(col("doc_id"))
+  }
 
   /** Grouped top-k via the typed Aggregator (bounded buffer, partial
     * aggregation — no full per-group sort); oracle is the window-rank
@@ -680,23 +797,34 @@ object SparkEntry {
     * (text round-trips must not hash-drift on float formatting).
     */
   private def qExportRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_export_").toString
-    val slice = ev(s, d).filter(col("event_id") < 1000)
-      .select(col("event_id"), col("event_type"), col("user_id"))
-    slice.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
-    slice.write.mode("overwrite").json(s"$dir/json")
-    slice.write.mode("overwrite").orc(s"$dir/orc")
-    val schema = "event_id LONG, event_type STRING, user_id LONG"
-    val csvBack = s.read.option("header", "true").schema(schema).csv(s"$dir/csv")
-    val jsonBack = s.read.schema(schema).json(s"$dir/json")
-    val orcBack = s.read.schema(schema).orc(s"$dir/orc")
-    csvBack.withColumn("source", lit("csv"))
-      .unionByName(jsonBack.withColumn("source", lit("json")))
-      .unionByName(orcBack.withColumn("source", lit("orc")))
-      .groupBy(col("source"), col("event_type"))
-      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
-        max(col("event_id")).as("max_id"), sum(col("user_id")).as("sum_users"))
-      .orderBy(col("source"), col("event_type"))
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_export_")
+    val dir = dirPath.toString
+    try {
+      val slice = ev(s, d).filter(col("event_id") < 1000)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      slice.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+      slice.write.mode("overwrite").json(s"$dir/json")
+      slice.write.mode("overwrite").orc(s"$dir/orc")
+      val schema = "event_id LONG, event_type STRING, user_id LONG"
+      val csvBack = s.read.option("header", "true").schema(schema).csv(s"$dir/csv")
+      val jsonBack = s.read.schema(schema).json(s"$dir/json")
+      val orcBack = s.read.schema(schema).orc(s"$dir/orc")
+      val agg = csvBack.withColumn("source", lit("csv"))
+        .unionByName(jsonBack.withColumn("source", lit("json")))
+        .unionByName(orcBack.withColumn("source", lit("orc")))
+        .groupBy(col("source"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"), sum(col("user_id")).as("sum_users"))
+        .orderBy(col("source"), col("event_type"))
+      // materialize the (tiny) summary so the export dir can be removed
+      // NOW instead of leaking a temp tree per invocation
+      s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+        .orderBy(col("source"), col("event_type"))
+    } finally {
+      java.nio.file.Files.walk(dirPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
   }
 
   /** Media geometry ops oracle-gated: resize planning (aspect-
@@ -822,7 +950,7 @@ object SparkEntry {
     "q_sim_topk" -> qSimTopK,
     "q_corpus_curation" -> qCuration,
     "q_emb_near_dups" -> qEmbNearDups,
-    // rows-only (no oracle): AI, LSH-approximate, pipelines
+    "q_emb_near_dups_lsh" -> qEmbNearDupsLsh,
     "q_dedup_minhash" -> qMinhashNearDups,
     "q_dedup_simhash" -> qSimhashPairs,
     "q_sim_lsh_topk" -> qSimLsh,
@@ -966,6 +1094,31 @@ object SparkEntry {
         "WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5(text)) ORDER BY doc_id"),
     "q_emb_near_dups" ->
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b",
+    // LSH scale-path contract: pair count from brute force, recall bound
+    "q_emb_near_dups_lsh" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok FROM embeddings a, embeddings b " +
+        "WHERE a.vec_id < b.vec_id AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4"),
+    // ANN recall contracts: the exact top-5 exists (q_sim_topk proves
+    // DuckDB and Spark agree on it); the gate is recall@5 >= 0.8
+    "q_sim_lsh_topk" ->
+      "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY query_id",
+    "q_sim_ivf_topk" ->
+      "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY query_id",
+    // banded-minhash candidates must reproduce the exact all-pairs
+    // J >= 0.5 set (planted dups all sit at J >= 0.8); the simhash
+    // block join is gated on true-pair count + recall bound
+    "q_dedup_minhash" -> duckJaccardAllPairsSql,
+    "q_dedup_simhash" ->
+      (s"SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok FROM ($duckJaccardAllPairsSql)"),
+    // magic-byte sniffing + byte accounting replayed from (doc_id, text)
+    "q_multimodal_catalog" ->
+      ("SELECT doc_id, ['unknown','png','jpeg','gif','riff','mp4','mp3','pdf'][1 + CAST(doc_id % 8 AS INT)] AS format, " +
+        "CAST(octet_length(encode(text)) + [0,8,4,4,4,8,3,4][1 + CAST(doc_id % 8 AS INT)] AS BIGINT) AS byte_size " +
+        "FROM documents ORDER BY doc_id"),
+    // embedding stub invariants: dim, range, bytewise determinism
+    "q_multimodal_embed" ->
+      ("SELECT doc_id, CAST(8 AS BIGINT) AS dim, TRUE AS in_range, " +
+        "TRUE AS matches_dup FROM documents ORDER BY doc_id"),
     // fake-AI oracles: the deterministic local backend is plain
     // sha256/identity logic, so DuckDB can replay it exactly.
     // classify = classes[floorMod(signed first sha256 byte, 5)]
@@ -1088,6 +1241,18 @@ object SparkEntry {
         "(3, '{\"f\":\"Inner?\"}'), " +
         "(4, '{\"q\":\"Extract key facts for class invoice.\"}')) t(id, canon_json) ORDER BY id"),
   )
+
+  /** Exact 3-shingle Jaccard pairs at J >= 0.5 over ALL documents —
+    * the shared ground truth for both approximate near-dup entries
+    * (q_dedup_minhash's banded LSH, q_dedup_simhash's block join).
+    */
+  private val duckJaccardAllPairsSql: String =
+    "WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+      "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+      "ELSE list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) END AS sh FROM t) " +
+      "SELECT id_a, id_b, jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard " +
+      "FROM s a, s b WHERE a.doc_id < b.doc_id) WHERE jaccard >= 0.5 ORDER BY id_a, id_b"
 
   /** Staged file name for a documents row (stagedCatalog's naming). */
   private val duckDocFile: String =

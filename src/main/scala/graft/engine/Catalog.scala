@@ -64,6 +64,58 @@ final class Catalog(val spark: SparkSession, val root: String) {
       .parquet(tablePath(name))
   }
 
+  /** Idempotent append for streaming foreachBatch (X2): replaying the
+    * same (table, token) after a crash between append and checkpoint
+    * commit must not double-append. The batch is staged to a temp dir,
+    * any files from a previous attempt of the SAME token are removed,
+    * then the fresh files move in under token-stamped names — so the
+    * final state after any number of replays is exactly one copy.
+    * Partition subdirectories (partitionSpec) are preserved.
+    */
+  def appendBatch(name: String, df: DataFrame, token: String): Unit = {
+    require(token.matches("[A-Za-z0-9_-]+"), s"unsafe batch token: $token")
+    val schema = schemas(name)
+    val withDefaults = schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else if (f.dataType.isInstanceOf[TimestampType] || f.name.endsWith("_at"))
+        d.withColumn(f.name, current_timestamp())
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    val tmp = s"$root/tables/.stage_${name}_$token"
+    val writer = withDefaults.select(schema.fieldNames.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+    partitionSpec.get(name).fold(writer)(cols => writer.partitionBy(cols: _*))
+      .parquet(tmp)
+    val tmpPath = Paths.get(tmp)
+    val target = Paths.get(tablePath(name))
+    Files.createDirectories(target)
+    // clear leftovers of a prior attempt of this token (crash mid-move)
+    val suffix = s"-b$token.parquet"
+    val old = Files.walk(target)
+    try old.filter(p => p.getFileName.toString.endsWith(suffix))
+      .forEach(p => Files.delete(p))
+    finally old.close()
+    // move fresh files in, preserving partition subdirs, token-stamped
+    val walk = Files.walk(tmpPath)
+    val fresh =
+      try {
+        val it = walk.filter(p => p.getFileName.toString.endsWith(".parquet")).iterator()
+        val b = Seq.newBuilder[java.nio.file.Path]
+        while (it.hasNext) b += it.next()
+        b.result().sortBy(_.toString)
+      } finally walk.close()
+    fresh.zipWithIndex.foreach { case (src, i) =>
+      val rel = tmpPath.relativize(src)
+      val destDir = if (rel.getParent == null) target else target.resolve(rel.getParent)
+      Files.createDirectories(destDir)
+      Files.move(src, destDir.resolve(f"part-$i%05d$suffix"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (!Files.exists(target.resolve("_SUCCESS")))
+      Files.write(target.resolve("_SUCCESS"), Array.emptyByteArray)
+    deleteRecursively(tmpPath)
+  }
+
   /** MERGE upsert persisted (J5): anti-join + union, written to a temp
     * directory then atomically swapped in (SURVEY §7.4 risk 1 — no table
     * format offline, so single-writer directory swap).
@@ -83,11 +135,30 @@ final class Catalog(val spark: SparkSession, val root: String) {
     partitionSpec.get(name).fold(writer)(cols => writer.partitionBy(cols: _*))
       .parquet(tmp)
     val target = Paths.get(tablePath(name))
-    // Re-point the table directory at the fresh data. Single-writer:
-    // delete old, move new (two steps; crash between them loses the old
-    // copy but never exposes mixed data — acceptable without a log).
-    deleteRecursively(target)
+    val bak = Paths.get(s"$root/tables/.bak_$name")
+    // Re-point the table directory at the fresh data. Single-writer
+    // bak-swap: live -> .bak, tmp -> live, drop .bak. At no instant is
+    // the table deleted without its replacement staged — a crash leaves
+    // either the old live dir or the old data intact under .bak, never
+    // nothing. recover() (called on open) finishes an interrupted swap.
+    deleteRecursively(bak)
+    if (Files.exists(target)) Files.move(target, bak, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(bak)
+  }
+
+  /** Crash recovery for an interrupted [[overwrite]] swap: if the live
+    * dir vanished mid-swap, restore whichever staged copy exists
+    * (.tmp_ = new data fully written, else .bak_ = previous data).
+    */
+  def recover(name: String): Unit = {
+    val target = Paths.get(tablePath(name))
+    if (!Files.exists(target)) {
+      val tmp = Paths.get(s"$root/tables/.tmp_$name")
+      val bak = Paths.get(s"$root/tables/.bak_$name")
+      if (Files.exists(tmp)) Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      else if (Files.exists(bak)) Files.move(bak, target, StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -99,6 +170,41 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   /** DROP TABLE (S9; cleanup:14-28). */
   def dropTable(name: String): Unit = deleteRecursively(Paths.get(tablePath(name)))
+
+  /** DROP STAGE (cleanup:17-20): remove a stage directory and its files. */
+  def dropStage(stage: String): Unit = deleteRecursively(Paths.get(stageDir(stage)))
+
+  /** SHOW TABLES (S10; setup:148-161, cleanup:41-45): warehouse table
+    * names present on disk (directory exists), sorted.
+    */
+  def listTables(): Seq[String] = {
+    val d = Paths.get(s"$root/tables")
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try {
+        val it = s.iterator()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (!n.startsWith(".")) b += n
+        }
+        b.result().sorted
+      } finally s.close()
+    }
+  }
+
+  /** INFORMATION_SCHEMA-style object counts (S10; setup:148-161's
+    * verification query): one row per object kind, as a DataFrame so
+    * it composes with the rest of the query surface.
+    */
+  def introspect(): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("tables", listTables().size.toLong),
+      ("stages", listStages().size.toLong))
+      .toDF("object_kind", "n")
+  }
 
   /** Compact a table's small files: streaming/per-document appends
     * leave one parquet file per micro-batch write, and scan-task count

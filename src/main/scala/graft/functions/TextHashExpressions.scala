@@ -180,8 +180,9 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
-  /** jaccard_sets(a, b): |A ∩ B| / |A ∪ B| of two distinct-element
-    * string arrays, rounded to 4dp (HALF_UP, matching Spark round);
+  /** jaccard_sets(a, b): |A ∩ B| / |A ∪ B| of two string arrays
+    * (duplicate elements on either side are ignored — true set
+    * semantics), rounded to 4dp (HALF_UP, matching Spark round);
     * 0.0 when the union is empty. One hash-set pass instead of the
     * interpreted array_intersect + array_union pair — this sits in the
     * quadratic candidate-verification stage, the exact spot the module
@@ -198,13 +199,20 @@ object TextHashExpressions {
       val bb = b.asInstanceOf[ArrayData]
       val na = aa.numElements()
       val nb = bb.numElements()
-      val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](na * 2)
+      val setA = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](na * 2)
       var i = 0
-      while (i < na) { set.add(aa.getUTF8String(i)); i += 1 }
+      while (i < na) { setA.add(aa.getUTF8String(i)); i += 1 }
+      // distinct-count b and the intersection in the same pass, so the
+      // union formula stays exact even when inputs carry duplicates
+      val setB = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](nb * 2)
       var inter = 0
       i = 0
-      while (i < nb) { if (set.contains(bb.getUTF8String(i))) inter += 1; i += 1 }
-      val union = na + nb - inter
+      while (i < nb) {
+        val e = bb.getUTF8String(i)
+        if (setB.add(e) && setA.contains(e)) inter += 1
+        i += 1
+      }
+      val union = setA.size + setB.size - inter
       if (union <= 0) 0.0
       else java.math.BigDecimal.valueOf(inter.toDouble / union)
         .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -143,18 +143,25 @@ object Dedup {
       simhash64(split(lower(trim(col(textCol))), "\\s+")).as("simhash"))
 
   /** SimHash near-dup candidates with Hamming distance <= maxHamming
-    * via the 4-block pigeonhole trick: split the 64-bit signature into
-    * 4 16-bit blocks; any pair within distance 3 must agree on >=1
-    * block, so an equi-join per block finds all such pairs — no cross
-    * join. (For maxHamming > 3 the block join is a recall-losing
-    * approximation; the guarantee holds at <= 3.)
+    * via the pigeonhole trick: split the 64-bit signature into
+    * `nBlocks` equal blocks; any pair within distance nBlocks-1 must
+    * agree on >=1 block, so an equi-join per block finds all such
+    * pairs — no cross join. The guarantee holds iff maxHamming <=
+    * nBlocks - 1 (enforced); more blocks widen the radius but shrink
+    * the block width, so bucket collisions (candidate volume) grow —
+    * 4x16-bit for tight radii, 8x8-bit for hamming <= 7.
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3, nBlocks: Int = 4): DataFrame = {
+    require(64 % nBlocks == 0, "nBlocks must divide 64")
+    require(maxHamming <= nBlocks - 1,
+      s"pigeonhole guarantee needs maxHamming <= nBlocks-1 (got $maxHamming, $nBlocks)")
+    val bits = 64 / nBlocks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val sig = simhashTable(df, textCol, idCol)
     val blocked = sig.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until nBlocks).map(b =>
+        shiftrightunsigned(col("simhash"), b * bits).bitwiseAND(lit(mask))): _*))
         .as(Seq("block", "block_val")))
     val a = blocked.select(col("block"), col("block_val"),
       col(idCol).as("id_a"), col("simhash").as("sig_a"))
@@ -193,22 +200,36 @@ object Dedup {
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
+    var round = 0
     var converged = false
     while (!converged) {
       // every node adopts min(own label, neighbors' labels)
-      val next = edges
+      val computed = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("__nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__minNbr"))
         .join(labels, Seq("id"))
         .select(col("id"), least(col("cluster_id"), col("__minNbr")).as("cluster_id"))
-        .cache()
+      // cache pins each round's result, but the PLAN still stacks one
+      // join per round — on a high-diameter component that blows up
+      // planning/stack depth, so truncate lineage every few rounds
+      // (localCheckpoint: tiny (id, cluster_id) rows, reclaimed by the
+      // ContextCleaner once unreferenced)
+      val next =
+        if (round % 3 == 2) computed.localCheckpoint()
+        else computed.cache()
       val changed = next.join(labels.withColumnRenamed("cluster_id", "__old"), Seq("id"))
         .filter(col("cluster_id") =!= col("__old")).limit(1).count()
       labels.unpersist()
       labels = next
+      round += 1
       converged = changed == 0
     }
     edges.unpersist()
-    labels // left cached: tiny (id, cluster_id) rows, lineage is the whole loop
+    // hand back a lineage-free frame and release the loop's cache entry:
+    // cached frames live in the CacheManager until explicitly unpersisted,
+    // so returning `labels` cached would leak across repeated calls
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    out
   }
 }

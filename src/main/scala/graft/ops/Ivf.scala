@@ -47,26 +47,34 @@ object Ivf {
     * the expression tree tiny (no k x dim literal tree to optimize)
     * and ships with the task closure exactly like MLlib's k-means.
     */
-  private def rankedCentroids(cen: Cen)(emb: Seq[Double]): Array[Int] = {
+  private def rankedCentroids(cen: Cen): Seq[Double] => Array[Int] = {
+    // sort once at closure build, NOT per row (cen is driver-side and
+    // already id-ordered from build; this just makes that a guarantee)
     val sorted = cen.sortBy(_._1)
-    val e = emb.toArray
-    var vn = 0.0
-    var j = 0
-    while (j < e.length) { vn += e(j) * e(j); j += 1 }
-    vn = math.sqrt(vn)
-    sorted.map { case (id, cv) =>
-      var d = 0.0
-      var cn = 0.0
-      var i = 0
-      while (i < cv.length) { d += cv(i) * e(i); cn += cv(i) * cv(i); i += 1 }
-      (id, d / (vn * math.sqrt(cn)))
-    }.sortBy { case (id, cos) => (-cos, id) }.map(_._1)
+    emb => {
+      val e = emb.toArray
+      var vn = 0.0
+      var j = 0
+      while (j < e.length) { vn += e(j) * e(j); j += 1 }
+      vn = math.sqrt(vn)
+      sorted.map { case (id, cv) =>
+        var d = 0.0
+        var cn = 0.0
+        var i = 0
+        while (i < cv.length) { d += cv(i) * e(i); cn += cv(i) * cv(i); i += 1 }
+        val den = vn * math.sqrt(cn)
+        // zero-norm vector (degenerate input): define cosine as 0.0 so
+        // ordering stays total — NaN would sort unpredictably vs Spark
+        (id, if (den == 0.0) 0.0 else d / den)
+      }.sortBy { case (id, cos) => (-cos, id) }.map(_._1)
+    }
   }
 
   /** Map-side nearest-centroid assignment (the k-means E-step). */
   private def assign(corpus: DataFrame, cen: Cen,
                      idCol: String, vecCol: String): DataFrame = {
-    val nearest = udf((emb: Seq[Double]) => rankedCentroids(cen)(emb).head)
+    val ranker = rankedCentroids(cen)
+    val nearest = udf((emb: Seq[Double]) => ranker(emb).head)
     corpus.select(col(idCol), col(vecCol),
       nearest(col(vecCol).cast("array<double>")).as("centroid_id"))
   }
@@ -111,7 +119,8 @@ object Ivf {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     // per-probe list selection is a projection: rank the k centroids
     // in the closure, keep nProbe ids, explode
-    val lists = udf((emb: Seq[Double]) => rankedCentroids(cen)(emb).take(nProbe))
+    val ranker = rankedCentroids(cen)
+    val lists = udf((emb: Seq[Double]) => ranker(emb).take(nProbe))
     val chosen = probes
       .select(col(idCol).as("query_id"), col(vecCol).as("__pv"))
       .withColumn("__pn", norm(col("__pv")))

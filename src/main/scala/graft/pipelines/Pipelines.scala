@@ -32,6 +32,21 @@ object Pipelines {
     map(prompts.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
 
+  /** Run independent persist jobs concurrently and settle ALL of them
+    * before propagating the first failure — callers unpersist shared
+    * cached frames right after, which must not happen under in-flight
+    * sibling jobs (and partial writes stay deterministic per job).
+    */
+  private def runConcurrently(tasks: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.DurationInt
+    val settled = tasks.map(t =>
+      Future(t()).map(_ => None: Option[Throwable]).recover { case e => Some(e) })
+    val errs = Await.result(Future.sequence(settled), 120.seconds).flatten
+    errs.headOption.foreach(e => throw e)
+  }
+
   /** Ensure a prompt schema exists for each class present in `classes`
     * (app:481-489): generate via ai_complete + PARSE_JSON, guarded by
     * NOT EXISTS (insert-if-absent), persisted through the catalog merge.
@@ -93,24 +108,19 @@ object Pipelines {
     // of the reference's side-thread OCR/summary pool (app:450-452),
     // including its 120 s join timeout (app:515). The NEW_UPLOADS
     // merge stays sequential: it is a read-modify-swap.
-    {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.DurationInt
-      Await.result(Future.sequence(Seq(
-        Future(cat.append("DOCUMENTS_PROCESSED", extracted.select(
-          col("file_url"), col("relative_path").as("file_ref"),
-          col("class_name"), col("extraction_result")))),
-        Future(cat.append("DOCUMENTS_EXTRACTED_FIELDS",
-          Relational.unpivotMap(
-            extracted.select(col("file_url"), col("relative_path").as("file_ref"),
-              col("class_name"), col("result_map")),
-            "result_map", "field_name", "field_value")
-            .withColumn("confidence", lit(null).cast("double")))),
-        Future(cat.append("DOCUMENT_OCR", extracted.select(
-          col("relative_path").as("file_name"), col("relative_path").as("file_ref"),
-          col("ocr"), col("summary")))))), 120.seconds)
-    }
+    runConcurrently(Seq(
+      () => cat.append("DOCUMENTS_PROCESSED", extracted.select(
+        col("file_url"), col("relative_path").as("file_ref"),
+        col("class_name"), col("extraction_result"))),
+      () => cat.append("DOCUMENTS_EXTRACTED_FIELDS",
+        Relational.unpivotMap(
+          extracted.select(col("file_url"), col("relative_path").as("file_ref"),
+            col("class_name"), col("result_map")),
+          "result_map", "field_name", "field_value")
+          .withColumn("confidence", lit(null).cast("double"))),
+      () => cat.append("DOCUMENT_OCR", extracted.select(
+        col("relative_path").as("file_name"), col("relative_path").as("file_ref"),
+        col("ocr"), col("summary")))))
     cat.merge("NEW_UPLOADS",
       extracted.select(
         col("relative_path").as("file_name"),
@@ -185,26 +195,33 @@ object Pipelines {
       .withColumn("result_map", ai_extract(col("text"), promptsCol))
     extracted.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.cache()
-        try {
-          // independent tables -> concurrent jobs (as in interactive)
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.ExecutionContext.Implicits.global
-          import scala.concurrent.duration.DurationInt
-          Await.result(Future.sequence(Seq(
-            Future(cat.append("DOCUMENTS_PROCESSED", b.select(
-              col("file_url"), col("relative_path").as("file_ref"),
-              col("class_name"), col("extraction_result")))),
-            Future(cat.append("DOCUMENTS_EXTRACTED_FIELDS",
-              Relational.unpivotMap(
-                b.select(col("file_url"), col("relative_path").as("file_ref"),
-                  col("class_name"), col("result_map")),
-                "result_map", "field_name", "field_value")
-                .withColumn("confidence", lit(null).cast("double")))))), 120.seconds)
-        } finally b.unpersist()
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        persistBatch(cat, batch, batchId)
       }
       .start()
+  }
+
+  /** The stream's per-batch persist, exactly-once under foreachBatch
+    * replay: writes are token-stamped with the batchId (appendBatch),
+    * so a crash between the append and the checkpoint commit re-runs
+    * the batch onto its own files instead of double-appending.
+    */
+  private[pipelines] def persistBatch(cat: Catalog, batch: DataFrame,
+                                      batchId: Long): Unit = {
+    val b = batch.cache()
+    try {
+      // independent tables -> concurrent jobs (as in interactive)
+      runConcurrently(Seq(
+        () => cat.appendBatch("DOCUMENTS_PROCESSED", b.select(
+          col("file_url"), col("relative_path").as("file_ref"),
+          col("class_name"), col("extraction_result")), s"$batchId"),
+        () => cat.appendBatch("DOCUMENTS_EXTRACTED_FIELDS",
+          Relational.unpivotMap(
+            b.select(col("file_url"), col("relative_path").as("file_ref"),
+              col("class_name"), col("result_map")),
+            "result_map", "field_name", "field_value")
+            .withColumn("confidence", lit(null).cast("double")), s"$batchId")))
+    } finally b.unpersist()
+    ()
   }
 }

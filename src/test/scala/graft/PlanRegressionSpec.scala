@@ -108,4 +108,22 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     val hashExchanges = "hashpartitioning".r.findAllIn(p).length
     assert(hashExchanges <= 2, s"expected at most 2 hash exchanges, plan:\n$p")
   }
+
+  test("simhash entry rides the block equi-join — no cartesian product") {
+    val p = plan("q_dedup_simhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate generation joins on (block, block_val) — an equi hash key
+    assert(p.contains("block_val"), s"expected the pigeonhole block join:\n$p")
+  }
+
+  test("ANN contract entries keep candidate generation equi-join-shaped") {
+    for (q <- Seq("q_sim_lsh_topk", "q_emb_near_dups_lsh")) {
+      val p = plan(q)
+      // the contract runs BOTH the exact baseline (one intentional
+      // broadcast cross/nested-loop over the tiny probe side) and the
+      // LSH path; the LSH side must contribute its bucket equi-join
+      assert(p.contains("bucket"), s"$q: expected SRP bucket equi-join:\n$p")
+    }
+  }
 }

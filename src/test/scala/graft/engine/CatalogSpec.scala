@@ -139,4 +139,69 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(cat.root, "tables", "DOCUMENT_OCR")))
   }
+
+  test("dropStage removes the stage directory") {
+    val cat = freshCat()
+    cat.putFile("gone", "a.txt", "x".getBytes(StandardCharsets.UTF_8))
+    assert(cat.listStages().contains("gone"))
+    cat.dropStage("gone")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cat.root, "stages", "gone")))
+    assert(!cat.listStages().contains("gone"))
+  }
+
+  test("listTables + introspect report S10 object counts") {
+    val cat = freshCat()
+    assert(cat.listTables() == Catalog.schemas.keys.toSeq.sorted)
+    cat.putFile("s1", "a.txt", "x".getBytes(StandardCharsets.UTF_8))
+    val counts = cat.introspect().as[(String, Long)].collect().toMap
+    assert(counts("tables") == Catalog.schemas.size.toLong)
+    assert(counts("stages") == 1L)
+    cat.dropTable("DOCUMENT_OCR")
+    assert(cat.listTables() == Catalog.schemas.keys.toSeq.filter(_ != "DOCUMENT_OCR").sorted)
+  }
+
+  test("overwrite never has a window with no table data (bak-swap + recover)") {
+    val cat = freshCat()
+    cat.append("CLASS_PROMPTS", Seq(("a", "{}"), ("b", "{}")).toDF("class_name", "prompts"))
+    // normal swap: data replaced, no .bak/.tmp residue
+    cat.deleteWhere("CLASS_PROMPTS", col("class_name") === "a")
+    assert(cat.table("CLASS_PROMPTS").select("class_name").as[String].collect().toSeq == Seq("b"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cat.root, "tables", ".bak_CLASS_PROMPTS")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cat.root, "tables", ".tmp_CLASS_PROMPTS")))
+    // simulate a crash between live->bak and tmp->live: live dir gone,
+    // fresh data stranded in .tmp_ — recover() must restore it
+    val live = java.nio.file.Paths.get(cat.root, "tables", "CLASS_PROMPTS")
+    val tmp = java.nio.file.Paths.get(cat.root, "tables", ".tmp_CLASS_PROMPTS")
+    java.nio.file.Files.move(live, tmp)
+    cat.recover("CLASS_PROMPTS")
+    assert(cat.table("CLASS_PROMPTS").count() == 1)
+    // simulate a crash where only .bak_ survived (tmp write incomplete
+    // and discarded): recover() must restore the previous data
+    val bak = java.nio.file.Paths.get(cat.root, "tables", ".bak_CLASS_PROMPTS")
+    java.nio.file.Files.move(live, bak)
+    cat.recover("CLASS_PROMPTS")
+    assert(cat.table("CLASS_PROMPTS").count() == 1)
+  }
+
+  test("appendBatch is idempotent under replay of the same token") {
+    val cat = freshCat()
+    val rows = Seq(("u1", "f1", "invoice", "{}"), ("u2", "f2", "report", "{}"))
+      .toDF("file_url", "file_ref", "class_name", "extraction_result")
+    cat.appendBatch("DOCUMENTS_PROCESSED", rows, "7")
+    cat.appendBatch("DOCUMENTS_PROCESSED", rows, "7") // crash-replay
+    assert(cat.table("DOCUMENTS_PROCESSED").count() == 2)
+    cat.appendBatch("DOCUMENTS_PROCESSED", rows, "8") // next batch appends
+    assert(cat.table("DOCUMENTS_PROCESSED").count() == 4)
+    // partitioned table path: subdirs preserved, same idempotence
+    val fields = Seq(("u1", "f1", "invoice", "total", "\"1\""))
+      .toDF("file_url", "file_ref", "class_name", "field_name", "field_value")
+    cat.appendBatch("DOCUMENTS_EXTRACTED_FIELDS", fields, "0")
+    cat.appendBatch("DOCUMENTS_EXTRACTED_FIELDS", fields, "0")
+    assert(cat.table("DOCUMENTS_EXTRACTED_FIELDS").count() == 1)
+    assert(cat.table("DOCUMENTS_EXTRACTED_FIELDS")
+      .filter(col("class_name") === "invoice").count() == 1)
+  }
 }

@@ -47,6 +47,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
+  test("jaccardFromSets dedupes non-distinct inputs (true set semantics)") {
+    // {a,b} vs {a,b,c} = 2/3 regardless of element multiplicity
+    val df = Seq((Seq("a", "a", "b"), Seq("b", "c", "a", "c", "c")))
+      .toDF("s1", "s2")
+    val j = df.select(Dedup.jaccardFromSets(col("s1"), col("s2")))
+      .collect()(0).getDouble(0)
+    assert(j == 0.6667, s"expected |{a,b} ∩ {a,b,c}| / |∪| = 2/3, got $j")
+  }
+
   test("minhashNearDups finds exact and near duplicates, not unrelated") {
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
         threshold = 0.5, shingleK = 3, numHashes = 16, bands = 8)
@@ -95,5 +104,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L), labels.toString)
+  }
+
+  test("clusterPairs converges on a worst-case-diameter path graph (lineage bounded)") {
+    // a single path 0-1-2-...-25: diameter 25, the pathological case for
+    // label propagation — checkpointed lineage must keep plans shallow
+    // enough to converge without deep-plan/stack blowups
+    val pairs = (0L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterPairs(pairs).as[(Long, Long)].collect()
+    assert(labels.length == 26)
+    assert(labels.forall(_._2 == 0L), labels.mkString(","))
+  }
+
+  test("clusterPairs result is not left registered in the CacheManager") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterPairs(pairs)
+    out.collect()
+    // the returned frame must be checkpoint-backed, not a cached entry a
+    // caller would have to unpersist (repeat-call cache-leak hygiene)
+    assert(out.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "clusterPairs must hand back an unregistered (checkpointed) frame")
+  }
+
+  test("simhashCandidates with 8 blocks widens the radius to hamming<=7") {
+    val pairs = Dedup.simhashCandidates(docs, "text", "doc_id",
+      maxHamming = 7, nBlocks = 8).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    // the pigeonhole precondition is enforced
+    intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 7, nBlocks = 4)
+    }
   }
 }

@@ -83,6 +83,34 @@ class PipelinesSpec extends AnyFunSuite with SparkTestBase {
       "checkpoint must prevent reprocessing of a.txt/b.txt")
   }
 
+  test("streaming persists are exactly-once under foreachBatch replay") {
+    val cat = stagedCat()
+    val batch = cat.directory("docs")
+      .withColumn("relative_path", col("relative_path"))
+      .withColumn("file_url", concat(lit("@docs/"), col("relative_path")))
+      .withColumn("text", graft.ai.AiFunctions.parse_document(col("content")))
+      .withColumn("class_name", graft.ai.AiFunctions.ai_classify(col("text")))
+      .withColumn("extraction_result",
+        graft.ai.AiFunctions.ai_extract_json(col("text"),
+          map(lit("t"), lit("What is the title?"))))
+      .withColumn("result_map",
+        graft.ai.AiFunctions.ai_extract(col("text"),
+          map(lit("t"), lit("What is the title?"))))
+    // a crash between the append and the checkpoint commit replays the
+    // SAME batchId: row counts must not change on the second run
+    Pipelines.persistBatch(cat, batch, batchId = 0L)
+    val n1 = cat.table("DOCUMENTS_PROCESSED").count()
+    val f1 = cat.table("DOCUMENTS_EXTRACTED_FIELDS").count()
+    Pipelines.persistBatch(cat, batch, batchId = 0L)
+    assert(cat.table("DOCUMENTS_PROCESSED").count() == n1,
+      "batchId replay must not double-append DOCUMENTS_PROCESSED")
+    assert(cat.table("DOCUMENTS_EXTRACTED_FIELDS").count() == f1,
+      "batchId replay must not double-append DOCUMENTS_EXTRACTED_FIELDS")
+    // a genuinely new batch still appends
+    Pipelines.persistBatch(cat, batch, batchId = 1L)
+    assert(cat.table("DOCUMENTS_PROCESSED").count() == 2 * n1)
+  }
+
   test("interactive pipeline canonicalizes non-flat prompt schemas on read") {
     val cat = stagedCat()
     // pre-seed prompts for every class in the backend's class set using
