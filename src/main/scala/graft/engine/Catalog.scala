@@ -23,11 +23,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   private def tablePath(name: String): String = s"$root/tables/$name"
 
-  /** CREATE TABLE IF NOT EXISTS x5 (S6; app:38-78, setup:46-90). */
+  /** CREATE TABLE IF NOT EXISTS x5 (S6; app:38-78, setup:46-90).
+    * Also the warehouse-open hook: finishes any overwrite swap a crash
+    * interrupted (recover) before touching the directories.
+    */
   def ensureTables(): Unit = {
     Files.createDirectories(Paths.get(s"$root/tables"))
     Files.createDirectories(Paths.get(s"$root/stages"))
     schemas.foreach { case (name, _) =>
+      recover(name)
       // an empty table is just its directory + _SUCCESS: table() reads
       // with an explicit schema, so no parquet footer needs to exist
       // and init costs zero Spark jobs (was: 5 empty-write jobs)

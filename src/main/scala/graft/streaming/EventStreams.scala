@@ -96,6 +96,51 @@ object EventStreams {
       }
   }
 
+  /** Sessionization with an EVENT-TIME timeout: like [[sessionize]],
+    * but an idle session also closes when the stream's watermark passes
+    * lastSeen + gap — no later event from the same user needed. This is
+    * the production shape for an infinite feed: per-user state is
+    * reclaimed by the timeout, so users who disappear do not pin state
+    * forever. Input must carry `withWatermark("ts", ...)`.
+    */
+  def sessionizeWithTimeout(events: Dataset[Event],
+                            gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastSeen + gap with no new events: close
+            // the open session and release the user's state
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, st.sessionId, st.nEvents,
+              new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.lastSeen)))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var st = state.getOption.getOrElse(SessionState(0L, -1L, -1L, 0L))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st.lastSeen < 0) {
+                st = SessionState(st.sessionId, t, t, 1L)
+              } else if (t - st.lastSeen > gapSeconds * 1000) {
+                out += SessionOut(userId, st.sessionId, st.nEvents,
+                  new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.lastSeen))
+                st = SessionState(st.sessionId + 1, t, t, 1L)
+              } else {
+                st = st.copy(lastSeen = t, nEvents = st.nEvents + 1)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastSeen + gapSeconds * 1000)
+            out.iterator
+          }
+      }
+  }
+
   /** Flush any open sessions of a batch-mode sessionize run: in batch
     * execution flatMapGroupsWithState sees all data at once, so the
     * final open session per user is still in state when iteration ends.

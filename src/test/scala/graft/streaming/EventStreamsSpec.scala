@@ -134,4 +134,39 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
         s"first session must close when the gap elapses: ${sessions.toSeq}")
     } finally q.stop()
   }
+
+  test("sessionizeWithTimeout closes idle sessions via event-time timeout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_to_").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_stream_tocp_").toString
+    // user 1's session goes idle; only OTHER users' events arrive later,
+    // so the session can only close through the event-time timeout
+    Seq(Event(1, tsOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, tsOf("2024-01-01 10:10:00"), 1, "click", 2.0))
+      .toDS().write.parquet(dir + "/b1")
+    val schema = batch.schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/*")
+      .withWatermark("ts", "10 minutes")
+    val q = sessionizeWithTimeout(src.as[Event])
+      .writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", cp)
+      .queryName("sessions_to_out").start()
+    try {
+      q.processAllAvailable()
+      // watermark advances well past user 1's lastSeen + gap on user 2's
+      // events; a further batch lets the timeout fire (watermark updates
+      // are applied at the next trigger)
+      Seq(Event(3, tsOf("2024-01-01 13:00:00"), 2, "view", 3.0))
+        .toDS().write.mode("append").parquet(dir + "/b2")
+      q.processAllAvailable()
+      Seq(Event(4, tsOf("2024-01-01 13:05:00"), 2, "view", 4.0))
+        .toDS().write.mode("append").parquet(dir + "/b3")
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_to_out")
+        .select("user_id", "session_id", "n_events").as[(Long, Long, Long)].collect()
+      assert(sessions.contains((1L, 0L, 2L)),
+        s"user 1's idle session must be flushed by the timeout: ${sessions.toSeq}")
+    } finally q.stop()
+  }
 }
