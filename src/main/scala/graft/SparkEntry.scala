@@ -853,9 +853,10 @@ object SparkEntry {
     */
   private def qPipelineBatchSql(s: SparkSession, d: String): DataFrame = {
     val cat = stagedCatalog(s, d, nDocs = 50)
-    Pipelines.batchSql(cat, "docs",
-      Map("title" -> "What is the title?", "topic" -> "What is this document about?"))
-      .orderBy(col("relative_path"))
+    materializeAndClean(s, cat,
+      Pipelines.batchSql(cat, "docs",
+        Map("title" -> "What is the title?", "topic" -> "What is this document about?"))
+        .orderBy(col("relative_path")))
   }
 
   /** Streaming pipeline e2e (X2): binaryFile stream -> ai_extract ->
@@ -867,18 +868,36 @@ object SparkEntry {
       Map("title" -> "What is the title?"),
       cat.root + "/checkpoints/stream")
     try q.processAllAvailable() finally q.stop()
-    cat.table("DOCUMENTS_PROCESSED")
-      .select(col("file_ref"), col("class_name"), col("extraction_result"))
-      .orderBy(col("file_ref"))
+    materializeAndClean(s, cat,
+      cat.table("DOCUMENTS_PROCESSED")
+        .select(col("file_ref"), col("class_name"), col("extraction_result"))
+        .orderBy(col("file_ref")))
   }
 
   /** Interactive pipeline e2e (§3.1) + History read path (A1). */
   private def qPipelineInteractive(s: SparkSession, d: String): DataFrame = {
     val cat = stagedCatalog(s, d, nDocs = 3)
     (0 until 3).foreach(i => Pipelines.interactive(cat, "docs", f"doc_$i%05d.txt"))
-    graft.pipelines.HistoryQueries.documents(cat)
-      .select(col("file_ref"), col("class_name"), col("fields_extracted"), col("has_ocr"))
-      .orderBy(col("file_ref"))
+    materializeAndClean(s, cat,
+      graft.pipelines.HistoryQueries.documents(cat)
+        .select(col("file_ref"), col("class_name"), col("fields_extracted"), col("has_ocr"))
+        .orderBy(col("file_ref")))
+  }
+
+  /** Materialize a small presentation-edge result into a local frame
+    * and delete the query's temp warehouse — repeated bench/verify
+    * invocations must not leak temp trees (same hygiene as
+    * qExportRoundtrip's export dir).
+    */
+  private def materializeAndClean(s: SparkSession, cat: graft.engine.Catalog,
+                                  df: DataFrame): DataFrame = {
+    val out = s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val p = java.nio.file.Paths.get(cat.root)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => java.nio.file.Files.delete(x))
+    out
   }
 
   /** Build a throwaway warehouse+stage populated with the first n

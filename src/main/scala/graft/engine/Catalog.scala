@@ -55,17 +55,23 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * class's partitions.
     */
   def append(name: String, df: DataFrame): Unit = {
+    val writer = withDefaults(name, df).write.mode(SaveMode.Append)
+    partitionSpec.get(name).fold(writer)(cols => writer.partitionBy(cols: _*))
+      .parquet(tablePath(name))
+  }
+
+  /** Fill schema columns missing from `df`: timestamps get the F12
+    * write-time default, everything else NULL; project to DDL order.
+    */
+  private def withDefaults(name: String, df: DataFrame): DataFrame = {
     val schema = schemas(name)
-    val withDefaults = schema.fields.foldLeft(df) { (d, f) =>
+    val filled = schema.fields.foldLeft(df) { (d, f) =>
       if (d.columns.contains(f.name)) d
       else if (f.dataType.isInstanceOf[TimestampType] || f.name.endsWith("_at"))
         d.withColumn(f.name, current_timestamp())
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }
-    val writer = withDefaults.select(schema.fieldNames.map(col): _*)
-      .write.mode(SaveMode.Append)
-    partitionSpec.get(name).fold(writer)(cols => writer.partitionBy(cols: _*))
-      .parquet(tablePath(name))
+    filled.select(schema.fieldNames.map(col): _*)
   }
 
   /** Idempotent append for streaming foreachBatch (X2): replaying the
@@ -78,16 +84,8 @@ final class Catalog(val spark: SparkSession, val root: String) {
     */
   def appendBatch(name: String, df: DataFrame, token: String): Unit = {
     require(token.matches("[A-Za-z0-9_-]+"), s"unsafe batch token: $token")
-    val schema = schemas(name)
-    val withDefaults = schema.fields.foldLeft(df) { (d, f) =>
-      if (d.columns.contains(f.name)) d
-      else if (f.dataType.isInstanceOf[TimestampType] || f.name.endsWith("_at"))
-        d.withColumn(f.name, current_timestamp())
-      else d.withColumn(f.name, lit(null).cast(f.dataType))
-    }
     val tmp = s"$root/tables/.stage_${name}_$token"
-    val writer = withDefaults.select(schema.fieldNames.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
+    val writer = withDefaults(name, df).write.mode(SaveMode.Overwrite)
     partitionSpec.get(name).fold(writer)(cols => writer.partitionBy(cols: _*))
       .parquet(tmp)
     val tmpPath = Paths.get(tmp)
