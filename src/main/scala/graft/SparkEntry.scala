@@ -528,8 +528,11 @@ object SparkEntry {
     * and the cluster-resolution query.
     */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // staged once: both crossJoin sides read the checkpoint instead of
+    // re-scanning + re-shingling the slice
     val sh = Dedup.shingleTable(
       t(s, d, "documents").filter(col("doc_id") < 200), "text", "doc_id", k = 3)
+      .localCheckpoint()
     val a = sh.select(col("doc_id").as("id_a"), col("shingle_set").as("__sa"))
     val b = sh.select(col("doc_id").as("id_b"), col("shingle_set").as("__sb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -563,8 +566,11 @@ object SparkEntry {
     */
   private def annRecallContract(exact: DataFrame, approx: DataFrame,
                                 minGood: Int): DataFrame = {
+    // tiny (one row per probe), but referenced by two joins — staged so
+    // the exact brute-force baseline underneath runs once, not twice
     val kth = exact.groupBy(col("query_id"))
       .agg(min(col("cosine")).as("__kth_cos"))
+      .localCheckpoint()
     val good = approx.join(kth, Seq("query_id"))
       .filter(col("cosine") >= col("__kth_cos") - 1e-6)
       .groupBy(col("query_id")).agg(count(lit(1)).as("__n_good"))
