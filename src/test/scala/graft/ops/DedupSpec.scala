@@ -126,6 +126,53 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "clusterPairs must hand back an unregistered (checkpointed) frame")
   }
 
+  test("property: jaccardFromSets equals scala Set computation on random arrays") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val arrGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "aa", "bb"))
+    val cases = (0 until 60).flatMap { i =>
+      for {
+        x <- arrGen.apply(Gen.Parameters.default, Seed(i.toLong))
+        y <- arrGen.apply(Gen.Parameters.default, Seed(1000L + i))
+      } yield (i.toLong, x, y)
+    }
+    val df = cases.toDF("i", "xs", "ys")
+      .select(col("i"), Dedup.jaccardFromSets(col("xs"), col("ys")).as("j"))
+    val got = df.as[(Long, Double)].collect().toMap
+    cases.foreach { case (i, x, y) =>
+      val (sx, sy) = (x.toSet, y.toSet)
+      val expected =
+        if ((sx ++ sy).isEmpty) 0.0
+        else BigDecimal(sx.intersect(sy).size.toDouble / sx.union(sy).size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(i) == expected, s"case $i: $x vs $y")
+    }
+  }
+
+  test("property: 8-block pigeonhole finds EVERY pair within hamming<=7") {
+    // random-ish corpus of word permutations/edits: brute-force all-pair
+    // hamming over the signatures, then assert the block join's recall
+    // is exactly 1.0 within its guaranteed radius
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val corpus = (0 until 60).map { i =>
+      val n = 6 + i % 5
+      (i.toLong, (0 until n).map(k => words((i * 7 + k * 3) % words.size)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sig = Dedup.simhashTable(corpus, "text", "doc_id")
+    val a = sig.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
+    val b = sig.select(col("doc_id").as("id_b"), col("simhash").as("sb"))
+    val want = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("h", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("h") <= 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = Dedup.simhashCandidates(corpus, "text", "doc_id",
+      maxHamming = 7, nBlocks = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(want.subsetOf(got), s"missed: ${want -- got}")
+    assert(got == want, s"extra pairs beyond the radius: ${got -- want}")
+  }
+
   test("simhashCandidates with 8 blocks widens the radius to hamming<=7") {
     val pairs = Dedup.simhashCandidates(docs, "text", "doc_id",
       maxHamming = 7, nBlocks = 8).select("id_a", "id_b").as[(Long, Long)].collect().toSet
