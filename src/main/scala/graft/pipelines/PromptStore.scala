@@ -46,6 +46,34 @@ object PromptStore {
   def invalidateAll(cat: Catalog): Unit =
     promptCache.invalidateIf(_._1 == cat.root)
 
+  /** Seed the optional sample invoice class (setup_database.sql:129-143):
+    * insert-if-absent semantics — an existing 'invoice' schema is never
+    * overwritten, and re-running is a no-op.
+    */
+  def seedSampleClass(cat: Catalog): Unit = {
+    val spark = cat.spark
+    import spark.implicits._
+    // WHERE NOT EXISTS guard (single-writer, like the setup script)
+    if (cat.table("CLASS_PROMPTS").filter(col("class_name") === "invoice").isEmpty) {
+      cat.append("CLASS_PROMPTS",
+        Seq(("invoice", sampleInvoicePrompts)).toDF("class_name", "prompts"))
+      promptCache.invalidate((cat.root, "invoice"))
+    }
+  }
+
+  /** The reference's sample invoice schema (setup:130-142), verbatim. */
+  private val sampleInvoicePrompts: String =
+    """{"invoice_number": "What is the invoice number?",
+      | "invoice_date": "What is the invoice date?",
+      | "due_date": "What is the due date or payment due date?",
+      | "vendor_name": "Who is the vendor or supplier?",
+      | "vendor_address": "What is the vendor address?",
+      | "customer_name": "Who is the customer or bill to?",
+      | "total_amount": "What is the total amount or grand total?",
+      | "tax_amount": "What is the tax amount?",
+      | "subtotal": "What is the subtotal before tax?",
+      | "payment_terms": "What are the payment terms?"}""".stripMargin
+
   /** All classes, sorted (app:146). */
   def list(cat: Catalog): DataFrame =
     cat.table("CLASS_PROMPTS").select(col("class_name"), col("prompts"))

@@ -33,6 +33,21 @@ class PromptStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(PromptStore.get(cat, "a").isEmpty)
   }
 
+  test("seedSampleClass inserts the invoice schema once and never overwrites") {
+    val cat = freshCat()
+    PromptStore.seedSampleClass(cat)
+    val seeded = PromptStore.get(cat, "invoice")
+    assert(seeded.keySet.contains("invoice_number") && seeded.size == 10,
+      seeded.toString)
+    // re-running is a no-op (WHERE NOT EXISTS, setup:129-143)
+    PromptStore.seedSampleClass(cat)
+    assert(PromptStore.list(cat).count() == 1)
+    // a user-saved schema is never clobbered by the seed
+    PromptStore.save(cat, "invoice", """{"total": "Total?"}""")
+    PromptStore.seedSampleClass(cat)
+    assert(PromptStore.get(cat, "invoice") == Map("total" -> "Total?"))
+  }
+
   test("context probe returns a one-row frame (S4)") {
     val row = freshCat().context().collect()
     assert(row.length == 1 && row(0).length == 3)
