@@ -133,6 +133,62 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** band_buckets(sig: array<long>, bands, rowsPerBand): array<long> —
+    * band b's bucket = XXH64 chain over its rowsPerBand signature
+    * values, seeded per band. Replaces the composed-builtin
+    * transform(slice + cast-to-string + concat_ws + xxhash64) tree,
+    * which ran interpreted (nested HOF lambdas) and built two strings
+    * per band per row. Equal (band, slice) always yields an equal
+    * bucket, so candidate recall is identical to any injective
+    * bucketing; hash collisions only ever ADD candidates, which the
+    * exact-Jaccard verification prunes.
+    */
+  case class BandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "band_buckets"
+
+    override def nullSafeEval(a: Any): Any = {
+      val sig = a.asInstanceOf[ArrayData]
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var acc = XXH64.hashLong(b.toLong, 42L)
+        var i = 0
+        while (i < rowsPerBand) {
+          acc = XXH64.hashLong(sig.getLong(b * rowsPerBand + i), acc)
+          i += 1
+        }
+        out(b) = acc
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val b = ctx.freshName("b")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val out = ctx.freshName("out")
+        s"""
+           |long[] $out = new long[$bands];
+           |for (int $b = 0; $b < $bands; $b++) {
+           |  long $acc = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong((long) $b, 42L);
+           |  for (int $i = 0; $i < $rowsPerBand; $i++) {
+           |    $acc = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+           |      $x.getLong($b * $rowsPerBand + $i), $acc);
+           |  }
+           |  $out[$b] = $acc;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** word_shingles(text, K): distinct lowercase word K-grams in first-
     * occurrence order, one pass. Replaces the composed-builtin
     * transform(sequence, slice+array_join) tree, which materialized an
@@ -228,6 +284,9 @@ object TextHashExpressions {
 
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     column(MinHashSignature(expression(shingles), numHashes))
+
+  def band_buckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    column(BandBuckets(expression(sig), bands, rowsPerBand))
 
   def word_shingles(text: Column, k: Int): Column =
     column(WordShingles(expression(text), k))

@@ -75,16 +75,14 @@ object Dedup {
     * Returns (idCol_a, idCol_b) with a < b, distinct.
     */
   /** Per-band bucket hashes of a minhash signature: band b's bucket is
-    * a hash of its rowsPerBand signature slice. Shared by batch LSH
-    * candidates and the incremental signature store so both sides of
-    * any future join agree on bucketing.
+    * an XXH64 chain over its rowsPerBand signature slice (one codegen
+    * pass — the composed transform/concat_ws/xxhash64 tree ran as
+    * interpreted nested lambdas building strings per band). Shared by
+    * batch LSH candidates and the incremental signature store so both
+    * sides of any future join agree on bucketing.
     */
   def bandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws("_",
-        b.cast("string"),
-        array_join(transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-          _.cast("string")), ","))))
+    graft.functions.TextHashExpressions.band_buckets(sig, bands, rowsPerBand)
 
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, numHashes: Int = 16,

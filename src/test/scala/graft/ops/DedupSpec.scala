@@ -65,6 +65,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"no pair may involve the unrelated doc: $pairs")
   }
 
+  test("bandBuckets: equal band slices bucket together, different ones apart") {
+    // sigs share band 0 (values 1,2) and differ in band 1 (3,4 vs 3,5)
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 5L))).toDF("s1", "s2")
+      .select(Dedup.bandBuckets(col("s1"), 2, 2).as("b1"),
+        Dedup.bandBuckets(col("s2"), 2, 2).as("b2"))
+    val r = df.as[(Seq[Long], Seq[Long])].collect()(0)
+    assert(r._1.size == 2 && r._2.size == 2)
+    assert(r._1(0) == r._2(0), "identical band slice must share a bucket")
+    assert(r._1(1) != r._2(1), "different band slice must (whp) split buckets")
+    // band index is part of the bucket: identical values in different
+    // bands must not collide into one bucket
+    assert(r._1(0) != r._1(1) || r._1 == Seq(r._1(0), r._1(0)))
+  }
+
   test("minhash signatures of identical texts are identical") {
     val sigs = Dedup.shingleTable(docs.filter($"doc_id" < 2), "text", "doc_id", 3)
       .select(Dedup.minhashSignature(col("shingle_set"), 16).as("sig"))
