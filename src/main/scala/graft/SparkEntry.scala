@@ -465,6 +465,32 @@ object SparkEntry {
           .as("scrubbed"))
       .orderBy(col("doc_id"))
 
+  /** Mean unigram log-prob under the corpus's own distribution — the
+    * cheap LM-quality signal for filtering garbled/rare-token docs.
+    */
+  private def qTextLogProb(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.unigramLogProb(t(s, d, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Source-mix rebalancing plan: observed vs target share + resample
+    * factor per source (the planning half of dataset blending).
+    */
+  private def qCorpusMix(s: SparkSession, d: String): DataFrame =
+    graft.ops.Corpus.mixPlan(t(s, d, "documents"), "source",
+        Map("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.1))
+      .orderBy(col("source"))
+
+  /** Decontamination: drop training docs exactly matching a benchmark
+    * set (here: every 97th doc stands in for the eval set). Normalized
+    * md5 match — the shuffle carries hashes, never text.
+    */
+  private def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val eval_ = docs.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("text"))
+    graft.ops.Corpus.decontaminate(docs, eval_, "text", "text")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   private def qSimTopK(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -972,6 +998,9 @@ object SparkEntry {
     "q_chunking" -> qChunking,
     "q_split_pack" -> qSplitPack,
     "q_text_scrub" -> qTextScrub,
+    "q_text_logprob" -> qTextLogProb,
+    "q_corpus_mix" -> qCorpusMix,
+    "q_corpus_decontaminate" -> qDecontaminate,
     "q_sim_topk" -> qSimTopK,
     "q_corpus_curation" -> qCuration,
     "q_emb_near_dups" -> qEmbNearDups,
@@ -1099,6 +1128,23 @@ object SparkEntry {
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents ORDER BY doc_id",
     "q_text_vocab" ->
       "SELECT word, COUNT(*) AS n FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 100",
+    "q_text_logprob" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+        "freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok), " +
+        "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks) " +
+        "SELECT doc_id, round(AVG(ln(tf / n)), 4) AS mean_logprob, COUNT(*) AS n_tokens " +
+        "FROM toks JOIN freq USING (tok) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id"),
+    "q_corpus_mix" ->
+      ("WITH tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), " +
+        "tgt(source, target_share) AS (VALUES ('src0', 0.3), ('src1', 0.2), ('src2', 0.1)) " +
+        "SELECT g.source, g.n_docs, round(g.n_docs / tot.n, 4) AS share, " +
+        "round(COALESCE(tgt.target_share, 0.0), 4) AS target_share, " +
+        "round(COALESCE(tgt.target_share, 0.0) / (g.n_docs / tot.n), 4) AS factor " +
+        "FROM (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source) g " +
+        "CROSS JOIN tot LEFT JOIN tgt USING (source) ORDER BY g.source"),
+    "q_corpus_decontaminate" ->
+      ("WITH ev AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM documents WHERE doc_id % 97 = 0) " +
+        "SELECT doc_id FROM documents WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN (SELECT h FROM ev) ORDER BY doc_id"),
     "q_text_tfidf" ->
       "WITH terms AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents), tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM terms GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word), n AS (SELECT COUNT(*) AS n_docs FROM documents) SELECT doc_id, word, tfidf, rank FROM (SELECT tf.doc_id, tf.word, round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf, ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) DESC, tf.word) AS rank FROM tf JOIN df USING (word) CROSS JOIN n) WHERE rank <= 3 ORDER BY doc_id, rank",
     "q_sim_topk" ->

@@ -92,4 +92,41 @@ object Corpus {
       regexp_replace(text,
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
       "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "[PHONE]")
+
+  /** Source-mix rebalancing plan: per source, its observed share of the
+    * corpus and the resampling factor that would hit the requested
+    * target share (factor > 1 = upsample, < 1 = downsample). The mix
+    * decision is the planning half of dataset blending — one narrow
+    * aggregation on the source key; the actual resample composes with
+    * [[sampleStratified]]. Unspecified sources get target share 0.
+    */
+  def mixPlan(df: DataFrame, sourceCol: String,
+              targetShares: Map[String, Double]): DataFrame = {
+    val total = df.count().toDouble
+    val target = typedLit(targetShares)
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", round(col("n_docs") / total, 4))
+      .withColumn("target_share",
+        round(coalesce(element_at(target, col(sourceCol)), lit(0.0)), 4))
+      .withColumn("factor",
+        round(coalesce(element_at(target, col(sourceCol)), lit(0.0)) /
+          (col("n_docs") / total), 4))
+  }
+
+  /** Decontamination: drop training docs whose normalized text exactly
+    * matches an eval/benchmark document. Matching is by md5 of the
+    * whitespace-normalized lowercase body, so the shuffle carries
+    * 16-byte hashes, never text — and the eval side (benchmarks are
+    * small) broadcasts. Returns the surviving training rows.
+    */
+  def decontaminate(train: DataFrame, eval_ : DataFrame,
+                    textCol: String, evalTextCol: String): DataFrame = {
+    val norm: Column => Column =
+      c => md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+    val evalHashes = eval_.select(norm(col(evalTextCol)).as("__h")).distinct()
+    train.withColumn("__h", norm(col(textCol)))
+      .join(broadcast(evalHashes), Seq("__h"), "left_anti")
+      .drop("__h")
+  }
 }

@@ -147,4 +147,24 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     aggregate(split(trim(text), "\\s+"), lit(0L),
       (h, t) => xxhash64(h, t))
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram distribution — the classic cheap LM-quality signal (docs
+    * of rare/garbled tokens score low, template boilerplate scores
+    * high). One explode + two aggregations: term frequencies shuffle as
+    * (token, count) pairs; the frequency table then joins back to the
+    * exploded tokens (broadcast when the vocab is small, hash join
+    * otherwise) and re-aggregates per doc. Tokenization is the shared
+    * lower/trim/split, so the oracle replays it exactly.
+    */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
+    val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
+    val total = toks.count().toDouble
+    toks.join(freq, Seq("__tok"))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("__tf") / total)), 4).as("mean_logprob"),
+        count(lit(1)).cast("long").as("n_tokens"))
+  }
 }

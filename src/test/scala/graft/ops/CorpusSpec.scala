@@ -90,6 +90,30 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(perGroup == Map("g0" -> 5, "g1" -> 5, "g2" -> 5), perGroup.toString)
   }
 
+  test("mixPlan reports shares and resample factors; unlisted sources target 0") {
+    val docs = (1 to 10).map(i => (i.toLong, if (i <= 8) "web" else "wiki"))
+      .toDF("doc_id", "source")
+    val plan = Corpus.mixPlan(docs, "source", Map("web" -> 0.5, "books" -> 0.5))
+      .orderBy("source")
+      .select("source", "n_docs", "share", "target_share", "factor")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(plan.toSeq == Seq(
+      ("web", 8L, 0.8, 0.5, 0.625),  // downsample toward 50%
+      ("wiki", 2L, 0.2, 0.0, 0.0)))  // not in target mix -> drop
+  }
+
+  test("decontaminate drops exact and whitespace/case-variant eval matches") {
+    val train = Seq(
+      (1L, "The quick brown fox"),
+      (2L, "the  QUICK brown fox"),  // normalizes to the same text as 1
+      (3L, "something else entirely"),
+      (4L, "held out benchmark item")).toDF("doc_id", "text")
+    val eval_ = Seq("The quick brown fox", "held out benchmark item").toDF("text")
+    val kept = Corpus.decontaminate(train, eval_, "text", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L))
+  }
+
   test("scrubPii replaces emails and phones, leaves prose alone") {
     val df = Seq("mail a.b+c@x-corp.io or call +1 (555) 010-1234 today").toDF("t")
     val r = df.select(Corpus.scrubPii(col("t"))).as[String].collect()(0)

@@ -85,6 +85,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       s"join=${viaJoin.collect().toSeq}\nwindow=${viaWindow.collect().toSeq}")
   }
 
+  test("unigramLogProb scores common-token docs higher than rare-token docs") {
+    // "a a a a" tokens are 4/6 of the corpus; "x y" are 1/6 each
+    val docs = Seq((1L, "a a a a"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Double, Long)].collect()
+    assert(out(0)._3 == 4L && out(1)._3 == 2L)
+    assert(out(0)._2 > out(1)._2, s"common tokens must score higher: $out")
+    // exact values: ln(4/6) and ln(1/6)
+    assert(math.abs(out(0)._2 - math.log(4.0 / 6)) < 1e-3)
+    assert(math.abs(out(1)._2 - math.log(1.0 / 6)) < 1e-3)
+  }
+
   test("langId picks the language with most marker hits") {
     val df = Seq(
       ("the cat and the dog is with of", "en"),
