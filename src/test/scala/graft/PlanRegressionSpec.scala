@@ -117,6 +117,18 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("block_val"), s"expected the pigeonhole block join:\n$p")
   }
 
+  test("decontamination broadcasts eval hashes and anti-joins without text") {
+    val p = plan("q_corpus_decontaminate")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastExchange"), s"eval hash set must broadcast:\n$p")
+  }
+
+  test("unigram logprob partial-aggregates the token counts") {
+    val p = plan("q_text_logprob")
+    assert(p.toLowerCase.contains("partial"),
+      s"token-frequency agg must map-side combine:\n$p")
+  }
+
   test("ANN contract entries keep candidate generation equi-join-shaped") {
     for (q <- Seq("q_sim_lsh_topk", "q_emb_near_dups_lsh")) {
       val p = plan(q)
