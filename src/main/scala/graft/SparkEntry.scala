@@ -491,6 +491,17 @@ object SparkEntry {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** GPT-3-style 13-gram decontamination against the same stand-in
+    * eval set: catches docs sharing any long n-gram with a benchmark
+    * (planted near-dups of eval docs fall here even when not exact).
+    */
+  private def qDecontaminateNgram(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val eval_ = docs.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("text"))
+    graft.ops.Corpus.decontaminateNgram(docs, eval_, "text", "text", "doc_id", n = 13)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   private def qSimTopK(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -1001,6 +1012,7 @@ object SparkEntry {
     "q_text_logprob" -> qTextLogProb,
     "q_corpus_mix" -> qCorpusMix,
     "q_corpus_decontaminate" -> qDecontaminate,
+    "q_corpus_decontaminate_ngram" -> qDecontaminateNgram,
     "q_sim_topk" -> qSimTopK,
     "q_corpus_curation" -> qCuration,
     "q_emb_near_dups" -> qEmbNearDups,
@@ -1145,6 +1157,13 @@ object SparkEntry {
     "q_corpus_decontaminate" ->
       ("WITH ev AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM documents WHERE doc_id % 97 = 0) " +
         "SELECT doc_id FROM documents WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN (SELECT h FROM ev) ORDER BY doc_id"),
+    "q_corpus_decontaminate_ngram" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i:i+12], ' ') FOR i IN range(1, len(toks)-11)]) END AS sh FROM t), " +
+        "ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0), " +
+        "hit AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(sh) AS g FROM s) x JOIN ev USING (g)) " +
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id"),
     "q_text_tfidf" ->
       "WITH terms AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents), tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM terms GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word), n AS (SELECT COUNT(*) AS n_docs FROM documents) SELECT doc_id, word, tfidf, rank FROM (SELECT tf.doc_id, tf.word, round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf, ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) DESC, tf.word) AS rank FROM tf JOIN df USING (word) CROSS JOIN n) WHERE rank <= 3 ORDER BY doc_id, rank",
     "q_sim_topk" ->

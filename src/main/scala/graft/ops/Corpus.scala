@@ -129,4 +129,24 @@ object Corpus {
       .join(broadcast(evalHashes), Seq("__h"), "left_anti")
       .drop("__h")
   }
+
+  /** N-gram decontamination (the GPT-3-style overlap filter): drop
+    * training docs sharing ANY word n-gram with the eval set — catches
+    * partial/embedded contamination exact matching misses. Eval n-grams
+    * (benchmarks are small) broadcast as a distinct set; training docs
+    * explode to (id, gram), semi-join the set, and the contaminated ids
+    * anti-join back. Docs shorter than n words fall back to whole-text
+    * n-grams (word_shingles' short-doc rule), i.e. exact matching.
+    */
+  def decontaminateNgram(train: DataFrame, eval_ : DataFrame,
+                         textCol: String, evalTextCol: String,
+                         idCol: String, n: Int = 13): DataFrame = {
+    val evalGrams = eval_
+      .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__g")).distinct()
+    val contaminated = train
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .join(broadcast(evalGrams), Seq("__g"), "left_semi")
+      .select(col(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

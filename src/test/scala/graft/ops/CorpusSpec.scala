@@ -114,6 +114,19 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.toSeq == Seq(3L))
   }
 
+  test("decontaminateNgram catches embedded/partial eval overlap") {
+    val evalText = "one two three four five"  // 5-gram benchmark item
+    val train = Seq(
+      (1L, s"prefix words here $evalText and a suffix"), // embeds the eval 5-gram
+      (2L, "completely unrelated training content here okay"),
+      (3L, evalText)).toDF("doc_id", "text")               // exact match
+    val eval_ = Seq(evalText).toDF("text")
+    val kept = Corpus.decontaminateNgram(train, eval_, "text", "text", "doc_id", n = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L),
+      "both the exact and the embedded match must be dropped")
+  }
+
   test("scrubPii replaces emails and phones, leaves prose alone") {
     val df = Seq("mail a.b+c@x-corp.io or call +1 (555) 010-1234 today").toDF("t")
     val r = df.select(Corpus.scrubPii(col("t"))).as[String].collect()(0)
