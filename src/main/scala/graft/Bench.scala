@@ -43,7 +43,11 @@ object Bench {
       // count() would let Spark prune the expensive projections and
       // under-report compute-heavy queries
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // keep timing the rest, but a failed query must be VISIBLE —
+        // a swallowed error would read as a suspiciously fast pass
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // keep the JSON line SHORT (3dp, basename sf) so the driver's
