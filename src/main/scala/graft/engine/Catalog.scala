@@ -227,6 +227,25 @@ final class Catalog(val spark: SparkSession, val root: String) {
     overwrite(name, table(name).repartition(parts))
   }
 
+  /** Cluster a table's data layout by sort key (the sorted-rewrite half
+    * of Z-ORDER): rows are range-partitioned across files and sorted
+    * within them, so parquet row-group min/max statistics prune scans
+    * that filter on the leading cluster column — at 100 TB a range
+    * predicate then touches a handful of files instead of every one.
+    * Same single-writer atomic bak-swap as merge/compact; run
+    * out-of-band like compaction.
+    */
+  def cluster(name: String, cols: Seq[String], numFiles: Int = 0): Unit = {
+    require(cols.nonEmpty, "cluster needs at least one sort column")
+    val df = table(name)
+    val parts =
+      if (numFiles > 0) numFiles
+      else spark.sessionState.conf.numShufflePartitions
+    overwrite(name,
+      df.repartitionByRange(parts, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*))
+  }
+
   /** CSV / JSON export sinks (S8; app:574-579, app:766-790): the
     * reference's download buttons, set-based. Headers on for CSV to
     * match the pandas to_csv shape.

@@ -186,6 +186,40 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(cat.table("CLASS_PROMPTS").count() == 1)
   }
 
+  test("cluster rewrites the table range-partitioned and sorted within files") {
+    val cat = freshCat()
+    // append in shuffled id order across several files
+    Seq(Seq(7, 2), Seq(9, 1), Seq(4, 8), Seq(3, 6)).foreach { ids =>
+      cat.append("DOCUMENT_OCR",
+        ids.map(i => (f"f$i%02d", f"f$i%02d", "{}", "s"))
+          .toDF("file_name", "file_ref", "ocr", "summary"))
+    }
+    cat.cluster("DOCUMENT_OCR", Seq("file_name"), numFiles = 2)
+    assert(cat.table("DOCUMENT_OCR").count() == 8)
+    // every data file individually sorted on the cluster key, and the
+    // key ranges of different files must not interleave (range layout)
+    val files = {
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(cat.root, "tables", "DOCUMENT_OCR"))
+      try {
+        val it = s.filter(p => p.toString.endsWith(".parquet")).iterator()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().toString
+        b.result()
+      } finally s.close()
+    }
+    assert(files.size == 2, files.toString)
+    val perFile = files.map { f =>
+      val names = spark.read.parquet(f).select("file_name").as[String].collect()
+      assert(names.sameElements(names.sorted), s"$f not sorted: ${names.toSeq}")
+      (names.min, names.max)
+    }.sortBy(_._1)
+    assert(perFile.sliding(2).forall {
+      case Seq((_, maxA), (minB, _)) => maxA <= minB
+      case _ => true
+    }, s"file ranges interleave: $perFile")
+  }
+
   test("appendBatch is idempotent under replay of the same token") {
     val cat = freshCat()
     val rows = Seq(("u1", "f1", "invoice", "{}"), ("u2", "f2", "report", "{}"))
