@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Similarity
+
+/** Incremental embedding near-duplicate filtering — the vector-space
+  * sibling of [[IncrementalDedup]], for a corpus whose embeddings grow
+  * batch by batch: a persisted (id, table, bucket, embedding, norm)
+  * SRP signature store; each new batch hashes ONCE, equi-joins its
+  * buckets against the store, cosine-verifies only the candidate
+  * partners, drops near-dups (vs the accepted corpus and within the
+  * batch, keeping the lowest id), and appends the survivors.
+  *
+  * Work per batch is O(batch x nTables) + a bucket-keyed hash join —
+  * independent of corpus size except through bucket collision rate.
+  * Recall follows the SRP parameters exactly as in
+  * [[Similarity.cosineNearDups]] (same hyperplanes: both sides hash
+  * through the shared srp_signatures expression). Designed for use
+  * inside foreachBatch of an embedding stream.
+  */
+final class IncrementalAnn(spark: SparkSession, storeDir: String,
+                           nBits: Int = 8, nTables: Int = 8,
+                           threshold: Double = 0.9) {
+
+  private val storeSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("table", IntegerType),
+    StructField("bucket", LongType),
+    StructField("embedding", ArrayType(DoubleType, containsNull = false)),
+    StructField("norm", DoubleType)))
+
+  private def storePath = s"$storeDir/srp_signatures"
+
+  private def store(): DataFrame =
+    if (Files.exists(Paths.get(storePath)))
+      spark.read.schema(storeSchema).parquet(storePath)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), storeSchema)
+
+  /** (id, table, bucket, embedding, norm) rows for a batch — the same
+    * bucketing as Similarity's SRP operators.
+    */
+  private def signatures(batch: DataFrame, vecCol: String, idCol: String): DataFrame =
+    batch.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("embedding"))
+      .withColumn("norm", Similarity.norm(col("embedding")))
+      .select(col("id"), col("embedding"), col("norm"),
+        posexplode(graft.functions.VectorExpressions
+          .srp_signatures(col("embedding"), nBits, nTables)).as(Seq("table", "bucket")))
+      .select(col("id"), col("table").cast("int").as("table"), col("bucket"),
+        col("embedding"), col("norm"))
+
+  private def cos(va: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,
+                  vb: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
+    Similarity.dot(va, vb) / (na * nb)
+
+  /** Process one batch: returns rows NOT near-duplicate (cosine >=
+    * threshold) of the accepted corpus or an earlier row of the same
+    * batch, and persists the survivors' signatures.
+    */
+  def processBatch(batch: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val sigs = signatures(batch, vecCol, idCol).cache()
+    try {
+      // candidates vs the persisted corpus: bucket equi-join, verify
+      val vsCorpus = sigs.join(
+          store().select(col("table"), col("bucket"),
+            col("embedding").as("__ce"), col("norm").as("__cn")),
+          Seq("table", "bucket"))
+        .select(col("id"), col("embedding"), col("norm"), col("__ce"), col("__cn"))
+        .distinct()
+        .filter(cos(col("embedding"), col("norm"), col("__ce"), col("__cn")) >= threshold)
+        .select(col("id")).distinct()
+      // candidates within the batch itself (keep the lowest id)
+      val a = sigs.select(col("table"), col("bucket"), col("id").as("id_a"),
+        col("embedding").as("__va"), col("norm").as("__na"))
+      val b = sigs.select(col("table"), col("bucket"), col("id").as("id_b"),
+        col("embedding").as("__vb"), col("norm").as("__nb"))
+      val intra = a.join(b, Seq("table", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("__va"), col("__na"), col("__vb"), col("__nb"))
+        .distinct()
+        .filter(cos(col("__va"), col("__na"), col("__vb"), col("__nb")) >= threshold)
+        .select(col("id_b").as("id")).distinct()
+      val dupIds = vsCorpus.unionByName(intra).distinct()
+      val kept = batch.join(dupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      val keptSigs = sigs.join(
+        kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      keptSigs.select(col("id"), col("table"), col("bucket"),
+          col("embedding"), col("norm"))
+        .write.mode(SaveMode.Append).parquet(storePath)
+      kept
+    } finally sigs.unpersist()
+  }
+}

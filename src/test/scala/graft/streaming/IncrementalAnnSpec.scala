@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class IncrementalAnnSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // near-identical vectors (cosine ~0.999) vs an orthogonal-ish one
+  private val base = Array(1.0, 0.0, 0.2, 0.5)
+  private val nearDup = Array(0.99, 0.01, 0.21, 0.5)
+  private val other = Array(-0.5, 1.0, -0.3, 0.1)
+
+  test("embedding near-dups are dropped across batches and within a batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incann_").toString
+    val ann = new IncrementalAnn(spark, dir, nBits = 4, nTables = 16, threshold = 0.98)
+
+    // batch 1: base accepted; in-batch near-dup (id 2) dropped
+    val b1 = Seq((1L, base.toSeq), (2L, nearDup.toSeq), (3L, other.toSeq))
+      .toDF("vec_id", "embedding")
+    val kept1 = ann.processBatch(b1, "embedding", "vec_id")
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept1.toSeq == Seq(1L, 3L), s"in-batch near-dup must drop: ${kept1.toSeq}")
+
+    // batch 2: exact dup of the accepted vector dropped, fresh one kept
+    val fresh = Array(0.1, 0.1, 1.0, -0.8)
+    val b2 = Seq((10L, base.toSeq), (11L, fresh.toSeq)).toDF("vec_id", "embedding")
+    val kept2 = ann.processBatch(b2, "embedding", "vec_id")
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept2.toSeq == Seq(11L), s"cross-batch dup must drop: ${kept2.toSeq}")
+
+    // batch 3: near-dup of the batch-2 survivor also dropped
+    val b3 = Seq((20L, Array(0.11, 0.1, 0.99, -0.8).toSeq)).toDF("vec_id", "embedding")
+    val kept3 = ann.processBatch(b3, "embedding", "vec_id")
+      .select("vec_id").as[Long].collect()
+    assert(kept3.isEmpty, s"near-dup of accepted vector must drop: ${kept3.toSeq}")
+  }
+}
