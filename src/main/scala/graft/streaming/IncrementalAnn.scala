@@ -20,7 +20,9 @@ import graft.ops.Similarity
   * Recall follows the SRP parameters exactly as in
   * [[Similarity.cosineNearDups]] (same hyperplanes: both sides hash
   * through the shared srp_signatures expression). Designed for use
-  * inside foreachBatch of an embedding stream.
+  * inside foreachBatch of an embedding stream. Replay of a crashed
+  * batch is OUTPUT-correct (self-matches excluded); duplicate store
+  * rows from a replay only re-derive the same candidates.
   */
 final class IncrementalAnn(spark: SparkSession, storeDir: String,
                            nBits: Int = 8, nTables: Int = 8,
@@ -65,11 +67,16 @@ final class IncrementalAnn(spark: SparkSession, storeDir: String,
   def processBatch(batch: DataFrame, vecCol: String, idCol: String): DataFrame = {
     val sigs = signatures(batch, vecCol, idCol).cache()
     try {
-      // candidates vs the persisted corpus: bucket equi-join, verify
+      // candidates vs the persisted corpus: bucket equi-join, verify.
+      // The store id rides along so a row never matches ITSELF — a
+      // foreachBatch replay re-presents rows whose signatures were
+      // already persisted, and without the self-exclusion every
+      // replayed survivor would cosine-1-match its own stored vector.
       val vsCorpus = sigs.join(
-          store().select(col("table"), col("bucket"),
+          store().select(col("table"), col("bucket"), col("id").as("__cid"),
             col("embedding").as("__ce"), col("norm").as("__cn")),
           Seq("table", "bucket"))
+        .filter(col("id") =!= col("__cid"))
         .select(col("id"), col("embedding"), col("norm"), col("__ce"), col("__cn"))
         .distinct()
         .filter(cos(col("embedding"), col("norm"), col("__ce"), col("__cn")) >= threshold)

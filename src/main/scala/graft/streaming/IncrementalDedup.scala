@@ -16,7 +16,12 @@ import graft.ops.Dedup
   *
   * Work per batch is O(batch x hashes) + a hash join keyed on bucket
   * — independent of corpus size except through bucket collision rate.
-  * Designed for use inside foreachBatch of a document stream.
+  * Designed for use inside foreachBatch of a document stream. Replay
+  * of a crashed batch is OUTPUT-correct (self-matches are excluded, so
+  * survivors survive again); the store may then hold duplicate
+  * signature rows for those ids, which only re-derives the same
+  * candidates — run [[graft.engine.Catalog.compact]]-style maintenance
+  * or dedupe the store offline if replays accumulate.
   */
 final class IncrementalDedup(spark: SparkSession, storeDir: String,
                              shingleK: Int = 3, numHashes: Int = 16,
@@ -59,11 +64,16 @@ final class IncrementalDedup(spark: SparkSession, storeDir: String,
   def processBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame = {
     val sigs = signatures(batch, textCol, idCol).cache()
     try {
-      // candidates vs the persisted corpus
+      // candidates vs the persisted corpus. The store row's id rides
+      // along so a row never matches ITSELF: a foreachBatch replay
+      // after a crash re-presents rows whose signatures were already
+      // persisted, and without the self-exclusion every replayed
+      // survivor would J=1-match its own stored set and be dropped.
       val cands = sigs.join(
-          store().select(col("band"), col("bucket"),
+          store().select(col("band"), col("bucket"), col("id").as("__cid"),
             col("shingle_set").as("__corpus_set")),
           Seq("band", "bucket"))
+        .filter(col("id") =!= col("__cid"))
         .select(col("id"), col("shingle_set"), col("__corpus_set")).distinct()
         .withColumn("j", Dedup.jaccardFromSets(col("shingle_set"), col("__corpus_set")))
         .filter(col("j") >= threshold)

@@ -36,4 +36,17 @@ class IncrementalAnnSpec extends AnyFunSuite with SparkTestBase {
       .select("vec_id").as[Long].collect()
     assert(kept3.isEmpty, s"near-dup of accepted vector must drop: ${kept3.toSeq}")
   }
+
+  test("replaying a crashed batch keeps its survivors (no self-match drop)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incann_rp_").toString
+    val ann = new IncrementalAnn(spark, dir, nBits = 4, nTables = 16, threshold = 0.98)
+    val b = Seq((1L, base.toSeq), (2L, other.toSeq)).toDF("vec_id", "embedding")
+    val first = ann.processBatch(b, "embedding", "vec_id")
+      .select("vec_id").as[Long].collect().sorted
+    assert(first.toSeq == Seq(1L, 2L))
+    val replay = ann.processBatch(b, "embedding", "vec_id")
+      .select("vec_id").as[Long].collect().sorted
+    assert(replay.toSeq == Seq(1L, 2L),
+      s"replayed survivors must survive again: ${replay.toSeq}")
+  }
 }

@@ -34,4 +34,20 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").as[Long].collect()
     assert(kept3.isEmpty, s"near-dup of accepted row must drop: ${kept3.toSeq}")
   }
+
+  test("replaying a crashed batch keeps its survivors (no self-match drop)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_rp_").toString
+    val dedup = new IncrementalDedup(spark, dir, threshold = 0.5)
+    val b = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val first = dedup.processBatch(b, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(first.toSeq == Seq(1L, 2L))
+    // foreachBatch replay after a crash between persist and commit:
+    // the same rows arrive again with their signatures already stored —
+    // they must NOT be dropped as duplicates of themselves
+    val replay = dedup.processBatch(b, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(replay.toSeq == Seq(1L, 2L),
+      s"replayed survivors must survive again: ${replay.toSeq}")
+  }
 }
