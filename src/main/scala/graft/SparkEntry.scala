@@ -933,15 +933,16 @@ object SparkEntry {
     * qExportRoundtrip's export dir).
     */
   private def materializeAndClean(s: SparkSession, cat: graft.engine.Catalog,
-                                  df: DataFrame): DataFrame = {
-    val out = s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
-    val p = java.nio.file.Paths.get(cat.root)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(x => java.nio.file.Files.delete(x))
-    out
-  }
+                                  df: DataFrame): DataFrame =
+    try s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    finally {
+      // delete even when the query throws — failures must not leak trees
+      val p = java.nio.file.Paths.get(cat.root)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(x => java.nio.file.Files.delete(x))
+    }
 
   /** Build a throwaway warehouse+stage populated with the first n
     * documents as .txt files (FIXTURES A4). Content depends only on the
