@@ -54,16 +54,23 @@ object Bench {
     // output-tail capture holds the whole line — r2's full-precision
     // doubles overflowed it and truncated the total. Also mirror the
     // JSON to a file so the numbers survive any stdout capture limit.
-    def f3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would emit 0,787 and
+    // break every JSON consumer of this line
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      java.lang.Double.valueOf(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = sfDir.split('/').last
     val json =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    // mirror beside the build (cwd), not a hardcoded absolute path; a
+    // failed write must be visible, not silently absent
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), json + "\n")
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get("BENCH_LOCAL.json").toAbsolutePath, json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+    }
     println(json)
     spark.stop()
   }

@@ -840,8 +840,7 @@ object SparkEntry {
     * (text round-trips must not hash-drift on float formatting).
     */
   private def qExportRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dirPath = java.nio.file.Files.createTempDirectory("graft_export_")
-    val dir = dirPath.toString
+    val dir = java.nio.file.Files.createTempDirectory("graft_export_").toString
     try {
       val slice = ev(s, d).filter(col("event_id") < 1000)
         .select(col("event_id"), col("event_type"), col("user_id"))
@@ -863,11 +862,7 @@ object SparkEntry {
       // NOW instead of leaking a temp tree per invocation
       s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
         .orderBy(col("source"), col("event_type"))
-    } finally {
-      java.nio.file.Files.walk(dirPath)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+    } finally deleteTree(dir)
   }
 
   /** Media geometry ops oracle-gated: resize planning (aspect-
@@ -894,55 +889,60 @@ object SparkEntry {
   /** Full pipeline e2e (S1/S2/S6/S7/AI1-AI3/X3): stage 50 docs as files
     * in a temp warehouse, run the batch-SQL pipeline over the stage.
     */
-  private def qPipelineBatchSql(s: SparkSession, d: String): DataFrame = {
-    val cat = stagedCatalog(s, d, nDocs = 50)
-    materializeAndClean(s, cat,
+  private def qPipelineBatchSql(s: SparkSession, d: String): DataFrame =
+    withStagedCatalog(s, d, nDocs = 50) { cat =>
       Pipelines.batchSql(cat, "docs",
         Map("title" -> "What is the title?", "topic" -> "What is this document about?"))
-        .orderBy(col("relative_path")))
-  }
+        .orderBy(col("relative_path"))
+    }
 
   /** Streaming pipeline e2e (X2): binaryFile stream -> ai_extract ->
     * foreachBatch persists; returns the persisted master table.
     */
-  private def qPipelineStream(s: SparkSession, d: String): DataFrame = {
-    val cat = stagedCatalog(s, d, nDocs = 50)
-    val q = Pipelines.stream(cat, "docs",
-      Map("title" -> "What is the title?"),
-      cat.root + "/checkpoints/stream")
-    try q.processAllAvailable() finally q.stop()
-    materializeAndClean(s, cat,
+  private def qPipelineStream(s: SparkSession, d: String): DataFrame =
+    withStagedCatalog(s, d, nDocs = 50) { cat =>
+      val q = Pipelines.stream(cat, "docs",
+        Map("title" -> "What is the title?"),
+        cat.root + "/checkpoints/stream")
+      try q.processAllAvailable() finally q.stop()
       cat.table("DOCUMENTS_PROCESSED")
         .select(col("file_ref"), col("class_name"), col("extraction_result"))
-        .orderBy(col("file_ref")))
-  }
+        .orderBy(col("file_ref"))
+    }
 
   /** Interactive pipeline e2e (§3.1) + History read path (A1). */
-  private def qPipelineInteractive(s: SparkSession, d: String): DataFrame = {
-    val cat = stagedCatalog(s, d, nDocs = 3)
-    (0 until 3).foreach(i => Pipelines.interactive(cat, "docs", f"doc_$i%05d.txt"))
-    materializeAndClean(s, cat,
+  private def qPipelineInteractive(s: SparkSession, d: String): DataFrame =
+    withStagedCatalog(s, d, nDocs = 3) { cat =>
+      (0 until 3).foreach(i => Pipelines.interactive(cat, "docs", f"doc_$i%05d.txt"))
       graft.pipelines.HistoryQueries.documents(cat)
         .select(col("file_ref"), col("class_name"), col("fields_extracted"), col("has_ocr"))
-        .orderBy(col("file_ref")))
+        .orderBy(col("file_ref"))
+    }
+
+  /** Run a pipeline query against a throwaway staged warehouse,
+    * materialize the small presentation-edge result into a local
+    * frame, and delete the warehouse even when the PIPELINE throws —
+    * repeated bench/verify invocations must not leak temp trees (same
+    * hygiene as qExportRoundtrip's export dir).
+    */
+  private def withStagedCatalog(s: SparkSession, d: String, nDocs: Int)
+                               (body: graft.engine.Catalog => DataFrame): DataFrame = {
+    val cat = stagedCatalog(s, d, nDocs)
+    try {
+      val df = body(cat)
+      s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    } finally deleteTree(cat.root)
   }
 
-  /** Materialize a small presentation-edge result into a local frame
-    * and delete the query's temp warehouse — repeated bench/verify
-    * invocations must not leak temp trees (same hygiene as
-    * qExportRoundtrip's export dir).
-    */
-  private def materializeAndClean(s: SparkSession, cat: graft.engine.Catalog,
-                                  df: DataFrame): DataFrame =
-    try s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
-    finally {
-      // delete even when the query throws — failures must not leak trees
-      val p = java.nio.file.Paths.get(cat.root)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(x => java.nio.file.Files.delete(x))
+  private def deleteTree(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => java.nio.file.Files.delete(x))
+      finally walk.close()
     }
+  }
 
   /** Build a throwaway warehouse+stage populated with the first n
     * documents as .txt files (FIXTURES A4). Content depends only on the

@@ -83,7 +83,10 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * Partition subdirectories (partitionSpec) are preserved.
     */
   def appendBatch(name: String, df: DataFrame, token: String): Unit = {
-    require(token.matches("[A-Za-z0-9_-]+"), s"unsafe batch token: $token")
+    // no '-' in tokens: replay cleanup matches files by the "-b<token>"
+    // suffix, and a '-' inside one token could make it a suffix of
+    // another token's files (e.g. "a-b1" vs "1"), deleting their data
+    require(token.matches("[A-Za-z0-9_]+"), s"unsafe batch token: $token")
     val tmp = s"$root/tables/.stage_${name}_$token"
     val writer = withDefaults(name, df).write.mode(SaveMode.Overwrite)
     partitionSpec.get(name).fold(writer)(cols => writer.partitionBy(cols: _*))
@@ -150,17 +153,23 @@ final class Catalog(val spark: SparkSession, val root: String) {
   }
 
   /** Crash recovery for an interrupted [[overwrite]] swap: if the live
-    * dir vanished mid-swap, restore whichever staged copy exists
-    * (.tmp_ = new data fully written, else .bak_ = previous data).
+    * dir vanished mid-swap, restore whichever staged copy is COMPLETE
+    * (.tmp_ only counts when its _SUCCESS marker exists — a crash
+    * mid-parquet-write leaves a partial .tmp_ that must never become
+    * the live table; else .bak_ = the previous data). Incomplete .tmp_
+    * remnants are deleted either way so they cannot resurrect later.
     */
   def recover(name: String): Unit = {
     val target = Paths.get(tablePath(name))
+    val tmp = Paths.get(s"$root/tables/.tmp_$name")
+    val bak = Paths.get(s"$root/tables/.bak_$name")
+    val tmpComplete = Files.exists(tmp.resolve("_SUCCESS"))
     if (!Files.exists(target)) {
-      val tmp = Paths.get(s"$root/tables/.tmp_$name")
-      val bak = Paths.get(s"$root/tables/.bak_$name")
-      if (Files.exists(tmp)) Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      if (tmpComplete) Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       else if (Files.exists(bak)) Files.move(bak, target, StandardCopyOption.ATOMIC_MOVE)
     }
+    if (Files.exists(tmp) && !Files.exists(tmp.resolve("_SUCCESS")))
+      deleteRecursively(tmp)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -170,8 +179,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** DROP TABLE (S9; cleanup:14-28). */
-  def dropTable(name: String): Unit = deleteRecursively(Paths.get(tablePath(name)))
+  /** DROP TABLE (S9; cleanup:14-28). Also removes swap remnants
+    * (.tmp_/.bak_) so a dropped table can never be resurrected by
+    * [[recover]] on the next warehouse open.
+    */
+  def dropTable(name: String): Unit = {
+    deleteRecursively(Paths.get(tablePath(name)))
+    deleteRecursively(Paths.get(s"$root/tables/.tmp_$name"))
+    deleteRecursively(Paths.get(s"$root/tables/.bak_$name"))
+  }
 
   /** DROP STAGE (cleanup:17-20): remove a stage directory and its files. */
   def dropStage(stage: String): Unit = deleteRecursively(Paths.get(stageDir(stage)))

@@ -161,10 +161,16 @@ object TextAnalysis {
     val toks = df.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
     val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
-    val total = toks.count().toDouble
+    // corpus token total as a LAZY one-row broadcast (no explode: sum
+    // of per-row token-array sizes in a single narrow scan) — an eager
+    // count() here would run a whole extra explode-the-corpus job at
+    // DataFrame-construction time
+    val total = df.select(
+      sum(size(split(lower(trim(col(textCol))), "\\s+")).cast("double")).as("__total"))
     toks.join(freq, Seq("__tok"))
+      .crossJoin(broadcast(total))
       .groupBy(col(idCol))
-      .agg(round(avg(log(col("__tf") / total)), 4).as("mean_logprob"),
+      .agg(round(avg(log(col("__tf") / col("__total"))), 4).as("mean_logprob"),
         count(lit(1)).cast("long").as("n_tokens"))
   }
 }

@@ -40,11 +40,20 @@ object Pipelines {
   private def runConcurrently(tasks: Seq[() => Unit]): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.duration.{Duration, DurationInt}
     val settled = tasks.map(t =>
       Future(t()).map(_ => None: Option[Throwable]).recover { case e => Some(e) })
-    val errs = Await.result(Future.sequence(settled), 120.seconds).flatten
-    errs.headOption.foreach(e => throw e)
+    val all = Future.sequence(settled)
+    val errs =
+      try Await.result(all, 120.seconds)
+      catch { case e: java.util.concurrent.TimeoutException =>
+        // even past the deadline, SETTLE before propagating: throwing
+        // with jobs in flight would let the caller unpersist/retry
+        // under live writers (the exact hazard this helper prevents)
+        Await.result(all, Duration.Inf)
+        throw e
+      }
+    errs.flatten.headOption.foreach(e => throw e)
   }
 
   /** Ensure a prompt schema exists for each class present in `classes`

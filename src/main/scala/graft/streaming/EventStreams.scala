@@ -101,7 +101,11 @@ object EventStreams {
     * lastSeen + gap — no later event from the same user needed. This is
     * the production shape for an infinite feed: per-user state is
     * reclaimed by the timeout, so users who disappear do not pin state
-    * forever. Input must carry `withWatermark("ts", ...)`.
+    * forever. Because that eviction also discards any per-user counter,
+    * session_id here is the session's START time in epoch millis —
+    * unique and monotone per user WITHOUT surviving state (a counter
+    * would restart at 0 after eviction and collide with emitted
+    * sessions). Input must carry `withWatermark("ts", ...)`.
     */
   def sessionizeWithTimeout(events: Dataset[Event],
                             gapSeconds: Long = 1800): Dataset[SessionOut] = {
@@ -116,7 +120,7 @@ object EventStreams {
             // the open session and release the user's state
             val st = state.get
             state.remove()
-            Iterator.single(SessionOut(userId, st.sessionId, st.nEvents,
+            Iterator.single(SessionOut(userId, st.start, st.nEvents,
               new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.lastSeen)))
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
@@ -125,11 +129,11 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               if (st.lastSeen < 0) {
-                st = SessionState(st.sessionId, t, t, 1L)
+                st = SessionState(0L, t, t, 1L)
               } else if (t - st.lastSeen > gapSeconds * 1000) {
-                out += SessionOut(userId, st.sessionId, st.nEvents,
+                out += SessionOut(userId, st.start, st.nEvents,
                   new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.lastSeen))
-                st = SessionState(st.sessionId + 1, t, t, 1L)
+                st = SessionState(0L, t, t, 1L)
               } else {
                 st = st.copy(lastSeen = t, nEvents = st.nEvents + 1)
               }

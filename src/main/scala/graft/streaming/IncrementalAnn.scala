@@ -28,6 +28,23 @@ final class IncrementalAnn(spark: SparkSession, storeDir: String,
                            nBits: Int = 8, nTables: Int = 8,
                            threshold: Double = 0.9) {
 
+  // Bucket values are persisted, so the SRP hyperplane scheme is part
+  // of the on-disk format — version it like IncrementalDedup so a
+  // formula change fails fast instead of silently missing every match.
+  private val formatVersion = "1"
+  locally {
+    val marker = Paths.get(s"$storeDir/_FORMAT")
+    if (Files.exists(Paths.get(storePath)) || Files.exists(marker)) {
+      val v = if (Files.exists(marker)) Files.readString(marker).trim else "0"
+      require(v == formatVersion,
+        s"SRP store at $storeDir uses bucket format v$v, this build writes " +
+          s"v$formatVersion — rebuild the store (bucket hashes are not comparable)")
+    } else {
+      Files.createDirectories(Paths.get(storeDir))
+      Files.writeString(marker, formatVersion)
+    }
+  }
+
   private val storeSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("table", IntegerType),

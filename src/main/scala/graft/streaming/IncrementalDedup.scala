@@ -30,6 +30,25 @@ final class IncrementalDedup(spark: SparkSession, storeDir: String,
 
   private val rowsPerBand = numHashes / bands
 
+  // Bucket values are persisted, so the hash formula is part of the
+  // on-disk format: v2 = native band_buckets XXH64 chain (v1 was the
+  // string-concat xxhash64 tree). A store written under a different
+  // formula would silently never match new batches' buckets — fail
+  // fast instead of silently losing recall.
+  private val formatVersion = "2"
+  locally {
+    val marker = Paths.get(s"$storeDir/_FORMAT")
+    if (Files.exists(Paths.get(storePath)) || Files.exists(marker)) {
+      val v = if (Files.exists(marker)) Files.readString(marker).trim else "1"
+      require(v == formatVersion,
+        s"signature store at $storeDir uses bucket format v$v, this build writes " +
+          s"v$formatVersion — rebuild the store (bucket hashes are not comparable)")
+    } else {
+      Files.createDirectories(Paths.get(storeDir))
+      Files.writeString(marker, formatVersion)
+    }
+  }
+
   private val storeSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("band", IntegerType),

@@ -163,9 +163,11 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       Seq(Event(4, tsOf("2024-01-01 13:05:00"), 2, "view", 4.0))
         .toDS().write.mode("append").parquet(dir + "/b3")
       q.processAllAvailable()
+      // session_id is the session's start epoch millis (eviction-safe id)
       val sessions = spark.table("sessions_to_out")
         .select("user_id", "session_id", "n_events").as[(Long, Long, Long)].collect()
-      assert(sessions.contains((1L, 0L, 2L)),
+      val expectedId = tsOf("2024-01-01 10:00:00").getTime
+      assert(sessions.contains((1L, expectedId, 2L)),
         s"user 1's idle session must be flushed by the timeout: ${sessions.toSeq}")
     } finally q.stop()
   }
