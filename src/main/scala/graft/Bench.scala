@@ -14,30 +14,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen, parquet footer cache, JIT) on tiny
-    // slices of each expression family so no timed query is charged
-    // for session init / first-JIT of its machinery
-    try {
-      import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/region.parquet")
-        .write.format("noop").mode("overwrite").save()
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
-      graft.ops.TextAnalysis.annotateStats(docs, "text")
-        .write.format("noop").mode("overwrite").save()
-      val sh = graft.ops.Dedup.shingleTable(docs.limit(8), "text", "doc_id", 3)
-      sh.crossJoin(sh.select(col("shingle_set").as("__b")))
-        .select(graft.ops.Dedup.jaccardFromSets(col("shingle_set"), col("__b")))
-        .write.format("noop").mode("overwrite").save()
-      docs.limit(8)
-        .select(graft.ai.AiFunctions.ai_classify(col("text")),
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(lit(1)).orderBy(col("doc_id"))))
-        .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
     val only = args.toSet // optional query-name filter for local runs
-    val results = SparkEntry.queries
+    val picked = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+      .toSeq.sortBy(_._1) // deterministic run order round over round
+    // Warm-up: run every picked query once at the SMALLEST sf so each
+    // timed query's exact machinery (codegen, JIT, UDF paths, parquet
+    // footer cache, streaming/foreachBatch setup) is hot before its
+    // timed run — r3 showed untouched trivial queries drifting 2x+
+    // between rounds purely from first-JIT charges landing on whichever
+    // query ran a family first. Warm-up time is NOT part of the metric.
+    val warmDir = {
+      val d = new java.io.File(sfDir).getParentFile
+      val tiny = new java.io.File(d, "sf0.001")
+      if (tiny.isDirectory) tiny.getPath else sfDir
+    }
+    picked.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      releaseState(spark)
+    }
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of every output column —
       // count() would let Spark prune the expensive projections and
@@ -48,30 +45,50 @@ object Bench {
         // a swallowed error would read as a suspiciously fast pass
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // untimed gap: drop cache/checkpoint blocks the query left behind
+      // so 77 queries don't accumulate memory pressure (GC pauses were
+      // billed to whoever ran late in the r3 run)
+      releaseState(spark)
+      name -> dt
     }
-    // keep the JSON line SHORT (3dp, basename sf) so the driver's
-    // output-tail capture holds the whole line — r2's full-precision
-    // doubles overflowed it and truncated the total. Also mirror the
-    // JSON to a file so the numbers survive any stdout capture limit.
+    // keep the JSON line SHORT (trimmed decimals, basename sf) so the
+    // driver's 2000-char output-tail capture holds the whole line —
+    // r3's 3dp line was 1998 chars and still got truncated by the sbt
+    // prefix. Full precision is mirrored to BENCH_LOCAL.json.
     // Locale.ROOT: a comma-decimal default locale would emit 0,787 and
     // break every JSON consumer of this line
-    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
-      java.lang.Double.valueOf(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val sfName = sfDir.split('/').last
-    val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
-    // mirror beside the build (cwd), not a hardcoded absolute path; a
-    // failed write must be visible, not silently absent
+    def fmt(v: Double, dp: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f",
+        java.lang.Double.valueOf(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
+    def line(dp: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      val sfName = sfDir.split('/').last
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    // mirror full precision beside the build (cwd), not a hardcoded
+    // absolute path; a failed write must be visible, not silently absent
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json").toAbsolutePath, json + "\n")
+      java.nio.file.Paths.get("BENCH_LOCAL.json").toAbsolutePath, line(3) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
     }
-    println(json)
+    println(if (line(2).length <= 1900) line(2) else line(1))
     spark.stop()
+  }
+
+  /** Unpersist every cached/localCheckpoint'd block and nudge the
+    * ContextCleaner so per-query leftovers don't compound across the run.
+    */
+  private def releaseState(spark: SparkSession): Unit = {
+    try {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+    } catch { case _: Throwable => () }
   }
 }

@@ -413,7 +413,10 @@ object SparkEntry {
   private def qTextTfidf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents")
-    val nDocs = docs.count().toDouble
+    // N as a lazy one-row broadcast aggregate (unigramLogProb pattern) —
+    // an eager docs.count() at plan-build time would serialize a full
+    // extra corpus scan into every run at 100 TB
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val terms = docs
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
     val tf = terms.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
@@ -423,7 +426,8 @@ object SparkEntry {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word"))
     tf.join(df_, Seq("word"))
-      .withColumn("tfidf", round(col("tf") * log(lit(nDocs) / col("df")), 4))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("__n_docs") / col("df")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("word"), col("tfidf"), col("rank").cast("long").as("rank"))

@@ -23,18 +23,20 @@ object Corpus {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       "need 0 <= overlap < chunkSize")
     val step = chunkSize - overlap
+    // explode the window starts FIRST, then slice once per output row
+    // in a staged projection (CollapseProject keeps the multi-referenced
+    // non-cheap alias) — keeps slice/array_join/size in codegen instead
+    // of an interpreted per-element lambda, and computes each window's
+    // slice once instead of twice
     df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
-      .select(col(idCol),
-        posexplode(transform(
-          sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(step)),
-          s => struct(
-            array_join(slice(col("__toks"), s + 1, lit(chunkSize)), " ").as("chunk_text"),
-            size(slice(col("__toks"), s + 1, lit(chunkSize))).cast("long")
-              .as("n_chunk_tokens"))))
-          .as(Seq("chunk_id", "__c")))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(step)))
+          .as(Seq("chunk_id", "__start")))
       .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
-        col("__c.chunk_text").as("chunk_text"),
-        col("__c.n_chunk_tokens").as("n_chunk_tokens"))
+        slice(col("__toks"), col("__start") + 1, lit(chunkSize)).as("__chunk"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"))
   }
 
   /** Deterministic train/val/test assignment: md5-bucket of the id.
@@ -102,16 +104,21 @@ object Corpus {
     */
   def mixPlan(df: DataFrame, sourceCol: String,
               targetShares: Map[String, Double]): DataFrame = {
-    val total = df.count().toDouble
+    // corpus total as a lazy one-row broadcast aggregate, not an eager
+    // df.count(): at 100 TB an eager count serializes a full extra scan
+    // into plan CONSTRUCTION; this way the total rides the same job
+    val totalDf = df.agg(count(lit(1)).cast("double").as("__total"))
     val target = typedLit(targetShares)
     df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("share", round(col("n_docs") / total, 4))
+      .crossJoin(broadcast(totalDf))
+      .withColumn("share", round(col("n_docs") / col("__total"), 4))
       .withColumn("target_share",
         round(coalesce(element_at(target, col(sourceCol)), lit(0.0)), 4))
       .withColumn("factor",
         round(coalesce(element_at(target, col(sourceCol)), lit(0.0)) /
-          (col("n_docs") / total), 4))
+          (col("n_docs") / col("__total")), 4))
+      .drop("__total")
   }
 
   /** Decontamination: drop training docs whose normalized text exactly
