@@ -555,8 +555,10 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"))
     truth.join(found.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_true_pairs"),
-        (sum(coalesce(col("__hit"), lit(0))).cast("double") /
-          count(lit(1)) >= 0.9).as("recall_ok"))
+        // vacuous recall: an empty truth set makes sum/count NULL, but
+        // the oracle emits TRUE — 0 missed pairs is a pass, not a NULL
+        coalesce(sum(coalesce(col("__hit"), lit(0))).cast("double") /
+          count(lit(1)) >= 0.9, lit(true)).as("recall_ok"))
   }
 
   /** Exact n-gram (3-shingle) Jaccard near-dup pairs on a bounded
@@ -660,8 +662,9 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"))
     exact.join(lsh.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_exact"),
-        (sum(coalesce(col("__hit"), lit(0))).cast("double") /
-          count(lit(1)) >= 0.9).as("recall_ok"))
+        // vacuous recall (see qSimhashPairs): empty truth set -> TRUE
+        coalesce(sum(coalesce(col("__hit"), lit(0))).cast("double") /
+          count(lit(1)) >= 0.9, lit(true)).as("recall_ok"))
   }
 
   private def qAiClassify(s: SparkSession, d: String): DataFrame =
@@ -741,7 +744,11 @@ object SparkEntry {
     * DuckDB-replayable from (doc_id, text) alone.
     */
   private val mediaHeaderHex: Seq[String] = Seq(
-    "",                 // 0: no header -> unknown
+    // the headerless class gets ONE guaranteed non-magic byte (NUL):
+    // raw text starting with an ASCII magic string (GIF8, RIFF, ID3,
+    // %PDF) would otherwise sniff as that format while the oracle
+    // hardcodes 'unknown' for doc_id % 8 == 0
+    "00",               // 0: non-magic byte -> unknown
     "89504E470D0A1A0A", // 1: png
     "FFD8FFE0",         // 2: jpeg
     "47494638",         // 3: gif
@@ -1208,7 +1215,7 @@ object SparkEntry {
     // magic-byte sniffing + byte accounting replayed from (doc_id, text)
     "q_multimodal_catalog" ->
       ("SELECT doc_id, ['unknown','png','jpeg','gif','riff','mp4','mp3','pdf'][1 + CAST(doc_id % 8 AS INT)] AS format, " +
-        "CAST(octet_length(encode(text)) + [0,8,4,4,4,8,3,4][1 + CAST(doc_id % 8 AS INT)] AS BIGINT) AS byte_size " +
+        "CAST(octet_length(encode(text)) + [1,8,4,4,4,8,3,4][1 + CAST(doc_id % 8 AS INT)] AS BIGINT) AS byte_size " +
         "FROM documents ORDER BY doc_id"),
     // embedding stub invariants: dim, range, bytewise determinism
     "q_multimodal_embed" ->

@@ -202,34 +202,59 @@ object Pipelines {
       .withColumn("class_name", ai_classify(col("text")))
       .withColumn("extraction_result", ai_extract_json(col("text"), promptsCol))
       .withColumn("result_map", ai_extract(col("text"), promptsCol))
+    val run = runToken(checkpoint)
     extracted.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        persistBatch(cat, batch, batchId)
+        persistBatch(cat, batch, run, batchId)
       }
       .start()
   }
 
+  /** Stable run identity for idempotent-append tokens, tied to the
+    * CHECKPOINT's lifetime: batchIds are only unique within one
+    * checkpoint, so a stream restarted with a fresh/deleted checkpoint
+    * restarts at batch 0 — a bare-batchId token would then make replay
+    * cleanup delete the PREVIOUS run's batch-0 files from a live table.
+    * A write-once token file inside the checkpoint dir gives the
+    * standard (runId, batchId) idempotent-write identity: same
+    * checkpoint -> same namespace (crash replay still cleans its own
+    * files), new checkpoint -> new namespace (old data untouched).
+    */
+  private[pipelines] def runToken(checkpoint: String): String = {
+    val dir = java.nio.file.Paths.get(checkpoint)
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("graft_run_token")
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim
+    else {
+      val tok = "r" + java.util.UUID.randomUUID().toString.replace("-", "")
+      java.nio.file.Files.writeString(f, tok)
+      tok
+    }
+  }
+
   /** The stream's per-batch persist, exactly-once under foreachBatch
-    * replay: writes are token-stamped with the batchId (appendBatch),
+    * replay: writes are token-stamped with (run, batchId) (appendBatch),
     * so a crash between the append and the checkpoint commit re-runs
     * the batch onto its own files instead of double-appending.
     */
   private[pipelines] def persistBatch(cat: Catalog, batch: DataFrame,
-                                      batchId: Long): Unit = {
+                                      run: String, batchId: Long): Unit = {
+    val token = s"${run}_$batchId"
     val b = batch.cache()
     try {
       // independent tables -> concurrent jobs (as in interactive)
       runConcurrently(Seq(
         () => cat.appendBatch("DOCUMENTS_PROCESSED", b.select(
           col("file_url"), col("relative_path").as("file_ref"),
-          col("class_name"), col("extraction_result")), s"$batchId"),
+          col("class_name"), col("extraction_result")), token),
         () => cat.appendBatch("DOCUMENTS_EXTRACTED_FIELDS",
           Relational.unpivotMap(
             b.select(col("file_url"), col("relative_path").as("file_ref"),
               col("class_name"), col("result_map")),
             "result_map", "field_name", "field_value")
-            .withColumn("confidence", lit(null).cast("double")), s"$batchId")))
+            .withColumn("confidence", lit(null).cast("double")), token)))
     } finally b.unpersist()
     ()
   }

@@ -135,7 +135,13 @@ object EventStreams {
                   new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.lastSeen))
                 st = SessionState(0L, t, t, 1L)
               } else {
-                st = st.copy(lastSeen = t, nEvents = st.nEvents + 1)
+                // cross-batch late event (above watermark, inside the
+                // gap) may be OLDER than state's lastSeen/start — merge
+                // with max/min so the session never shrinks and the
+                // timeout horizon never moves backwards
+                st = st.copy(start = math.min(st.start, t),
+                  lastSeen = math.max(st.lastSeen, t),
+                  nEvents = st.nEvents + 1)
               }
             }
             state.update(st)

@@ -28,17 +28,23 @@ final class IncrementalAnn(spark: SparkSession, storeDir: String,
                            nBits: Int = 8, nTables: Int = 8,
                            threshold: Double = 0.9) {
 
-  // Bucket values are persisted, so the SRP hyperplane scheme is part
-  // of the on-disk format — version it like IncrementalDedup so a
-  // formula change fails fast instead of silently missing every match.
-  private val formatVersion = "1"
+  // Bucket values are persisted, so EVERYTHING that determines them is
+  // part of the on-disk format — the SRP hyperplane scheme version AND
+  // the hyperparameters (nBits/nTables). Reopening a store with
+  // different nBits/nTables would silently never match buckets; the
+  // marker exists to fail fast on exactly that.
+  private val formatVersion = s"1:nBits=$nBits,nTables=$nTables"
   locally {
+    StoreSwap.recover(Paths.get(storePath))
     val marker = Paths.get(s"$storeDir/_FORMAT")
     if (Files.exists(Paths.get(storePath)) || Files.exists(marker)) {
       val v = if (Files.exists(marker)) Files.readString(marker).trim else "0"
-      require(v == formatVersion,
-        s"SRP store at $storeDir uses bucket format v$v, this build writes " +
-          s"v$formatVersion — rebuild the store (bucket hashes are not comparable)")
+      // bare "1" = pre-hyperparameter marker, written only under the
+      // constructor defaults — accept iff this instance matches them
+      val legacyOk = v == "1" && nBits == 8 && nTables == 8
+      require(v == formatVersion || legacyOk,
+        s"SRP store at $storeDir uses bucket format [$v], this build writes " +
+          s"[$formatVersion] — rebuild the store (bucket hashes are not comparable)")
     } else {
       Files.createDirectories(Paths.get(storeDir))
       Files.writeString(marker, formatVersion)
@@ -118,5 +124,19 @@ final class IncrementalAnn(spark: SparkSession, storeDir: String,
         .write.mode(SaveMode.Append).parquet(storePath)
       kept
     } finally sigs.unpersist()
+  }
+
+  /** Store maintenance: drop the duplicate signature rows that
+    * foreachBatch replays accumulate — dedupe by (id, table, bucket),
+    * rewrite via the crash-safe bak-swap. A replayed batch leaves the
+    * compacted store's row count unchanged. Single-writer: run between
+    * batches, not during one.
+    */
+  def compactStore(): Unit = {
+    val live = Paths.get(storePath)
+    if (!Files.exists(live)) return
+    store().dropDuplicates("id", "table", "bucket")
+      .write.mode(SaveMode.Overwrite).parquet(StoreSwap.stagePath(live).toString)
+    StoreSwap.swapIn(live)
   }
 }

@@ -20,8 +20,8 @@ import graft.ops.Dedup
   * of a crashed batch is OUTPUT-correct (self-matches are excluded, so
   * survivors survive again); the store may then hold duplicate
   * signature rows for those ids, which only re-derives the same
-  * candidates — run [[graft.engine.Catalog.compact]]-style maintenance
-  * or dedupe the store offline if replays accumulate.
+  * candidates — run [[compactStore]] between batches if replays
+  * accumulate.
   */
 final class IncrementalDedup(spark: SparkSession, storeDir: String,
                              shingleK: Int = 3, numHashes: Int = 16,
@@ -30,19 +30,27 @@ final class IncrementalDedup(spark: SparkSession, storeDir: String,
 
   private val rowsPerBand = numHashes / bands
 
-  // Bucket values are persisted, so the hash formula is part of the
-  // on-disk format: v2 = native band_buckets XXH64 chain (v1 was the
-  // string-concat xxhash64 tree). A store written under a different
-  // formula would silently never match new batches' buckets — fail
-  // fast instead of silently losing recall.
-  private val formatVersion = "2"
+  // Bucket values are persisted, so EVERYTHING that determines them is
+  // part of the on-disk format: the hash formula version (v2 = native
+  // band_buckets XXH64 chain; v1 was the string-concat xxhash64 tree)
+  // AND the hyperparameters (shingleK/numHashes/bands). Reopening a
+  // store with different hyperparameters would silently never match
+  // buckets — exactly the silent recall loss the marker exists to
+  // fail fast on.
+  private val formatVersion =
+    s"2:shingleK=$shingleK,numHashes=$numHashes,bands=$bands"
   locally {
+    StoreSwap.recover(Paths.get(storePath))
     val marker = Paths.get(s"$storeDir/_FORMAT")
     if (Files.exists(Paths.get(storePath)) || Files.exists(marker)) {
       val v = if (Files.exists(marker)) Files.readString(marker).trim else "1"
-      require(v == formatVersion,
-        s"signature store at $storeDir uses bucket format v$v, this build writes " +
-          s"v$formatVersion — rebuild the store (bucket hashes are not comparable)")
+      // bare "2" = pre-hyperparameter marker; those stores were only
+      // ever written with the constructor defaults, so accept it iff
+      // this instance runs the defaults too
+      val legacyOk = v == "2" && shingleK == 3 && numHashes == 16 && bands == 8
+      require(v == formatVersion || legacyOk,
+        s"signature store at $storeDir uses bucket format [$v], this build writes " +
+          s"[$formatVersion] — rebuild the store (bucket hashes are not comparable)")
     } else {
       Files.createDirectories(Paths.get(storeDir))
       Files.writeString(marker, formatVersion)
@@ -117,5 +125,20 @@ final class IncrementalDedup(spark: SparkSession, storeDir: String,
         .write.mode(SaveMode.Append).parquet(storePath)
       kept
     } finally sigs.unpersist()
+  }
+
+  /** Store maintenance: drop the duplicate signature rows that
+    * foreachBatch replays accumulate (a replayed batch re-appends its
+    * survivors' signatures). Dedupes by (id, band, bucket) and rewrites
+    * the store via the crash-safe bak-swap — a replayed batch leaves
+    * the compacted store's row count unchanged. Single-writer, like
+    * every store mutation here: run it between batches, not during one.
+    */
+  def compactStore(): Unit = {
+    val live = Paths.get(storePath)
+    if (!Files.exists(live)) return
+    store().dropDuplicates("id", "band", "bucket")
+      .write.mode(SaveMode.Overwrite).parquet(StoreSwap.stagePath(live).toString)
+    StoreSwap.swapIn(live)
   }
 }

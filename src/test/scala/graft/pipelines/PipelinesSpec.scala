@@ -97,18 +97,31 @@ class PipelinesSpec extends AnyFunSuite with SparkTestBase {
         graft.ai.AiFunctions.ai_extract(col("text"),
           map(lit("t"), lit("What is the title?"))))
     // a crash between the append and the checkpoint commit replays the
-    // SAME batchId: row counts must not change on the second run
-    Pipelines.persistBatch(cat, batch, batchId = 0L)
+    // SAME (run, batchId): row counts must not change on the second run
+    Pipelines.persistBatch(cat, batch, run = "runA", batchId = 0L)
     val n1 = cat.table("DOCUMENTS_PROCESSED").count()
     val f1 = cat.table("DOCUMENTS_EXTRACTED_FIELDS").count()
-    Pipelines.persistBatch(cat, batch, batchId = 0L)
+    Pipelines.persistBatch(cat, batch, run = "runA", batchId = 0L)
     assert(cat.table("DOCUMENTS_PROCESSED").count() == n1,
       "batchId replay must not double-append DOCUMENTS_PROCESSED")
     assert(cat.table("DOCUMENTS_EXTRACTED_FIELDS").count() == f1,
       "batchId replay must not double-append DOCUMENTS_EXTRACTED_FIELDS")
     // a genuinely new batch still appends
-    Pipelines.persistBatch(cat, batch, batchId = 1L)
+    Pipelines.persistBatch(cat, batch, run = "runA", batchId = 1L)
     assert(cat.table("DOCUMENTS_PROCESSED").count() == 2 * n1)
+    // a RESTARTED stream with a fresh checkpoint restarts batchIds at 0
+    // under a NEW run token: it must append, never delete the previous
+    // run's batch-0 data (the bare-batchId hazard)
+    Pipelines.persistBatch(cat, batch, run = "runB", batchId = 0L)
+    assert(cat.table("DOCUMENTS_PROCESSED").count() == 3 * n1,
+      "fresh-checkpoint batch 0 must not clobber the previous run's batch 0")
+    // run tokens are write-once per checkpoint dir: stable across
+    // restarts from the same checkpoint, fresh for a new checkpoint
+    val ck1 = cat.root + "/checkpoints/t1"
+    val ck2 = cat.root + "/checkpoints/t2"
+    val t1 = Pipelines.runToken(ck1)
+    assert(Pipelines.runToken(ck1) == t1, "same checkpoint must reuse its token")
+    assert(Pipelines.runToken(ck2) != t1, "new checkpoint must mint a new token")
   }
 
   test("interactive pipeline canonicalizes non-flat prompt schemas on read") {

@@ -171,4 +171,44 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
         s"user 1's idle session must be flushed by the timeout: ${sessions.toSeq}")
     } finally q.stop()
   }
+
+  test("sessionizeWithTimeout never shrinks a session on cross-batch late events") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_late_").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_stream_latecp_").toString
+    // batch 1 establishes lastSeen = 10:20 for user 1
+    Seq(Event(1, tsOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, tsOf("2024-01-01 10:20:00"), 1, "click", 2.0))
+      .toDS().write.parquet(dir + "/b1")
+    val schema = batch.schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/*")
+      .withWatermark("ts", "2 hours") // generous: the late event stays above it
+    val q = sessionizeWithTimeout(src.as[Event])
+      .writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", cp)
+      .queryName("sessions_late_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event (10:05, older than state's lastSeen but
+      // above the watermark) — merging it must not move lastSeen
+      // backwards, or session_end shrinks below already-counted events
+      // and the timeout horizon regresses
+      Seq(Event(3, tsOf("2024-01-01 10:05:00"), 1, "view", 3.0))
+        .toDS().write.mode("append").parquet(dir + "/b2")
+      q.processAllAvailable()
+      // close the session via the gap on a fresh in-order event
+      Seq(Event(4, tsOf("2024-01-01 12:00:00"), 1, "click", 4.0))
+        .toDS().write.mode("append").parquet(dir + "/b3")
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_late_out")
+        .select("user_id", "session_id", "n_events", "session_end")
+        .as[(Long, Long, Long, java.sql.Timestamp)].collect()
+      val expectedId = tsOf("2024-01-01 10:00:00").getTime
+      val closed = sessions.find(s => s._1 == 1L && s._2 == expectedId)
+      assert(closed.exists(s => s._3 == 3L &&
+          s._4.getTime == tsOf("2024-01-01 10:20:00").getTime),
+        s"late in-gap event must merge without shrinking the session: ${sessions.toSeq}")
+    } finally q.stop()
+  }
 }

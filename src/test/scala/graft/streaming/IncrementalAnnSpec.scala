@@ -49,4 +49,34 @@ class IncrementalAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(replay.toSeq == Seq(1L, 2L),
       s"replayed survivors must survive again: ${replay.toSeq}")
   }
+
+  test("compactStore removes replay duplicates and preserves matching") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incann_cp_").toString
+    val ann = new IncrementalAnn(spark, dir, nBits = 4, nTables = 16, threshold = 0.98)
+    val b = Seq((1L, base.toSeq), (2L, other.toSeq)).toDF("vec_id", "embedding")
+    ann.processBatch(b, "embedding", "vec_id")
+    val clean = spark.read.parquet(s"$dir/srp_signatures").count()
+    ann.processBatch(b, "embedding", "vec_id") // crash replay re-appends
+    assert(spark.read.parquet(s"$dir/srp_signatures").count() == 2 * clean)
+    ann.compactStore()
+    assert(spark.read.parquet(s"$dir/srp_signatures").count() == clean,
+      "replayed batch must leave the compacted store row count unchanged")
+    // the compacted store still matches: a near-dup of an accepted vector drops
+    val kept = ann.processBatch(
+        Seq((10L, nearDup.toSeq)).toDF("vec_id", "embedding"), "embedding", "vec_id")
+      .select("vec_id").as[Long].collect()
+    assert(kept.isEmpty, s"compacted store must still catch near-dups: ${kept.toSeq}")
+  }
+
+  test("reopening a store with different hyperparameters fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incann_hp_").toString
+    val ann = new IncrementalAnn(spark, dir, nBits = 4, nTables = 16)
+    ann.processBatch(Seq((1L, base.toSeq)).toDF("vec_id", "embedding"),
+      "embedding", "vec_id")
+    new IncrementalAnn(spark, dir, nBits = 4, nTables = 16) // same params: fine
+    val e = intercept[IllegalArgumentException] {
+      new IncrementalAnn(spark, dir, nBits = 8, nTables = 8)
+    }
+    assert(e.getMessage.contains("bucket format"))
+  }
 }

@@ -50,4 +50,43 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(replay.toSeq == Seq(1L, 2L),
       s"replayed survivors must survive again: ${replay.toSeq}")
   }
+
+  test("compactStore removes replay duplicates and preserves matching") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_cp_").toString
+    val dedup = new IncrementalDedup(spark, dir, threshold = 0.5)
+    val b = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    dedup.processBatch(b, "text", "doc_id")
+    val clean = spark.read.parquet(s"$dir/signatures").count()
+    // a crash replay re-appends the survivors' signatures...
+    dedup.processBatch(b, "text", "doc_id")
+    assert(spark.read.parquet(s"$dir/signatures").count() == 2 * clean)
+    // ...and compaction restores exactly the pre-replay row count
+    dedup.compactStore()
+    assert(spark.read.parquet(s"$dir/signatures").count() == clean,
+      "replayed batch must leave the compacted store row count unchanged")
+    // the compacted store still matches: a near-dup of an accepted row drops
+    val b2 = Seq((10L, nearDup)).toDF("doc_id", "text")
+    val kept = dedup.processBatch(b2, "text", "doc_id")
+      .select("doc_id").as[Long].collect()
+    assert(kept.isEmpty, s"compacted store must still catch near-dups: ${kept.toSeq}")
+    // compacting an already-clean store is a no-op
+    dedup.compactStore()
+    dedup.compactStore()
+    assert(spark.read.parquet(s"$dir/signatures").count() == clean,
+      "double compaction of a clean store must change nothing")
+  }
+
+  test("reopening a store with different hyperparameters fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_hp_").toString
+    val dedup = new IncrementalDedup(spark, dir, threshold = 0.5)
+    dedup.processBatch(Seq((1L, base)).toDF("doc_id", "text"), "text", "doc_id")
+    // same params: reopens fine
+    new IncrementalDedup(spark, dir, threshold = 0.5)
+    // different banding: bucket values are incomparable -> must throw,
+    // not silently lose every future match
+    val e = intercept[IllegalArgumentException] {
+      new IncrementalDedup(spark, dir, numHashes = 32, bands = 16)
+    }
+    assert(e.getMessage.contains("bucket format"))
+  }
 }
