@@ -83,33 +83,40 @@ object Ivf {
   def build(corpus: DataFrame, k: Int, iters: Int = 5,
             idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     val spark = corpus.sparkSession
-    // deterministic init: the k lowest-id vectors
-    var cen: Cen = corpus
-      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
-      .orderBy(col(idCol)).limit(k).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    // cache the corpus for the duration of the EAGER Lloyd jobs
+    // (init + one scan per iteration) — MLlib k-means does the same;
+    // released before returning, so the lazy inverted index underneath
+    // the caller's plan reads the source directly
+    val c = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic init: the k lowest-id vectors
+      var cen: Cen = c
+        .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
+        .orderBy(col(idCol)).limit(k).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
 
-    for (_ <- 0 until iters) {
-      // M-step: element-wise member means come back as k x dim rows
-      // (tiny); clusters that went empty keep their old centroid so k
-      // never silently shrinks across iterations
-      val means = assign(corpus, cen, idCol, vecCol)
-        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-      cen = cen.map { case (id, old) =>
-        means.get(id) match {
-          case Some(rows) => (id, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
-          case None       => (id, old)
+      for (_ <- 0 until iters) {
+        // M-step: element-wise member means come back as k x dim rows
+        // (tiny); clusters that went empty keep their old centroid so k
+        // never silently shrinks across iterations
+        val means = assign(c, cen, idCol, vecCol)
+          .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+          .groupBy(col("centroid_id"), col("pos"))
+          .agg(avg(col("v").cast("double")).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+        cen = cen.map { case (id, old) =>
+          means.get(id) match {
+            case Some(rows) => (id, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
+            case None       => (id, old)
+          }
         }
       }
-    }
-    import spark.implicits._
-    val centroids = cen.toSeq.toDF("centroid_id", "centroid")
-    IvfIndex(centroids, assign(corpus, cen, idCol, vecCol))
+      import spark.implicits._
+      val centroids = cen.toSeq.toDF("centroid_id", "centroid")
+      IvfIndex(centroids, assign(corpus, cen, idCol, vecCol))
+    } finally c.unpersist(false)
   }
 
   /** ANN top-k: nProbe nearest lists per probe, exact re-rank within. */
