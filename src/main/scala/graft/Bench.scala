@@ -34,23 +34,31 @@ object Bench {
       catch { case _: Throwable => () }
       releaseState(spark)
     }
+    // steady-state latency = min over `reps` timed runs: sub-second
+    // queries are GC/scheduling-noise-bound in a single shot, and the
+    // min is the standard microbenchmark estimator of the code's actual
+    // cost (the max measures the JVM's mood, not the plan)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = picked.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces FULL evaluation of every output column —
-      // count() would let Spark prune the expensive projections and
-      // under-report compute-heavy queries
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        // keep timing the rest, but a failed query must be VISIBLE —
-        // a swallowed error would read as a suspiciously fast pass
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink forces FULL evaluation of every output column —
+        // count() would let Spark prune the expensive projections and
+        // under-report compute-heavy queries
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          // keep timing the rest, but a failed query must be VISIBLE —
+          // a swallowed error would read as a suspiciously fast pass
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // untimed gap: drop cache/checkpoint blocks the query left
+        // behind so 77 queries don't accumulate memory pressure (GC
+        // pauses were billed to whoever ran late in the r3 run)
+        releaseState(spark)
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // untimed gap: drop cache/checkpoint blocks the query left behind
-      // so 77 queries don't accumulate memory pressure (GC pauses were
-      // billed to whoever ran late in the r3 run)
-      releaseState(spark)
-      name -> dt
+      name -> times.min
     }
     // keep the JSON line SHORT (trimmed decimals, basename sf) so the
     // driver's 2000-char output-tail capture holds the whole line —

@@ -476,6 +476,13 @@ object SparkEntry {
     TextAnalysis.unigramLogProb(t(s, d, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Gopher-style repetition signals (duplicate line / 2-gram / 3-gram
+    * fractions) — map-side only, oracle-replayed via DuckDB list ops.
+    */
+  private def qTextRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionStats(t(s, d, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Source-mix rebalancing plan: observed vs target share + resample
     * factor per source (the planning half of dataset blending).
     */
@@ -1022,6 +1029,7 @@ object SparkEntry {
     "q_split_pack" -> qSplitPack,
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
+    "q_text_repetition" -> qTextRepetition,
     "q_corpus_mix" -> qCorpusMix,
     "q_corpus_decontaminate" -> qDecontaminate,
     "q_corpus_decontaminate_ngram" -> qDecontaminateNgram,
@@ -1158,6 +1166,16 @@ object SparkEntry {
         "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks) " +
         "SELECT doc_id, round(AVG(ln(tf / n)), 4) AS mean_logprob, COUNT(*) AS n_tokens " +
         "FROM toks JOIN freq USING (tok) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id"),
+    // repetition: dup fraction = 1 - distinct/total per doc; n-grams via
+    // list_transform over a range (short doc -> one whole-text gram)
+    "q_text_repetition" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, chr(10)) AS ls, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents) " +
+        "SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, " +
+        "round(1.0 - len(list_distinct(ls)) / CAST(len(ls) AS DOUBLE), 4) AS dup_line_frac, " +
+        "round(1.0 - (CASE WHEN len(ws) < 2 THEN 1 ELSE len(list_distinct(list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' ')))) END) / CAST(greatest(len(ws) - 1, 1) AS DOUBLE), 4) AS dup_2gram_frac, " +
+        "round(1.0 - (CASE WHEN len(ws) < 3 THEN 1 ELSE len(list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')))) END) / CAST(greatest(len(ws) - 2, 1) AS DOUBLE), 4) AS dup_3gram_frac " +
+        "FROM w ORDER BY doc_id"),
     "q_corpus_mix" ->
       ("WITH tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), " +
         "tgt(source, target_share) AS (VALUES ('src0', 0.3), ('src1', 0.2), ('src2', 0.1)) " +

@@ -173,4 +173,35 @@ object TextAnalysis {
       .agg(round(avg(log(col("__tf") / col("__total"))), 4).as("mean_logprob"),
         count(lit(1)).cast("long").as("n_tokens"))
   }
+
+  /** Gopher-style within-document repetition signals (Rae et al. 2021,
+    * "Scaling Language Models", Table A1): duplicate-line fraction and
+    * duplicate word-n-gram fractions — boilerplate/spam detectors that
+    * complement the cross-document dedup family. Entirely map-side
+    * column expressions (split / array_distinct / word_shingles): the
+    * corpus streams through, nothing shuffles, so the operator rides a
+    * 100 TB scan for free.
+    *
+    * dup fraction = 1 - distinct/total; a doc shorter than k words
+    * counts as one whole-text k-gram (word_shingles' short-doc rule),
+    * giving 0 by construction.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String,
+                      grams: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val withLines = df
+      .select(col(idCol), col(textCol),
+        size(lines).as("__nl"), size(array_distinct(lines)).as("__dl"),
+        size(split(lower(trim(col(textCol))), "\\s+")).as("__nw"))
+      .withColumn("n_lines", col("__nl").cast("long"))
+      .withColumn("dup_line_frac",
+        round(lit(1.0) - col("__dl").cast("double") / col("__nl"), 4))
+    grams.foldLeft(withLines) { (d, k) =>
+        val total = greatest(col("__nw") - (k - 1), lit(1)).cast("double")
+        d.withColumn(s"dup_${k}gram_frac",
+          round(lit(1.0) -
+            size(Dedup.shingles(col(textCol), k)).cast("double") / total, 4))
+      }
+      .drop("__nl", "__dl", "__nw", textCol)
+  }
 }

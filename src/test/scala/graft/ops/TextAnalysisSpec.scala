@@ -108,4 +108,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, String)].collect()
     r.foreach { case (got, exp) => assert(got == exp, s"got $got want $exp") }
   }
+
+  test("repetitionStats flags duplicated lines and n-grams") {
+    val docs = Seq(
+      // "spam spam spam spam": 3 bigrams, all "spam spam" -> dup 2/3
+      (1L, "spam spam spam spam"),
+      // 4 distinct words: no duplicate bigrams/trigrams
+      (2L, "the quick brown fox"),
+      // repeated line out of 3 -> dup_line_frac 1/3
+      (3L, "alpha beta\nalpha beta\ngamma delta"),
+      // shorter than k words: one whole-text gram, dup 0 by construction
+      (4L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "dup_line_frac", "dup_2gram_frac", "dup_3gram_frac")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(out(0) == ((1L, 1L, 0.0, 0.6667, 0.5)), s"got ${out(0)}")
+    assert(out(1) == ((2L, 1L, 0.0, 0.0, 0.0)), s"got ${out(1)}")
+    assert(out(2)._2 == 3L && out(2)._3 == 0.3333, s"got ${out(2)}")
+    // "alpha beta\nalpha beta gamma delta" tokens: bigram "alpha beta"
+    // repeats across the line break: 5 bigrams, 4 distinct
+    assert(out(2)._4 == 0.2, s"got ${out(2)}")
+    assert(out(3) == ((4L, 1L, 0.0, 0.0, 0.0)), s"got ${out(3)}")
+  }
 }

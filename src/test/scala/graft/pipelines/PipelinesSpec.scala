@@ -83,6 +83,25 @@ class PipelinesSpec extends AnyFunSuite with SparkTestBase {
       "checkpoint must prevent reprocessing of a.txt/b.txt")
   }
 
+  test("a stream restarted with a FRESH checkpoint never clobbers prior data") {
+    val cat = stagedCat()
+    val q1 = Pipelines.stream(cat, "docs", Map("t" -> "What is the title?"),
+      cat.root + "/cp1")
+    try q1.processAllAvailable() finally q1.stop()
+    val n1 = cat.table("DOCUMENTS_PROCESSED").count()
+    assert(n1 == 2)
+    // operator error / checkpoint loss: the stream comes back with a NEW
+    // checkpoint against the SAME warehouse. batchIds restart at 0 and
+    // every file is rediscovered — the batch-0 append must land under a
+    // new run token and APPEND, not replay-delete the first run's
+    // batch-0 files (which held ALL of its data)
+    val q2 = Pipelines.stream(cat, "docs", Map("t" -> "What is the title?"),
+      cat.root + "/cp2")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(cat.table("DOCUMENTS_PROCESSED").count() == 2 * n1,
+      "fresh-checkpoint restart must append, never destroy committed rows")
+  }
+
   test("streaming persists are exactly-once under foreachBatch replay") {
     val cat = stagedCat()
     val batch = cat.directory("docs")
