@@ -483,6 +483,16 @@ object SparkEntry {
     TextAnalysis.repetitionStats(t(s, d, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** DSIR-style importance weights against a target domain = the src0
+    * slice of the corpus — docs from src0-ish vocabulary score high.
+    */
+  private def qCorpusDsir(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    graft.ops.Corpus.importanceWeights(docs, "text", "doc_id",
+        docs.filter(col("source") === "src0"), "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Source-mix rebalancing plan: observed vs target share + resample
     * factor per source (the planning half of dataset blending).
     */
@@ -1030,6 +1040,7 @@ object SparkEntry {
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
     "q_text_repetition" -> qTextRepetition,
+    "q_corpus_dsir" -> qCorpusDsir,
     "q_corpus_mix" -> qCorpusMix,
     "q_corpus_decontaminate" -> qDecontaminate,
     "q_corpus_decontaminate_ngram" -> qDecontaminateNgram,
@@ -1176,6 +1187,17 @@ object SparkEntry {
         "round(1.0 - (CASE WHEN len(ws) < 2 THEN 1 ELSE len(list_distinct(list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' ')))) END) / CAST(greatest(len(ws) - 1, 1) AS DOUBLE), 4) AS dup_2gram_frac, " +
         "round(1.0 - (CASE WHEN len(ws) < 3 THEN 1 ELSE len(list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')))) END) / CAST(greatest(len(ws) - 2, 1) AS DOUBLE), 4) AS dup_3gram_frac " +
         "FROM w ORDER BY doc_id"),
+    // DSIR weights: mean ln(p_target/p_raw) per doc; target = src0
+    // slice, add-1/2 smoothing over the raw vocabulary
+    "q_corpus_dsir" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+        "rf AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok), " +
+        "tf AS (SELECT tok, COUNT(*) AS c FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents WHERE source = 'src0') GROUP BY tok), " +
+        "rt AS (SELECT CAST(SUM(c) AS DOUBLE) AS rn, CAST(COUNT(*) AS DOUBLE) AS v FROM rf), " +
+        "tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS tn FROM tf) " +
+        "SELECT doc_id, round(AVG(ln((COALESCE(tf.c, 0) + 0.5) / (tt.tn + 0.5 * rt.v)) - ln(rf.c / rt.rn)), 4) AS importance_weight, " +
+        "COUNT(*) AS n_tokens FROM toks JOIN rf USING (tok) LEFT JOIN tf USING (tok) " +
+        "CROSS JOIN rt CROSS JOIN tt GROUP BY doc_id ORDER BY doc_id"),
     "q_corpus_mix" ->
       ("WITH tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), " +
         "tgt(source, target_share) AS (VALUES ('src0', 0.3), ('src1', 0.2), ('src2', 0.1)) " +

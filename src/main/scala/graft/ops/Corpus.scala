@@ -121,6 +121,47 @@ object Corpus {
       .drop("__total")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", simplified to
+    * unigrams): per document, the mean token log-likelihood ratio
+    * ln(p_target / p_raw), where p_raw is the corpus's own unigram
+    * distribution and p_target is estimated from a (small) target-
+    * domain sample with add-1/2 smoothing over the raw vocabulary
+    * (unsmoothed p_raw is safe: every scored token occurs in the raw
+    * corpus by construction). High weight = looks like the target
+    * domain; feeds the resampling half via [[sampleStratified]] /
+    * [[mixPlan]].
+    *
+    * Shuffle profile: tokens shuffle once for each frequency table
+    * (16-byte-ish tokens + counts, never documents); the target table
+    * and the two one-row totals broadcast; the per-doc score is one
+    * re-aggregation of the exploded tokens.
+    */
+  def importanceWeights(df: DataFrame, textCol: String, idCol: String,
+                        target: DataFrame, targetTextCol: String): DataFrame = {
+    val tok: Column => Column = c => explode(split(lower(trim(c)), "\\s+"))
+    val toks = df.select(col(idCol), tok(col(textCol)).as("__tok"))
+    val rawFreq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__rf"))
+    val tgtFreq = target.select(tok(col(targetTextCol)).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
+    // lazy one-row broadcasts: raw total + vocab, target total (the
+    // eager-count trap again — totals must ride the job, not precede it)
+    val rawTot = rawFreq.agg(sum(col("__rf")).cast("double").as("__rn"),
+      count(lit(1)).cast("double").as("__v"))
+    val tgtTot = tgtFreq.agg(sum(col("__tf")).cast("double").as("__tn"))
+    toks.join(rawFreq, Seq("__tok"))
+      .join(broadcast(tgtFreq), Seq("__tok"), "left")
+      .crossJoin(broadcast(rawTot))
+      .crossJoin(broadcast(tgtTot))
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(
+          log((coalesce(col("__tf"), lit(0L)).cast("double") + 0.5) /
+            (col("__tn") + col("__v") * 0.5)) -
+          log(col("__rf") / col("__rn"))), 4).as("importance_weight"),
+        count(lit(1)).cast("long").as("n_tokens"))
+  }
+
   /** Decontamination: drop training docs whose normalized text exactly
     * matches an eval/benchmark document. Matching is by md5 of the
     * whitespace-normalized lowercase body, so the shuffle carries

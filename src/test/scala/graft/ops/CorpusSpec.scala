@@ -132,4 +132,20 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     val r = df.select(Corpus.scrubPii(col("t"))).as[String].collect()(0)
     assert(r == "mail [EMAIL] or call [PHONE] today", r)
   }
+
+  test("importanceWeights ranks target-domain-looking docs highest") {
+    val docs = Seq(
+      (1L, "law court judge law court"),     // pure target vocabulary
+      (2L, "law court pizza recipe oven"),   // mixed
+      (3L, "pizza recipe oven pizza dough")) // pure off-domain
+      .toDF("doc_id", "text")
+    val target = Seq("law court judge ruling law").toDF("text")
+    val w = Corpus.importanceWeights(docs, "text", "doc_id", target, "text")
+      .orderBy("doc_id")
+      .select("doc_id", "importance_weight", "n_tokens")
+      .as[(Long, Double, Long)].collect()
+    assert(w.map(_._3).toSeq == Seq(5L, 5L, 5L))
+    assert(w(0)._2 > w(1)._2 && w(1)._2 > w(2)._2,
+      s"weights must order target > mixed > off-domain: ${w.toSeq}")
+  }
 }
