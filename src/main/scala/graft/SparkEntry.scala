@@ -483,6 +483,13 @@ object SparkEntry {
     TextAnalysis.repetitionStats(t(s, d, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Exact duplicate-span stats: fraction of each doc's 8-token windows
+    * that occur more than once in the corpus (ExactSubstr-style).
+    */
+  private def qDedupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicateSpans(t(s, d, "documents"), "text", "doc_id", k = 8)
+      .orderBy(col("doc_id"))
+
   /** DSIR-style importance weights against a target domain = the src0
     * slice of the corpus — docs from src0-ish vocabulary score high.
     */
@@ -1049,6 +1056,7 @@ object SparkEntry {
     "q_emb_near_dups" -> qEmbNearDups,
     "q_emb_near_dups_lsh" -> qEmbNearDupsLsh,
     "q_dedup_minhash" -> qMinhashNearDups,
+    "q_dedup_spans" -> qDedupSpans,
     "q_dedup_simhash" -> qSimhashPairs,
     "q_sim_lsh_topk" -> qSimLsh,
     "q_sim_ivf_topk" -> qSimIvf,
@@ -1250,6 +1258,16 @@ object SparkEntry {
     // J >= 0.5 set (planted dups all sit at J >= 0.8); the simhash
     // block join is gated on true-pair count + recall bound
     "q_dedup_minhash" -> duckJaccardAllPairsSql,
+    // duplicate spans: corpus-wide count per 8-token window (engine
+    // groups md5(window), oracle the window string — same counts)
+    "q_dedup_spans" ->
+      ("WITH w AS (SELECT doc_id, ws FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents) WHERE len(ws) >= 8), " +
+        "g AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram FROM w, LATERAL unnest(range(1, len(ws) - 6)) AS t(i)), " +
+        "c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows, " +
+        "CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows, " +
+        "round(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS dup_window_frac " +
+        "FROM g JOIN c USING (gram) GROUP BY doc_id ORDER BY doc_id"),
     "q_dedup_simhash" ->
       (s"SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok FROM ($duckJaccardAllPairsSql)"),
     // magic-byte sniffing + byte accounting replayed from (doc_id, text)

@@ -42,6 +42,37 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
+  /** Exact duplicate-SPAN stats (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", ExactSubstr): per
+    * document, how many of its k-token sliding windows occur MORE THAN
+    * ONCE anywhere in the corpus — catches verbatim boilerplate /
+    * quotation overlap that whole-document hashing misses and MinHash
+    * only scores in aggregate. Docs shorter than k tokens have no
+    * window and are omitted.
+    *
+    * Shuffle profile: windows travel as (id, md5) — 16-byte hashes,
+    * never text; the corpus-wide window count is a window function over
+    * the hash (ONE shuffle), the per-doc rollup a second narrow one.
+    */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, "window must be positive")
+    val wins = df
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (k - 1))).as("__start"))
+      .select(col(idCol),
+        md5(array_join(slice(col("__toks"), col("__start"), lit(k)), " ")).as("__h"))
+    val counted = wins.withColumn("__c",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+    counted.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_window_frac",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 4))
+  }
+
   // ---- shingles / n-grams ----
 
   /** Distinct word k-shingles of a text column (first-occurrence

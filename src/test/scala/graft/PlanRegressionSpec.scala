@@ -138,4 +138,22 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
       assert(p.contains("bucket"), s"$q: expected SRP bucket equi-join:\n$p")
     }
   }
+
+  test("repetition stats ride the scan — zero exchanges before the sort") {
+    val p = plan("q_text_repetition")
+    // the ONLY exchange allowed is the final presentation ORDER BY;
+    // the stats themselves are map-side column expressions
+    val exchanges = "Exchange".r.findAllIn(p).length
+    val rangeparts = "rangepartitioning".r.findAllIn(p).length
+    assert(exchanges == rangeparts && rangeparts >= 1,
+      s"repetition stats must not shuffle (only the ORDER BY may):\n$p")
+  }
+
+  test("DSIR weights shuffle token counts, broadcast totals and target") {
+    val p = plan("q_corpus_dsir")
+    assert(p.toLowerCase.contains("partial"),
+      s"frequency aggs must map-side combine:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"target freq + one-row totals must broadcast:\n$p")
+  }
 }

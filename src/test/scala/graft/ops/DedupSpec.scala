@@ -196,4 +196,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 7, nBlocks = 4)
     }
   }
+
+  test("duplicateSpans counts corpus-wide repeated k-token windows") {
+    val df = Seq(
+      // docs 1 and 2 share the exact 4-token span "one two three four"
+      (1L, "one two three four alpha beta"),
+      (2L, "gamma one two three four delta"),
+      // doc 3 repeats a span WITHIN itself
+      (3L, "x y z w x y z w"),
+      // doc 4: unique content, no dup windows
+      (4L, "p q r s t u"),
+      // doc 5: shorter than k -> no windows, omitted
+      (5L, "too short")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(df, "text", "doc_id", k = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_windows", "n_dup_windows", "dup_window_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L), s"got ${out.toSeq}")
+    // doc 1: 3 windows, exactly "one two three four" duplicated
+    assert(out(0) == ((1L, 3L, 1L, 0.3333)), s"got ${out(0)}")
+    assert(out(1) == ((2L, 3L, 1L, 0.3333)), s"got ${out(1)}")
+    // doc 3: 5 windows of 8 tokens; "x y z w" appears at pos 1 and 5
+    assert(out(2)._3 == 2L && out(2)._4 == 0.4, s"got ${out(2)}")
+    assert(out(3) == ((4L, 3L, 0L, 0.0)), s"got ${out(3)}")
+  }
 }
