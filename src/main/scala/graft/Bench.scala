@@ -38,7 +38,7 @@ object Bench {
     // queries are GC/scheduling-noise-bound in a single shot, and the
     // min is the standard microbenchmark estimator of the code's actual
     // cost (the max measures the JVM's mood, not the plan)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val results = picked.map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()

@@ -768,11 +768,12 @@ object SparkEntry {
     * DuckDB-replayable from (doc_id, text) alone.
     */
   private val mediaHeaderHex: Seq[String] = Seq(
-    // the headerless class gets ONE guaranteed non-magic byte (NUL):
-    // raw text starting with an ASCII magic string (GIF8, RIFF, ID3,
-    // %PDF) would otherwise sniff as that format while the oracle
-    // hardcodes 'unknown' for doc_id % 8 == 0
-    "00",               // 0: non-magic byte -> unknown
+    // the headerless class gets EIGHT guaranteed non-magic bytes (NUL):
+    // raw text would otherwise be sniffed — prefix magics (GIF8, RIFF,
+    // ID3, %PDF) at offset 0, and the mp4 check reads bytes 4-7
+    // ('ftyp'), so the pad must cover the full 8-byte sniff window
+    // while the oracle hardcodes 'unknown' for doc_id % 8 == 0
+    "0000000000000000", // 0: 8-byte non-magic pad -> unknown
     "89504E470D0A1A0A", // 1: png
     "FFD8FFE0",         // 2: jpeg
     "47494638",         // 3: gif
@@ -1273,7 +1274,7 @@ object SparkEntry {
     // magic-byte sniffing + byte accounting replayed from (doc_id, text)
     "q_multimodal_catalog" ->
       ("SELECT doc_id, ['unknown','png','jpeg','gif','riff','mp4','mp3','pdf'][1 + CAST(doc_id % 8 AS INT)] AS format, " +
-        "CAST(octet_length(encode(text)) + [1,8,4,4,4,8,3,4][1 + CAST(doc_id % 8 AS INT)] AS BIGINT) AS byte_size " +
+        "CAST(octet_length(encode(text)) + [8,8,4,4,4,8,3,4][1 + CAST(doc_id % 8 AS INT)] AS BIGINT) AS byte_size " +
         "FROM documents ORDER BY doc_id"),
     // embedding stub invariants: dim, range, bytewise determinism
     "q_multimodal_embed" ->

@@ -38,7 +38,12 @@ object PdfText {
     val out = new StringBuilder
     val streamRe = "(?s)(<<.*?>>)\\s*stream\r?\n(.*?)endstream".r
     for (m <- streamRe.findAllMatchIn(raw)) {
-      val dict = m.group(1)
+      // the lazy (<<.*?>>) group starts at the FIRST '<<' after the
+      // previous match and may span several unrelated dictionaries —
+      // only the innermost one (the stream object's own dict, ending
+      // immediately before `stream`) decides the filter
+      val span = m.group(1)
+      val dict = span.substring(math.max(0, span.lastIndexOf("<<")))
       val body = m.group(2)
       val data =
         if (dict.contains("/FlateDecode")) inflate(body.getBytes(StandardCharsets.ISO_8859_1))
@@ -54,10 +59,13 @@ object PdfText {
     out.toString
   }
 
-  /** zlib-inflate, null on corrupt data (a heuristic must not throw). */
-  private def inflate(data: Array[Byte]): String =
+  /** zlib-inflate, null on corrupt data (a heuristic must not throw).
+    * end() runs on every path — Inflater holds native zlib buffers that
+    * would otherwise leak until finalization on corrupt-stream paths.
+    */
+  private def inflate(data: Array[Byte]): String = {
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(data)
       val buf = new Array[Byte](8192)
       val sb = new java.io.ByteArrayOutputStream()
@@ -66,9 +74,10 @@ object PdfText {
         if (n > 0) sb.write(buf, 0, n)
         else if (n == 0 && !inf.finished()) return null // stuck: dictionary needed etc.
       }
-      inf.end()
       new String(sb.toByteArray, StandardCharsets.ISO_8859_1)
     } catch { case _: Throwable => null }
+    finally inf.end()
+  }
 
   /** Literal-string operands of Tj / ' / " / TJ in one content stream. */
   private def harvestTextOps(content: String): String = {

@@ -86,8 +86,14 @@ object Ivf {
     // cache the corpus for the duration of the EAGER Lloyd jobs
     // (init + one scan per iteration) — MLlib k-means does the same;
     // released before returning, so the lazy inverted index underneath
-    // the caller's plan reads the source directly
-    val c = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the caller's plan reads the source directly. Only touch the
+    // storage level we set OURSELVES: persist() returns the same
+    // Dataset, so unpersisting a corpus the caller had already cached
+    // would silently evict THEIR cache
+    val weCached = corpus.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val c =
+      if (weCached) corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else corpus
     try {
       // deterministic init: the k lowest-id vectors
       var cen: Cen = c
@@ -116,7 +122,7 @@ object Ivf {
       import spark.implicits._
       val centroids = cen.toSeq.toDF("centroid_id", "centroid")
       IvfIndex(centroids, assign(corpus, cen, idCol, vecCol))
-    } finally c.unpersist(false)
+    } finally if (weCached) c.unpersist(false)
   }
 
   /** ANN top-k: nProbe nearest lists per probe, exact re-rank within. */

@@ -134,11 +134,20 @@ object EventStreams {
                 out += SessionOut(userId, st.start, st.nEvents,
                   new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.lastSeen))
                 st = SessionState(0L, t, t, 1L)
+              } else if (t < st.start - gapSeconds * 1000) {
+                // late event older than the current session's backward
+                // gap horizon: it belongs to an ALREADY-EMITTED session.
+                // Append mode cannot amend emitted rows, and merging it
+                // would drag start (= the session id) back over an
+                // emitted session's id — drop it. Events this late only
+                // exist inside the watermark/gap mismatch window.
               } else {
                 // cross-batch late event (above watermark, inside the
                 // gap) may be OLDER than state's lastSeen/start — merge
                 // with max/min so the session never shrinks and the
-                // timeout horizon never moves backwards
+                // timeout horizon never moves backwards. start can move
+                // back at most gap, which cannot reach the previous
+                // emitted session (its close required a > gap silence).
                 st = st.copy(start = math.min(st.start, t),
                   lastSeen = math.max(st.lastSeen, t),
                   nEvents = st.nEvents + 1)

@@ -39,10 +39,11 @@ final class IncrementalAnn(spark: SparkSession, storeDir: String,
     val marker = Paths.get(s"$storeDir/_FORMAT")
     if (Files.exists(Paths.get(storePath)) || Files.exists(marker)) {
       val v = if (Files.exists(marker)) Files.readString(marker).trim else "0"
-      // bare "1" = pre-hyperparameter marker, written only under the
-      // constructor defaults — accept iff this instance matches them
-      val legacyOk = v == "1" && nBits == 8 && nTables == 8
-      require(v == formatVersion || legacyOk,
+      // bare pre-hyperparameter markers recorded the formula but NOT
+      // the params the store was built with — unconditionally
+      // incomparable (guessing defaults would silently admit a
+      // mismatched store)
+      require(v == formatVersion,
         s"SRP store at $storeDir uses bucket format [$v], this build writes " +
           s"[$formatVersion] — rebuild the store (bucket hashes are not comparable)")
     } else {

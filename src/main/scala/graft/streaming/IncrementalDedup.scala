@@ -44,11 +44,11 @@ final class IncrementalDedup(spark: SparkSession, storeDir: String,
     val marker = Paths.get(s"$storeDir/_FORMAT")
     if (Files.exists(Paths.get(storePath)) || Files.exists(marker)) {
       val v = if (Files.exists(marker)) Files.readString(marker).trim else "1"
-      // bare "2" = pre-hyperparameter marker; those stores were only
-      // ever written with the constructor defaults, so accept it iff
-      // this instance runs the defaults too
-      val legacyOk = v == "2" && shingleK == 3 && numHashes == 16 && bands == 8
-      require(v == formatVersion || legacyOk,
+      // bare pre-hyperparameter markers ("1"/"2") recorded the formula
+      // but NOT the params the store was built with — there is no way
+      // to know them, so such stores are unconditionally incomparable
+      // (guessing defaults would silently admit a mismatched store)
+      require(v == formatVersion,
         s"signature store at $storeDir uses bucket format [$v], this build writes " +
           s"[$formatVersion] — rebuild the store (bucket hashes are not comparable)")
     } else {

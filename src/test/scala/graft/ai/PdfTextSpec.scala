@@ -48,6 +48,20 @@ class PdfTextSpec extends AnyFunSuite {
     assert(text == "kerned pa(ren)s\nblock two", s"got [$text]")
   }
 
+  test("an unrelated earlier /FlateDecode dict does not poison an uncompressed stream") {
+    // object 5's dict mentions /FlateDecode but has no stream; the
+    // regex's lazy dict group spans from object 5's '<<' to the content
+    // stream's '>>' — only the innermost dict may decide the filter
+    val content = "BT (clean text) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "5 0 obj << /Name /SomeFilterNote /F /FlateDecode >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >> stream\n" +
+      content +
+      "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extract(pdf) == "clean text")
+  }
+
   test("non-PDF and corrupt inputs degrade safely") {
     assert(!PdfText.looksLikePdf("plain text".getBytes))
     assert(PdfText.extract("plain text".getBytes) == "")
