@@ -178,6 +178,34 @@ object Corpus {
       .drop("__h")
   }
 
+  /** Bloom-filter decontamination: the same normalized-exact-match
+    * semantics as [[decontaminate]], but the eval membership set ships
+    * as a constant-size Bloom sketch instead of a broadcast hash join
+    * side — the right shape when the eval/blocklist side is millions
+    * of entries (a raw broadcast set would be GBs; the sketch is MBs
+    * and the train side stays a map-only scan, zero shuffle).
+    *
+    * Bloom guarantees no false negatives, so every truly contaminated
+    * doc is dropped; false positives over-drop clean docs at rate <=
+    * `fpp`. Build is a distributed treeAggregate (stat.bloomFilter);
+    * the one eager count is on the SMALL eval side only, to size the
+    * sketch.
+    */
+  def decontaminateBloom(train: DataFrame, eval_ : DataFrame,
+                         textCol: String, evalTextCol: String,
+                         fpp: Double = 1e-3): DataFrame = {
+    val norm: Column => Column =
+      c => md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+    val evalHashes = eval_.select(norm(col(evalTextCol)).as("__h")).distinct()
+    val bf = evalHashes.stat.bloomFilter("__h", math.max(evalHashes.count(), 1L), fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bf)
+    // scalar probe against the broadcast sketch — a UDF by necessity
+    // (no Catalyst surface takes a prebuilt sketch), but it is one
+    // hash-probe per row with no data movement
+    val might = udf((h: String) => bc.value.mightContainString(h))
+    train.filter(!might(norm(col(textCol))))
+  }
+
   /** N-gram decontamination (the GPT-3-style overlap filter): drop
     * training docs sharing ANY word n-gram with the eval set — catches
     * partial/embedded contamination exact matching misses. Eval n-grams

@@ -95,12 +95,36 @@ object Ivf {
       if (weCached) corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else corpus
     try {
-      // deterministic init: the k lowest-id vectors
-      var cen: Cen = c
+      // deterministic farthest-point init on a deterministic sample:
+      // take the md5(id)-lowest ~4k vectors (one TakeOrdered job — a
+      // pseudo-random but reproducible sample, no global sort), then
+      // greedily pick k centers driver-side, each the sample vector
+      // least similar to the centers chosen so far (ties by sample
+      // order). Lowest-id init — the obvious deterministic choice —
+      // seeds all k centers inside whatever cluster owns the low ids
+      // and Lloyd then splits it while merging real clusters.
+      val sampleN = math.max(4 * k, 64)
+      val sample: Array[Array[Double]] = c
         .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
-        .orderBy(col(idCol)).limit(k).collect()
-        .zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+        .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(sampleN)
+        .collect()
+        .map(_.getSeq[Double](1).toArray)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den == 0.0) 0.0 else d / den
+      }
+      val chosen = scala.collection.mutable.ArrayBuffer(0)
+      while (chosen.size < math.min(k, sample.length)) {
+        // farthest point: maximize the minimum dissimilarity (= minimize
+        // the maximum cosine) to the already-chosen centers
+        val next = sample.indices.filterNot(chosen.contains)
+          .minBy(i => chosen.map(j => cos(sample(i), sample(j))).max)
+        chosen += next
+      }
+      var cen: Cen = chosen.toArray.zipWithIndex
+        .map { case (si, i) => (i, sample(si)) }
 
       for (_ <- 0 until iters) {
         // M-step: element-wise member means come back as k x dim rows
@@ -123,6 +147,21 @@ object Ivf {
       val centroids = cen.toSeq.toDF("centroid_id", "centroid")
       IvfIndex(centroids, assign(corpus, cen, idCol, vecCol))
     } finally if (weCached) c.unpersist(false)
+  }
+
+  /** Top-m nearest-centroid multi-assignment: one row per (id, vec,
+    * centroid_id) with each vector in its m nearest lists — the
+    * index-side analogue of search's nProbe, used by SemDedup to trade
+    * candidate volume for recall. Map-only, like assign.
+    */
+  def multiAssign(corpus: DataFrame, index: IvfIndex, m: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cen: Cen = index.centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val ranker = rankedCentroids(cen)
+    val lists = udf((emb: Seq[Double]) => ranker(emb).take(m))
+    corpus.select(col(idCol), col(vecCol),
+      explode(lists(col(vecCol).cast("array<double>"))).as("centroid_id"))
   }
 
   /** ANN top-k: nProbe nearest lists per probe, exact re-rank within. */

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operators — the corpus-QA step of a training-data
+  * pipeline (null audit, cardinality, ranges, length distributions)
+  * expressed as single-pass declarative aggregations.
+  */
+object Profile {
+
+  /** Per-column profile: null count, distinct count, min/max (as
+    * strings so heterogeneous column types share one output schema).
+    * One aggregation job; the exact multi-column COUNT(DISTINCT) plans
+    * as Catalyst's Expand (one duplicate of each input row per audited
+    * column — shuffle grows with the column list, not the table width).
+    * At 100 TB pass `approx = true`: HLL sketches replace Expand and
+    * the whole profile is one map-side-partial pass.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String],
+                    approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        (if (approx) approx_count_distinct(col(c)) else count_distinct(col(c)))
+          .as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the one wide row into a row per column (stack is a
+    // generator — stays in the same whole-stage-codegen projection)
+    val stackArgs = cols
+      .map(c => s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_nulls, n_distinct, min_val, max_val)")
+  }
+
+  /** Grouped quantile contract: exact interpolated percentiles plus a
+    * boolean asserting the approximate sketch (percentile_approx, a
+    * positional variant of Greenwald-Khanna) lands within `relTol`
+    * relative error (+1 absolute slack for integer-valued data) of the
+    * exact answer. The exact side is the small-data oracle; the sketch
+    * is the 100-TB path — mergeable partial aggregation, no sort, one
+    * pass — and the contract is what keeps it honest.
+    */
+  def quantileContract(df: DataFrame, groupCol: String, valueCol: String,
+                       ps: Seq[Double], accuracy: Int = 1000,
+                       relTol: Double = 0.05): DataFrame = {
+    val v = col(valueCol).cast("double")
+    // index-keyed aliases: a percentile like 0.5 in a name would parse
+    // as a nested-field reference (`__e0`.`5`)
+    val pi = ps.zipWithIndex
+    val exact = pi.map { case (p, i) => percentile(v, lit(p)).as(s"__e$i") }
+    val approx = pi.map { case (p, i) =>
+      percentile_approx(v, lit(p), lit(accuracy)).as(s"__a$i") }
+    val out = pi.map { case (p, i) =>
+      round(col(s"__e$i"), 4).as(s"p${(p * 100).toInt}") } :+
+      pi.map { case (_, i) => abs(col(s"__a$i") - col(s"__e$i")) <=
+        abs(col(s"__e$i")) * relTol + 1.0 }.reduce(_ && _).as("approx_ok")
+    df.groupBy(col(groupCol))
+      .agg((exact ++ approx).head, (exact ++ approx).tail: _*)
+      .select(col(groupCol) +: out: _*)
+  }
+}

@@ -114,6 +114,19 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.toSeq == Seq(3L))
   }
 
+  test("decontaminateBloom never keeps a contaminated doc and rarely over-drops") {
+    val train = (1L to 400L).map(i => (i, s"training document number $i with body"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq("training  Document number 7 with body", // case/ws variant of 7
+      "training document number 300 with body").toDF("text")
+    val kept = Corpus.decontaminateBloom(train, eval_, "text", "text", fpp = 1e-3)
+      .select("doc_id").as[Long].collect().toSet
+    // no false negatives: the two contaminated docs are gone
+    assert(!kept.contains(7L) && !kept.contains(300L))
+    // false positives bounded: expect ~0.4 over-drops at fpp 1e-3
+    assert(kept.size >= 395, s"over-dropped ${398 - kept.size} of 398 clean docs")
+  }
+
   test("decontaminateNgram catches embedded/partial eval overlap") {
     val evalText = "one two three four five"  // 5-gram benchmark item
     val train = Seq(

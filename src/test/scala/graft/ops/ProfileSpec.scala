@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class ProfileSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("columnProfile audits nulls, cardinality, and ranges per column") {
+    val df = Seq(
+      (Some("b"), Some(3L)), (Some("a"), Some(1L)),
+      (None, Some(3L)), (Some("c"), None))
+      .toDF("s", "n")
+    val prof = Profile.columnProfile(df, Seq("s", "n"))
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(prof("s") == (("s", 1L, 3L, "a", "c")))
+    assert(prof("n") == (("n", 1L, 2L, "1", "3")))
+  }
+
+  test("columnProfile approx mode keeps the schema and lands near exact") {
+    val df = (1 to 1000).map(i => (i % 97).toLong).toDF("v")
+    val Array(row) = Profile.columnProfile(df, Seq("v"), approx = true)
+      .as[(String, Long, Long, String, String)].collect()
+    assert(row._1 == "v" && row._2 == 0L)
+    assert(math.abs(row._3 - 97L) <= 5, s"approx ndv ${row._3}")
+    assert(row._4 == "0" && row._5 == "96")
+  }
+
+  test("quantileContract: exact percentiles interpolate, sketch bound holds") {
+    // 1..101 per group: p50 = 51 exactly, p95 = 96 exactly
+    val df = (for (g <- Seq("x", "y"); v <- 1 to 101) yield (g, v)).toDF("g", "v")
+    val rows = Profile.quantileContract(df, "g", "v", Seq(0.5, 0.95))
+      .as[(String, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("x", "y"))
+    rows.foreach { case (_, p50, p95, ok) =>
+      assert(p50 == 51.0 && p95 == 96.0 && ok)
+    }
+  }
+
+  test("quantileContract interpolates between values like quantile_cont") {
+    // values 1,2,3,4: p50 = 2.5 under linear interpolation
+    val df = Seq(("g", 1), ("g", 2), ("g", 3), ("g", 4)).toDF("g", "v")
+    val Array(row) = Profile.quantileContract(df, "g", "v", Seq(0.5))
+      .as[(String, Double, Boolean)].collect()
+    assert(row._2 == 2.5 && row._3)
+  }
+}
