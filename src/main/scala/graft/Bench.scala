@@ -85,11 +85,13 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
     }
-    // last-resort compaction: collapse sub-0.15s entries into "_rest"
-    // (their sum) so the line keeps fitting as the query count grows —
-    // the slow queries are the ones the per-query signal is for
-    def lineCompact(): String = {
-      val (kept, rest) = results.partition(_._2 >= 0.15)
+    // last-resort compaction: collapse entries under a threshold into
+    // "_rest" (their sum) so the line keeps fitting as the query count
+    // grows — the slow queries are the ones the per-query signal is
+    // for, and the full map is always mirrored to BENCH_LOCAL.json.
+    // The threshold adapts: smallest cut that fits the budget.
+    def lineCompact(thresh: Double): String = {
+      val (kept, rest) = results.partition(_._2 >= thresh)
       val qs = (kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) } :+
         ("\"_rest\":" + fmt(rest.map(_._2).sum, 1))).mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -98,7 +100,8 @@ object Bench {
     println(
       if (line(2).length <= 1900) line(2)
       else if (line(1).length <= 1960) line(1)
-      else lineCompact())
+      else Seq(0.15, 0.25, 0.5, 1.0).view.map(lineCompact)
+        .find(_.length <= 1960).getOrElse(lineCompact(10.0)))
     spark.stop()
   }
 

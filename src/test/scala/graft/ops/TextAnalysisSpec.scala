@@ -98,6 +98,32 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(out(1)._2 - math.log(1.0 / 6)) < 1e-3)
   }
 
+  test("bigramLogProb rewards word order, not just token frequency") {
+    // both docs have identical unigram distributions; doc 1 repeats the
+    // bigram "a b" (high transition prob), doc 2 scrambles it
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a a a b b b"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Option[Double], Long)].collect()
+    assert(out.map(_._3).toSeq == Seq(5L, 5L, 0L), "bigrams = tokens - 1; short doc 0")
+    assert(out(2)._2.isEmpty, "no bigrams -> null score")
+    assert(out(0)._2.get > out(1)._2.get,
+      s"ordered doc must outscore scrambled doc with same unigrams: ${out.toSeq}")
+  }
+
+  test("bigramLogProb counts occurrences, not distinct bigrams") {
+    // "a a a": bigram "a a" occurs twice; c(uv)=2 c(u)=3 -> per-bigram
+    // prob 0.7*2/3 + 0.3*3/3 = 0.7667 exactly, same for both positions
+    val docs = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val Array((_, Some(lp), n)) = TextAnalysis.bigramLogProb(docs, "text", "doc_id")
+      .as[(Long, Option[Double], Long)].collect()
+    assert(n == 2L)
+    assert(math.abs(lp - math.log(0.7 * 2.0 / 3 + 0.3)) < 1e-3, lp.toString)
+  }
+
   test("langId picks the language with most marker hits") {
     val df = Seq(
       ("the cat and the dog is with of", "en"),
