@@ -476,6 +476,26 @@ object SparkEntry {
     TextAnalysis.unigramLogProb(t(s, d, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Heavy-hitter tokens via the one-pass frequent-items sketch,
+    * gated on its no-false-negative guarantee: every token with
+    * frequency > 1% of the corpus (30 planted stopwords at every SF)
+    * must appear in the candidate set. n_heavy replays exactly in
+    * DuckDB; the sketch's false positives are allowed by contract.
+    */
+  private def qHeavy(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val cand = graft.ops.Profile.heavyHitters(toks, "tok", support = 0.01)
+      .withColumn("__hit", lit(1))
+    val tot = toks.agg(count(lit(1)).cast("double").as("__n"))
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(tot))
+      .filter(col("__c") > col("__n") * 0.01)
+      .join(cand, Seq("tok"), "left")
+      .agg(count(lit(1)).as("n_heavy"),
+        (sum(when(col("__hit").isNull, 1).otherwise(0)) === 0).as("all_found"))
+  }
+
   /** CCNet-style interpolated-bigram LM fluency score (order-2
     * perplexity filter) — exact DuckDB replay of counts + smoothing.
     */
@@ -1154,6 +1174,7 @@ object SparkEntry {
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
     "q_text_bigram" -> qTextBigram,
+    "q_heavy" -> qHeavy,
     "q_text_repetition" -> qTextRepetition,
     "q_corpus_dsir" -> qCorpusDsir,
     "q_corpus_mix" -> qCorpusMix,
@@ -1291,6 +1312,12 @@ object SparkEntry {
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents ORDER BY doc_id",
     "q_text_vocab" ->
       "SELECT word, COUNT(*) AS n FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 100",
+    // heavy hitters: exact count replays; no-false-negative gate TRUE
+    "q_heavy" ->
+      ("WITH u AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM u), " +
+        "c AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY tok) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_heavy, TRUE AS all_found FROM c CROSS JOIN n WHERE c.c > n.n * 0.01"),
     // interpolated bigram LM: counts + smoothing replay exactly; the
     // 1-lambda literal is injected from the same Scala double the
     // engine multiplies by (1.0 - 0.7 != the SQL literal 0.3 by 1 ulp)

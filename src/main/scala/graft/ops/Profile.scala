@@ -52,6 +52,20 @@ object Profile {
         "(column_name, n_nulls, n_distinct, min_val, max_val)")
   }
 
+  /** Heavy hitters via Spark's one-pass frequent-items sketch
+    * (stat.freqItems, the Karp/Misra-Gries family): every value with
+    * frequency > support * N is GUARANTEED present (no false
+    * negatives); false positives are possible and callers re-verify
+    * exactly if they need precision — the same superset-then-verify
+    * shape as the LSH dedup paths. One map-side pass with ~1/support
+    * state per partition vs. the exact groupBy's full-vocab shuffle.
+    * Returns one row per candidate value.
+    */
+  def heavyHitters(df: DataFrame, valueCol: String,
+                   support: Double = 0.01): DataFrame =
+    df.stat.freqItems(Seq(valueCol), support)
+      .select(explode(col(s"${valueCol}_freqItems")).as(valueCol))
+
   /** Grouped quantile contract: exact interpolated percentiles plus a
     * boolean asserting the approximate sketch (percentile_approx, a
     * positional variant of Greenwald-Khanna) lands within `relTol`

@@ -123,6 +123,40 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastExchange"), s"eval hash set must broadcast:\n$p")
   }
 
+  test("bloom decontamination keeps the train side shuffle-free") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val eval_ = docs.limit(5).select(org.apache.spark.sql.functions.col("text"))
+    val p = graft.ops.Corpus.decontaminateBloom(docs, eval_, "text", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"the 100-TB side must stay a map-only scan + sketch probe:\n$p")
+  }
+
+  test("column profile ndv pass stays hash-aggregated (no sort-agg keys)") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val p = graft.ops.Profile.columnProfile(orders,
+        Seq("o_custkey", "o_orderstatus"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("+- Sort "),
+      s"no sort may back any aggregate in the profile:\n$p")
+  }
+
+  test("semdedup candidate pairs ride the centroid equi-join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = graft.ops.SemDedup.nearDupPairs(emb, threshold = 0.4, k = 4,
+        iters = 1, assignM = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("centroid_id"), s"expected the cluster equi-join:\n$p")
+  }
+
+  test("bigram LM shuffles carry grams and counts, never documents") {
+    val p = plan("q_text_bigram")
+    val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shufflePart.contains("text#"), s"text must not shuffle:\n$shufflePart")
+  }
+
   test("unigram logprob partial-aggregates the token counts") {
     val p = plan("q_text_logprob")
     assert(p.toLowerCase.contains("partial"),

@@ -29,6 +29,17 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(row._4 == "0" && row._5 == "96")
   }
 
+  test("heavyHitters finds every value above the support threshold") {
+    // "hot" is 30% of the stream, "warm" 12%; the tail is all-distinct
+    val vals = Seq.fill(300)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 580).map(i => s"cold$i")
+    val df = vals.toDF("v")
+    val cand = Profile.heavyHitters(df, "v", support = 0.1)
+      .as[String].collect().toSet
+    assert(cand.contains("hot") && cand.contains("warm"),
+      s"guaranteed hitters missing from $cand")
+  }
+
   test("quantileContract: exact percentiles interpolate, sketch bound holds") {
     // 1..101 per group: p50 = 51 exactly, p95 = 96 exactly
     val df = (for (g <- Seq("x", "y"); v <- 1 to 101) yield (g, v)).toDF("g", "v")
