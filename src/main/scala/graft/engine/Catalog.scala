@@ -262,6 +262,17 @@ final class Catalog(val spark: SparkSession, val root: String) {
         .sortWithinPartitions(cols.map(col): _*))
   }
 
+  /** Z-order rewrite on two numeric dimensions (ops.ZOrder): row-group
+    * stats prune selective filters on EITHER column, where [[cluster]]
+    * prunes only its leading sort column.
+    */
+  def clusterZ(name: String, dimA: String, dimB: String, numFiles: Int = 0): Unit = {
+    val parts =
+      if (numFiles > 0) numFiles
+      else spark.sessionState.conf.numShufflePartitions
+    overwrite(name, graft.ops.ZOrder.cluster(table(name), dimA, dimB, parts))
+  }
+
   /** CSV / JSON export sinks (S8; app:574-579, app:766-790): the
     * reference's download buttons, set-based. Headers on for CSV to
     * match the pandas to_csv shape.
