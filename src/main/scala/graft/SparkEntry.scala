@@ -689,6 +689,42 @@ object SparkEntry {
   private def qDedupJaccard(s: SparkSession, d: String): DataFrame =
     jaccardPairs(s, d).orderBy(col("id_a"), col("id_b"))
 
+  /** Text similarity search (Jaccard top-1 via banded MinHash) gated on
+    * the banding guarantee: for every probe (doc_id < 100) whose exact
+    * best corpus match has J >= 0.5, the LSH search's top-1 must reach
+    * that J (fixture dups all sit at J >= 0.8, where the 16x2 banding
+    * miss probability is <= 8e-8). best_j replays exactly in DuckDB;
+    * 10-14 probes qualify at every SF.
+    */
+  private def qSimJaccTopK(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val probes = docs.filter(col("doc_id") < 100)
+    // exact best J per probe: probe shingle sets broadcast, corpus
+    // streams once — the brute-force baseline the contract needs anyway
+    val cs = Dedup.shingleTable(docs, "text", "doc_id", k = 3)
+      .select(col("doc_id").as("corpus_id"), col("shingle_set").as("__cs"))
+    val ps = Dedup.shingleTable(probes, "text", "doc_id", k = 3)
+      .select(col("doc_id").as("probe_id"), col("shingle_set").as("__ps"))
+    val best = cs.crossJoin(broadcast(ps))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      // lossless for the >= 0.5 gate: J <= min(|A|,|B|)/max(|A|,|B|),
+      // so a pair failing the size-ratio bound cannot reach 0.5 and
+      // cannot be the max that passes the filter below — the oracle's
+      // unfiltered max agrees on every surviving probe
+      .filter(least(size(col("__ps")), size(col("__cs"))).cast("double") * 2 >=
+        greatest(size(col("__ps")), size(col("__cs"))))
+      .groupBy(col("probe_id"))
+      .agg(round(max(Dedup.jaccardFromSets(col("__ps"), col("__cs"))), 4).as("best_j"))
+      .filter(col("best_j") >= 0.5)
+    val found = Dedup.jaccardTopK(docs, probes, "text", "doc_id", k = 1)
+      .select(col("probe_id"), col("jaccard"))
+    best.join(found, Seq("probe_id"), "left")
+      .groupBy(col("probe_id"), col("best_j"))
+      .agg((max(coalesce(col("jaccard"), lit(0.0))) >= col("best_j") - 1e-6)
+        .as("found_ok"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Duplicate-cluster resolution: connected components over the
     * near-dup pairs (min-label propagation) — pairwise A~B, B~C
     * becomes one removable group with keeper min(id).
@@ -1189,6 +1225,7 @@ object SparkEntry {
     "q_emb_near_dups" -> qEmbNearDups,
     "q_emb_near_dups_lsh" -> qEmbNearDupsLsh,
     "q_dedup_minhash" -> qMinhashNearDups,
+    "q_sim_jacc" -> qSimJaccTopK,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_simhash" -> qSimhashPairs,
     "q_sim_lsh_topk" -> qSimLsh,
@@ -1438,6 +1475,16 @@ object SparkEntry {
     // J >= 0.5 set (planted dups all sit at J >= 0.8); the simhash
     // block join is gated on true-pair count + recall bound
     "q_dedup_minhash" -> duckJaccardAllPairsSql,
+    // text similarity search: exact best-J per qualifying probe
+    // replays; the banding guarantee makes found_ok TRUE
+    "q_sim_jacc" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) END AS sh FROM t), " +
+        "m AS (SELECT a.doc_id AS probe_id, round(max(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.sh, b.sh)))), 4) AS best_j " +
+        "FROM s a JOIN s b ON b.doc_id <> a.doc_id WHERE a.doc_id < 100 GROUP BY a.doc_id) " +
+        "SELECT probe_id, best_j, TRUE AS found_ok FROM m WHERE best_j >= 0.5 ORDER BY probe_id"),
     // duplicate spans: corpus-wide count per 8-token window (engine
     // groups md5(window), oracle the window string — same counts)
     "q_dedup_spans" ->

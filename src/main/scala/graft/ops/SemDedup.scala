@@ -22,6 +22,14 @@ import Similarity.{dot, norm}
   * The pair stage is a self-equi-join on centroid_id — with balanced
   * clusters each row meets n/k candidates, and AQE handles the skewed
   * ones. Vector math is the codegen dot/norm expressions.
+  *
+  * Sizing rule: k should grow with the corpus (k ~ n / desired cluster
+  * size, the paper uses ~11k clusters for 100M+ docs) so the per-
+  * cluster quadratic stays bounded. A pathologically self-similar
+  * corpus (everything in one semantic cluster) degrades toward the
+  * global quadratic regardless of k — route such corpora through
+  * [[Similarity.cosineNearDups]], whose SRP buckets split even
+  * identical regions across hash tables.
   */
 object SemDedup {
 

@@ -110,6 +110,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("jaccardTopK surfaces the planted near-dup as top-1, exact-ranked") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = (1 to 29).map(i => s"w$i").mkString(" ") + " zz" // J = 28/31-ish
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, other), (4L, base + " tail"))
+      .toDF("doc_id", "text")
+    val probes = docs.filter($"doc_id" === 1L)
+    val top = Dedup.jaccardTopK(docs, probes, "text", "doc_id", k = 2)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    assert(top.nonEmpty && top.head._1 == 1L)
+    // doc 4 (one appended token, J = 28/29) outranks doc 2 (changed
+    // token, lower J); doc 3 shares no shingle and must never appear
+    assert(top.map(_._2).toSeq == Seq(4L, 2L), top.toSeq.toString)
+    assert(top.map(_._4).toSeq == top.map(_._4).toSeq.sorted.reverse)
+    assert(!top.map(_._2).contains(3L))
+  }
+
   test("clusterPairs resolves transitive chains to min-id components") {
     // chain 1-2-3 (2~1, 3~2 but 3!~1), separate pair 7-9, long chain 10..14
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L),
