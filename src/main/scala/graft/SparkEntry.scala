@@ -496,6 +496,31 @@ object SparkEntry {
         (sum(when(col("__hit").isNull, 1).otherwise(0)) === 0).as("all_found"))
   }
 
+  /** Deterministic multi-line fixture for the C4 rules (the mediaBlob
+    * pattern): the raw docs are single-line unpunctuated token streams,
+    * so the query first shapes each into 8-token lines where every
+    * (doc_id + line_idx) % 3 == 0 line gets a terminal period — pure
+    * string functions, exactly DuckDB-replayable — and the line filter
+    * then has genuine keep/drop work on every doc.
+    */
+  private def linedText: Column = {
+    val toks = split(col("text"), "\\s+")
+    array_join(
+      transform(
+        sequence(lit(0), ceil(size(toks) / lit(8.0)).cast("int") - 1),
+        i => concat(
+          array_join(slice(toks, i * 8 + 1, lit(8)), " "),
+          when(pmod(col("doc_id") + i, lit(3)) === 0, ".").otherwise(""))),
+      "\n")
+  }
+
+  /** C4 line-filter cleaning — exact replay (kept lines re-joined). */
+  private def qTextC4(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.c4LineFilter(
+        t(s, d, "documents").select(col("doc_id"), linedText.as("text")),
+        "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** CCNet-style interpolated-bigram LM fluency score (order-2
     * perplexity filter) — exact DuckDB replay of counts + smoothing.
     */
@@ -1210,6 +1235,7 @@ object SparkEntry {
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
     "q_text_bigram" -> qTextBigram,
+    "q_text_c4" -> qTextC4,
     "q_heavy" -> qHeavy,
     "q_text_repetition" -> qTextRepetition,
     "q_corpus_dsir" -> qCorpusDsir,
@@ -1349,6 +1375,19 @@ object SparkEntry {
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents ORDER BY doc_id",
     "q_text_vocab" ->
       "SELECT word, COUNT(*) AS n FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 100",
+    // C4 line rules over the deterministic lined fixture (8-token
+    // lines, every 3rd terminated) — both halves pure string functions
+    "q_text_c4" ->
+      ("WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+        "l AS (SELECT doc_id, [array_to_string(ws[(i*8+1):(i*8+8)], ' ') || " +
+        "(CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END) " +
+        "FOR i IN range(0, CAST(ceil(len(ws) / 8.0) AS INT))] AS ls FROM w), " +
+        "k AS (SELECT doc_id, ls, list_filter(ls, x -> regexp_matches(x, '[.!?]$') " +
+        "AND len(string_split_regex(trim(x), '\\s+')) >= 5 " +
+        "AND NOT contains(lower(x), 'lorem ipsum') AND NOT contains(x, '{')) AS ks FROM l) " +
+        "SELECT doc_id, COALESCE(array_to_string(ks, chr(10)), '') AS clean_text, " +
+        "CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(ks) AS BIGINT) AS n_kept " +
+        "FROM k ORDER BY doc_id"),
     // heavy hitters: exact count replays; no-false-negative gate TRUE
     "q_heavy" ->
       ("WITH u AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +

@@ -174,6 +174,35 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("n_tokens"))
   }
 
+  /** C4-style line filtering (Raffel et al. 2020 §2.2, the public
+    * cleaning rules): keep a line iff it ends in terminal punctuation,
+    * has at least `minWords` words, and carries neither the lorem-ipsum
+    * marker nor a curly brace (code). Returns per doc the cleaned text
+    * (kept lines re-joined) plus line accounting.
+    *
+    * Deliberately a map-side higher-order filter, NOT an explode +
+    * regroup: the lambda is interpreted per line (acceptable — a few
+    * string predicates), but the text never shuffles, so the operator
+    * rides a 100-TB scan for free; explode+collect would move every
+    * line through an exchange just to reassemble it.
+    */
+  def c4LineFilter(df: DataFrame, textCol: String, idCol: String,
+                   minWords: Int = 5): DataFrame = {
+    val keep: Column => Column = l =>
+      l.rlike("[.!?]$") &&
+        size(split(trim(l), "\\s+")) >= minWords &&
+        !lower(l).contains("lorem ipsum") &&
+        !l.contains("{")
+    val lines = split(col(textCol), "\n")
+    df.select(col(idCol),
+        col(textCol), lines.as("__lines"),
+        filter(lines, keep).as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"))
+  }
+
   /** Interpolated-bigram LM score (the CCNet/KenLM-style perplexity
     * quality filter, reduced to order 2): per doc, the mean over its
     * bigrams of ln(lambda * c(uv)/c(u) + (1-lambda) * c(v)/N), counts

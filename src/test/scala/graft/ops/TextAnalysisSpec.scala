@@ -98,6 +98,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(out(1)._2 - math.log(1.0 / 6)) < 1e-3)
   }
 
+  test("c4LineFilter applies the published line rules") {
+    val doc =
+      "This is a good sentence that survives the filter.\n" +  // kept
+      "too short.\n" +                                          // < 5 words
+      "No terminal punctuation on this line here\n" +           // no [.!?]$
+      "Some lorem ipsum filler text sits right here.\n" +       // marker
+      "A code line { return 1; } should be dropped.\n" +        // brace
+      "Another proper sentence with enough words stays!"        // kept
+    val Array((_, clean, nl, nk)) =
+      TextAnalysis.c4LineFilter(Seq((1L, doc)).toDF("doc_id", "text"),
+          "text", "doc_id")
+        .as[(Long, String, Long, Long)].collect()
+    assert(nl == 6L && nk == 2L)
+    assert(clean ==
+      "This is a good sentence that survives the filter.\n" +
+      "Another proper sentence with enough words stays!")
+  }
+
   test("bigramLogProb rewards word order, not just token frequency") {
     // both docs have identical unigram distributions; doc 1 repeats the
     // bigram "a b" (high transition prob), doc 2 scrambles it
