@@ -616,6 +616,26 @@ object SparkEntry {
         Seq("o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus"))
       .orderBy(col("column_name"))
 
+  /** The approx (HLL) profile mode — the single-pass 100-TB posture —
+    * under the same error-bound contract shape as q_approx_distinct:
+    * nulls/min/max replay exactly, and the HLL ndv must land within 5%
+    * of the exact count (rsd defaults to 0.05; observed well inside).
+    */
+  private def qProfHll(s: SparkSession, d: String): DataFrame = {
+    val approx = graft.ops.Profile.columnProfile(t(s, d, "orders"),
+        Seq("o_custkey", "o_orderpriority", "o_orderstatus"), approx = true)
+      .withColumnRenamed("n_distinct", "__nd_approx")
+    val exact = graft.ops.Profile.columnProfile(t(s, d, "orders"),
+        Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
+      .select(col("column_name"), col("n_distinct").as("__nd_exact"))
+    approx.join(exact, Seq("column_name"))
+      .select(col("column_name"), col("n_nulls"), col("__nd_exact").as("n_distinct"),
+        col("min_val"), col("max_val"),
+        (abs(col("__nd_approx") - col("__nd_exact")).cast("double") /
+          col("__nd_exact") <= 0.05).as("approx_within_5pct"))
+      .orderBy(col("column_name"))
+  }
+
   /** Grouped length-quantile contract: exact interpolated p50/p95 per
     * source (DuckDB quantile_cont replay) + the bound that the
     * percentile_approx sketch — the mergeable one-pass 100-TB path —
@@ -1244,6 +1264,7 @@ object SparkEntry {
     "q_corpus_decontaminate_ngram" -> qDecontaminateNgram,
     "q_decon_bloom" -> qDeconBloom,
     "q_profile" -> qProfile,
+    "q_prof_hll" -> qProfHll,
     "q_quantiles" -> qQuantiles,
     "q_semdedup" -> qSemdedup,
     "q_sim_topk" -> qSimTopK,
@@ -1468,6 +1489,17 @@ object SparkEntry {
             s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
             s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, " +
             s"CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val FROM orders")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY column_name"),
+    // HLL profile mode: exact columns replay, ndv error bound TRUE
+    "q_prof_hll" ->
+      ("SELECT * FROM (" +
+        Seq("o_custkey", "o_orderpriority", "o_orderstatus")
+          .map(c => s"SELECT '$c' AS column_name, " +
+            s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+            s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+            s"CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val, " +
+            s"TRUE AS approx_within_5pct FROM orders")
           .mkString(" UNION ALL ") +
         ") ORDER BY column_name"),
     // exact interpolated percentiles replay; the sketch-error bound is

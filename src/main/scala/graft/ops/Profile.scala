@@ -25,7 +25,7 @@ object Profile {
     * hash-based. The two one-row results broadcast-join for free.
     */
   def columnProfile(df: DataFrame, cols: Seq[String],
-                    approx: Boolean = false): DataFrame = {
+                    approx: Boolean = false, rsd: Double = 0.02): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
     val basicAggs = cols.flatMap { c =>
       Seq(
@@ -34,7 +34,7 @@ object Profile {
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
     val ndvAggs = cols.map { c =>
-      (if (approx) approx_count_distinct(col(c)) else count_distinct(col(c)))
+      (if (approx) approx_count_distinct(col(c), rsd) else count_distinct(col(c)))
         .as(s"__nd_$c")
     }
     val wide =

@@ -98,6 +98,44 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(out(1)._2 - math.log(1.0 / 6)) < 1e-3)
   }
 
+  test("property: bigramLogProb is total and never positive (p <= 1 by construction)") {
+    val rnd = new scala.util.Random(11)
+    val junk = (1 to 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(6)).map(_ =>
+        rnd.alphanumeric.take(1 + rnd.nextInt(5)).mkString).mkString(" "))
+    }
+    val out = TextAnalysis.bigramLogProb(junk.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Option[Double], Long)].collect()
+    assert(out.length == 60)
+    out.foreach { case (id, lp, n) =>
+      assert(lp.forall(_ <= 1e-9), s"doc $id: positive logprob $lp")
+      assert((n == 0) == lp.isEmpty, s"doc $id: n=$n lp=$lp must agree")
+    }
+  }
+
+  test("property: c4LineFilter is total and kept is a subsequence of input lines") {
+    val rnd = new scala.util.Random(13)
+    val chars = "abc .!?{\n"
+    val docs = (1 to 60).map(i =>
+      (i.toLong, (0 until rnd.nextInt(80)).map(_ => chars(rnd.nextInt(chars.length))).mkString))
+    val out = TextAnalysis.c4LineFilter(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 60)
+    val byId = docs.toMap
+    out.foreach { case (id, clean, nl, nk) =>
+      assert(nk <= nl && nl == byId(id).split("\n", -1).length)
+      val inLines = byId(id).split("\n", -1).toSeq
+      val keptLines = if (clean.isEmpty) Seq() else clean.split("\n", -1).toSeq
+      // kept lines appear in order in the input (subsequence check)
+      var j = 0
+      keptLines.foreach { k =>
+        j = inLines.indexOf(k, j)
+        assert(j >= 0, s"doc $id: kept line not found in order: [$k]")
+        j += 1
+      }
+    }
+  }
+
   test("c4LineFilter applies the published line rules") {
     val doc =
       "This is a good sentence that survives the filter.\n" +  // kept
