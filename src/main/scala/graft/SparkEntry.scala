@@ -607,6 +607,18 @@ object SparkEntry {
           first(col("__n")) * 0.005 + 10.0).as("fp_ok"))
   }
 
+  /** Semantic decontamination over the embeddings table: drop vectors
+    * with cosine >= 0.4 to any eval vector (every 97th id stands in
+    * for the benchmark set) — exact DuckDB replay, no contract needed.
+    */
+  private def qDeconSem(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val eval_ = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+    graft.ops.Corpus.decontaminateSemantic(emb, eval_, "embedding",
+        "embedding", threshold = 0.4)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+  }
+
   /** Per-column profile over orders (null audit, exact cardinality,
     * ranges) — one aggregation pass, stack-unpivoted to a row per
     * column; exact DuckDB replay.
@@ -1263,6 +1275,7 @@ object SparkEntry {
     "q_corpus_decontaminate" -> qDecontaminate,
     "q_corpus_decontaminate_ngram" -> qDecontaminateNgram,
     "q_decon_bloom" -> qDeconBloom,
+    "q_decon_sem" -> qDeconSem,
     "q_profile" -> qProfile,
     "q_prof_hll" -> qProfHll,
     "q_quantiles" -> qQuantiles,
@@ -1481,6 +1494,11 @@ object SparkEntry {
       ("WITH ev AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM documents WHERE doc_id % 97 = 0) " +
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_kept, TRUE AS no_contam_kept, TRUE AS fp_ok " +
         "FROM documents WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN (SELECT h FROM ev)"),
+    // semantic decontamination: exact cosine anti-join replay
+    "q_decon_sem" ->
+      ("SELECT a.vec_id FROM embeddings a WHERE NOT EXISTS (SELECT 1 FROM embeddings e " +
+        "WHERE e.vec_id % 97 = 0 AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+        "CAST(e.embedding AS DOUBLE[])) >= 0.4) ORDER BY vec_id"),
     // per-column profile: exact replay per audited column
     "q_profile" ->
       ("SELECT * FROM (" +

@@ -206,6 +206,30 @@ object Corpus {
     train.filter(!might(norm(col(textCol))))
   }
 
+  /** Semantic decontamination: drop training rows whose EMBEDDING has
+    * cosine >= `threshold` to any eval/benchmark embedding — catches
+    * paraphrased contamination that the exact/n-gram filters miss
+    * (the modern complement; cf. the paraphrase-contamination findings
+    * around GSM-style benchmarks). The eval side broadcasts (benchmarks
+    * are small), so the plan is a broadcast nested-loop ANTI join:
+    * the train side stays a single map-shaped scan with a per-row loop
+    * over the broadcast eval vectors — the same 100-TB posture as
+    * [[decontaminateBloom]], with vector math in the codegen
+    * dot/norm expressions.
+    */
+  def decontaminateSemantic(train: DataFrame, evalEmb: DataFrame,
+                            vecCol: String, evalVecCol: String,
+                            threshold: Double): DataFrame = {
+    import Similarity.{dot, norm}
+    val ev = broadcast(
+      evalEmb.select(col(evalVecCol).as("__ev"))
+        .withColumn("__en", norm(col("__ev"))))
+    train.join(ev,
+      dot(col(vecCol), col("__ev")) /
+        (norm(col(vecCol)) * col("__en")) >= threshold,
+      "left_anti")
+  }
+
   /** N-gram decontamination (the GPT-3-style overlap filter): drop
     * training docs sharing ANY word n-gram with the eval set — catches
     * partial/embedded contamination exact matching misses. Eval n-grams

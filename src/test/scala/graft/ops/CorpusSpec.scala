@@ -127,6 +127,20 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.size >= 395, s"over-dropped ${398 - kept.size} of 398 clean docs")
   }
 
+  test("decontaminateSemantic drops embedding-near rows, keeps the rest") {
+    val train = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.99, 0.1, 0.0)),   // near eval vector 1 -> dropped
+      (3L, Seq(0.0, 1.0, 0.0)),
+      (4L, Seq(-1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val eval_ = Seq(Tuple1(Seq(1.0, 0.0, 0.0))).toDF("embedding")
+    val kept = Corpus.decontaminateSemantic(train, eval_, "embedding",
+        "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 4L),
+      "exact match and paraphrase-near vector dropped; orthogonal/opposite kept")
+  }
+
   test("decontaminateNgram catches embedded/partial eval overlap") {
     val evalText = "one two three four five"  // 5-gram benchmark item
     val train = Seq(
