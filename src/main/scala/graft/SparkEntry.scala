@@ -542,6 +542,14 @@ object SparkEntry {
     Dedup.duplicateSpans(t(s, d, "documents"), "text", "doc_id", k = 8)
       .orderBy(col("doc_id"))
 
+  /** ExactSubstr span removal (the action half of q_dedup_spans):
+    * tokens covered by corpus-duplicated 8-token windows are cut and
+    * the normalized stream reassembled — exact DuckDB replay.
+    */
+  private def qDedupRm(s: SparkSession, d: String): DataFrame =
+    Dedup.removeDuplicateSpans(t(s, d, "documents"), "text", "doc_id", k = 8)
+      .orderBy(col("doc_id"))
+
   /** DSIR-style importance weights against a target domain = the src0
     * slice of the corpus — docs from src0-ish vocabulary score high.
     */
@@ -1287,6 +1295,7 @@ object SparkEntry {
     "q_dedup_minhash" -> qMinhashNearDups,
     "q_sim_jacc" -> qSimJaccTopK,
     "q_dedup_spans" -> qDedupSpans,
+    "q_dedup_rm" -> qDedupRm,
     "q_dedup_simhash" -> qSimhashPairs,
     "q_sim_lsh_topk" -> qSimLsh,
     "q_sim_ivf_topk" -> qSimIvf,
@@ -1584,6 +1593,19 @@ object SparkEntry {
         "CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows, " +
         "round(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS dup_window_frac " +
         "FROM g JOIN c USING (gram) GROUP BY doc_id ORDER BY doc_id"),
+    // span removal: same window construction as q_dedup_spans, then
+    // cut covered positions and string_agg the kept tokens in order
+    "q_dedup_rm" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+        "w AS (SELECT doc_id, i AS s, md5(array_to_string(ws[i:i+7], ' ')) AS h FROM t, LATERAL unnest(range(1, len(ws) - 6)) AS r(i) WHERE len(ws) >= 8), " +
+        "c AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1), " +
+        "cov AS (SELECT DISTINCT doc_id, s + o AS pos FROM w JOIN c USING (h), LATERAL unnest(range(0, 8)) AS q(o)), " +
+        "tok AS (SELECT doc_id, i AS pos, ws[i] AS tk FROM t, LATERAL unnest(range(1, len(ws) + 1)) AS r(i)), " +
+        "kept AS (SELECT tok.doc_id, pos, tk FROM tok ANTI JOIN cov USING (doc_id, pos)), " +
+        "re AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text, COUNT(*) AS nk FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, COALESCE(re.clean_text, '') AS clean_text, CAST(len(t.ws) AS BIGINT) AS n_tokens, " +
+        "CAST(len(t.ws) - COALESCE(re.nk, 0) AS BIGINT) AS n_removed " +
+        "FROM t LEFT JOIN re USING (doc_id) ORDER BY t.doc_id"),
     "q_dedup_simhash" ->
       (s"SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok FROM ($duckJaccardAllPairsSql)"),
     // magic-byte sniffing + byte accounting replayed from (doc_id, text)

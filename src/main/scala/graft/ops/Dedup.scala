@@ -74,6 +74,54 @@ object Dedup {
         round(col("n_dup_windows").cast("double") / col("n_windows"), 4))
   }
 
+  /** Exact duplicate-span REMOVAL (the action half of ExactSubstr —
+    * [[duplicateSpans]] is the audit half): drop every token covered by
+    * ANY k-token window that occurs more than once corpus-wide, and
+    * reassemble the remaining tokens. Operates on the normalized
+    * (lowercased, whitespace-split) token stream, like the detector.
+    *
+    * Shuffle profile: window hashes travel as (id, start, md5) — never
+    * text; covered positions are (id, pos) pairs; the one text-bearing
+    * shuffle is the final per-doc reassembly (inherent to position-
+    * level editing — the suffix-array original pays the same to emit
+    * cleaned text). Docs shorter than k tokens pass through untouched.
+    */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           k: Int): DataFrame = {
+    require(k > 0, "window must be positive")
+    val toks = df.select(col(idCol),
+      split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+    val wins = toks
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (k - 1))).as("__start"))
+      .select(col(idCol), col("__start"),
+        md5(array_join(slice(col("__toks"), col("__start"), lit(k)), " ")).as("__h"))
+    val counted = wins.withColumn("__c",
+      count(lit(1)).over(Window.partitionBy(col("__h"))))
+    val covered = counted.filter(col("__c") > 1)
+      .select(col(idCol),
+        explode(sequence(col("__start"), col("__start") + (k - 1))).as("__pos"))
+      .distinct()
+    val positioned = toks
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__toks")).as(Seq("__p0", "__tk")))
+      .select(col(idCol), (col("__p0") + 1).as("__pos"), col("__tk"))
+    val kept = positioned.join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__tk")))),
+            x => x.getField("__tk")), " ").as("clean_text"),
+        count(lit(1)).as("__n_kept"))
+    toks.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
+
   // ---- shingles / n-grams ----
 
   /** Distinct word k-shingles of a text column (first-occurrence

@@ -110,6 +110,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("removeDuplicateSpans cuts the shared window, keeps unique text") {
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ") // one 8-token window
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"other words here $shared more tail words"),
+      (3L, "entirely unique content with no repeats at all")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "text", "doc_id", k = 8)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "alpha beta gamma delta", 12L, 8L)))
+    assert(out(1) == ((2L, "other words here more tail words", 14L, 8L)))
+    assert(out(2)._2 == "entirely unique content with no repeats at all")
+    assert(out(2)._4 == 0L)
+  }
+
+  test("removeDuplicateSpans: short docs pass through; overlap cuts union of spans") {
+    // docs 1/2 share the 10-token prefix "r1..r9 ending": its three
+    // overlapping duplicated 8-windows cover the UNION of positions
+    // 1..10 — each token is cut once, not once per window
+    val run = (1 to 9).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run ending one"),
+      (2L, s"$run ending two"),
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "text", "doc_id", k = 8)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "one", 11L, 10L)), out(0).toString)
+    assert(out(1) == ((2L, "two", 11L, 10L)))
+    assert(out(2) == ((3L, "tiny doc", 2L, 0L)), "below-k docs untouched")
+  }
+
   test("jaccardTopK surfaces the planted near-dup as top-1, exact-ranked") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val near = (1 to 29).map(i => s"w$i").mkString(" ") + " zz" // J = 28/31-ish
