@@ -221,22 +221,38 @@ object Dedup {
     */
   def jaccardTopK(corpus: DataFrame, probes: DataFrame, textCol: String,
                   idCol: String, k: Int, shingleK: Int = 3,
-                  numHashes: Int = 32, bands: Int = 16): DataFrame = {
+                  numHashes: Int = 32, bands: Int = 16): DataFrame =
+    jaccardTopKFromShingles(
+      shingleTable(corpus, textCol, idCol, shingleK),
+      shingleTable(probes, textCol, idCol, shingleK),
+      idCol, k, numHashes, bands)
+
+  /** [[jaccardTopK]] over PRE-SHINGLED sides: both frames are
+    * `(idCol, shingle_set)` as produced by [[shingleTable]]. Callers
+    * that already pay for a shingle table (e.g. an exact-gate contract
+    * alongside the search) stage it once — `localCheckpoint()` it and
+    * pass it here — instead of re-tokenizing the corpus inside the
+    * search: the shingle scan is the dominant linear cost, and this
+    * query plan otherwise rebuilds it for both the banding and the
+    * verify side.
+    */
+  def jaccardTopKFromShingles(corpusShingles: DataFrame, probeShingles: DataFrame,
+                              idCol: String, k: Int,
+                              numHashes: Int = 32, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    def banded(df: DataFrame, as: String): DataFrame =
-      shingleTable(df, textCol, idCol, shingleK)
-        .select(col(idCol).as(as),
-          posexplode(bandBuckets(
-            minhashSignature(col("shingle_set"), numHashes), bands, rowsPerBand))
-            .as(Seq("band", "bucket")))
-    val cands = banded(corpus, "corpus_id")
-      .join(banded(probes, "probe_id"), Seq("band", "bucket"))
+    def banded(sh: DataFrame, as: String): DataFrame =
+      sh.select(col(idCol).as(as),
+        posexplode(bandBuckets(
+          minhashSignature(col("shingle_set"), numHashes), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+    val cands = banded(corpusShingles, "corpus_id")
+      .join(banded(probeShingles, "probe_id"), Seq("band", "bucket"))
       .filter(col("corpus_id") =!= col("probe_id"))
       .select(col("probe_id"), col("corpus_id")).distinct()
-    val cs = shingleTable(corpus, textCol, idCol, shingleK)
+    val cs = corpusShingles
       .select(col(idCol).as("corpus_id"), col("shingle_set").as("__cs"))
-    val ps = shingleTable(probes, textCol, idCol, shingleK)
+    val ps = probeShingles
       .select(col(idCol).as("probe_id"), col("shingle_set").as("__ps"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("jaccard").desc, col("corpus_id"))

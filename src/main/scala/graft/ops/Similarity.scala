@@ -45,8 +45,13 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // spread the stream side before the quadratic stage: a small corpus
+    // often arrives as ONE scan partition (single parquet file / single
+    // row group), which would serialize every dot product onto one core;
+    // the repartition shuffle is O(n) against an O(n x probes) stage
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
+      .repartition(col("corpus_id"))
     val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("__pv"))
       .withColumn("__pn", norm(col("__pv")))
     val scored = c.crossJoin(broadcast(p))
@@ -144,8 +149,11 @@ object Similarity {
     */
   def exactNearDupPairs(df: DataFrame, threshold: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // spread the stream side (see bruteForceTopK): O(n) shuffle vs the
+    // O(n^2) pair stage it parallelizes
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
       .withColumn("__na", norm(col("__va")))
+      .repartition(col("id_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
       .withColumn("__nb", norm(col("__vb")))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))

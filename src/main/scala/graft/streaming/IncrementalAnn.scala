@@ -26,7 +26,8 @@ import graft.ops.Similarity
   */
 final class IncrementalAnn(spark: SparkSession, storeDir: String,
                            nBits: Int = 8, nTables: Int = 8,
-                           threshold: Double = 0.9) {
+                           threshold: Double = 0.9,
+                           autoCompactSlack: Double = 1.5) {
 
   // Bucket values are persisted, so EVERYTHING that determines them is
   // part of the on-disk format — the SRP hyperplane scheme version AND
@@ -123,8 +124,29 @@ final class IncrementalAnn(spark: SparkSession, storeDir: String,
       keptSigs.select(col("id"), col("table"), col("bucket"),
           col("embedding"), col("norm"))
         .write.mode(SaveMode.Append).parquet(storePath)
-      kept
+      maybeAutoCompact(kept)
     } finally sigs.unpersist()
+  }
+
+  /** Auto-compaction (between-batch maintenance folded into the append
+    * path): a clean store holds exactly `nTables` rows per id, so
+    * total > slack x ids x nTables means foreachBatch replays have
+    * accumulated duplicate signature rows worth a rewrite. The bloat
+    * probe reads only the id column (column-pruned scan). Before the
+    * rewrite the batch result is pinned with localCheckpoint — the
+    * returned plan must not lazily re-read store files the bak-swap is
+    * about to replace. Set autoCompactSlack <= 0 to disable and manage
+    * [[compactStore]] manually.
+    */
+  private def maybeAutoCompact(kept: DataFrame): DataFrame = {
+    if (autoCompactSlack <= 0) return kept
+    val r = store().agg(count(lit(1)), count_distinct(col("id"))).head()
+    if (r.getLong(0) <= (autoCompactSlack * r.getLong(1) * nTables).toLong) kept
+    else {
+      val pinned = kept.localCheckpoint()
+      compactStore()
+      pinned
+    }
   }
 
   /** Store maintenance: drop the duplicate signature rows that

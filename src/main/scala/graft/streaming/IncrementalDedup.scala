@@ -25,7 +25,8 @@ import graft.ops.Dedup
   */
 final class IncrementalDedup(spark: SparkSession, storeDir: String,
                              shingleK: Int = 3, numHashes: Int = 16,
-                             bands: Int = 8, threshold: Double = 0.7) {
+                             bands: Int = 8, threshold: Double = 0.7,
+                             autoCompactSlack: Double = 1.5) {
   require(numHashes % bands == 0)
 
   private val rowsPerBand = numHashes / bands
@@ -123,8 +124,29 @@ final class IncrementalDedup(spark: SparkSession, storeDir: String,
         kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
       keptSigs.select(col("id"), col("band"), col("bucket"), col("shingle_set"))
         .write.mode(SaveMode.Append).parquet(storePath)
-      kept
+      maybeAutoCompact(kept)
     } finally sigs.unpersist()
+  }
+
+  /** Auto-compaction (between-batch maintenance folded into the append
+    * path): a clean store holds exactly `bands` rows per id, so
+    * total > slack x ids x bands means foreachBatch replays have
+    * accumulated duplicate signature rows worth a rewrite. The bloat
+    * probe reads only the id column (column-pruned scan of the already-
+    * open store). Before the rewrite the batch result is pinned with
+    * localCheckpoint — the returned plan must not lazily re-read store
+    * files the bak-swap is about to replace. Set autoCompactSlack <= 0
+    * to disable and manage [[compactStore]] manually.
+    */
+  private def maybeAutoCompact(kept: DataFrame): DataFrame = {
+    if (autoCompactSlack <= 0) return kept
+    val r = store().agg(count(lit(1)), count_distinct(col("id"))).head()
+    if (r.getLong(0) <= (autoCompactSlack * r.getLong(1) * bands).toLong) kept
+    else {
+      val pinned = kept.localCheckpoint()
+      compactStore()
+      pinned
+    }
   }
 
   /** Store maintenance: drop the duplicate signature rows that

@@ -52,7 +52,10 @@ class IncrementalAnnSpec extends AnyFunSuite with SparkTestBase {
 
   test("compactStore removes replay duplicates and preserves matching") {
     val dir = java.nio.file.Files.createTempDirectory("graft_incann_cp_").toString
-    val ann = new IncrementalAnn(spark, dir, nBits = 4, nTables = 16, threshold = 0.98)
+    // autoCompactSlack = 0: this test exercises the MANUAL compaction
+    // path, so the automatic trigger must not fire mid-assert
+    val ann = new IncrementalAnn(spark, dir, nBits = 4, nTables = 16,
+      threshold = 0.98, autoCompactSlack = 0)
     val b = Seq((1L, base.toSeq), (2L, other.toSeq)).toDF("vec_id", "embedding")
     ann.processBatch(b, "embedding", "vec_id")
     val clean = spark.read.parquet(s"$dir/srp_signatures").count()
@@ -66,6 +69,25 @@ class IncrementalAnnSpec extends AnyFunSuite with SparkTestBase {
         Seq((10L, nearDup.toSeq)).toDF("vec_id", "embedding"), "embedding", "vec_id")
       .select("vec_id").as[Long].collect()
     assert(kept.isEmpty, s"compacted store must still catch near-dups: ${kept.toSeq}")
+  }
+
+  test("auto-compaction keeps a long replay run bounded with no explicit compact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incann_ac_").toString
+    val ann = new IncrementalAnn(spark, dir, nBits = 4, nTables = 16,
+      threshold = 0.98) // default slack
+    val b = Seq((1L, base.toSeq), (2L, other.toSeq)).toDF("vec_id", "embedding")
+    val bound = (1.5 * 2 * 16).toLong // slack x ids x nTables
+    (1 to 6).foreach { i =>
+      val kept = ann.processBatch(b, "embedding", "vec_id")
+        .select("vec_id").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(1L, 2L), s"replay $i survivors: ${kept.toSeq}")
+      val rows = spark.read.parquet(s"$dir/srp_signatures").count()
+      assert(rows <= bound, s"store must stay bounded after replay $i: $rows > $bound")
+    }
+    val kept2 = ann.processBatch(
+        Seq((10L, nearDup.toSeq)).toDF("vec_id", "embedding"), "embedding", "vec_id")
+      .select("vec_id").as[Long].collect()
+    assert(kept2.isEmpty, s"auto-compacted store must still catch near-dups: ${kept2.toSeq}")
   }
 
   test("reopening a store with different hyperparameters fails fast") {

@@ -53,7 +53,10 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
 
   test("compactStore removes replay duplicates and preserves matching") {
     val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_cp_").toString
-    val dedup = new IncrementalDedup(spark, dir, threshold = 0.5)
+    // autoCompactSlack = 0: this test exercises the MANUAL compaction
+    // path, so the automatic trigger must not fire mid-assert
+    val dedup = new IncrementalDedup(spark, dir, threshold = 0.5,
+      autoCompactSlack = 0)
     val b = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
     dedup.processBatch(b, "text", "doc_id")
     val clean = spark.read.parquet(s"$dir/signatures").count()
@@ -74,6 +77,31 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     dedup.compactStore()
     assert(spark.read.parquet(s"$dir/signatures").count() == clean,
       "double compaction of a clean store must change nothing")
+  }
+
+  test("auto-compaction keeps a long replay run bounded with no explicit compact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_ac_").toString
+    val dedup = new IncrementalDedup(spark, dir, threshold = 0.5) // default slack
+    val b = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val bands = 8 // constructor default; a clean store = ids x bands rows
+    val bound = (1.5 * 2 * bands).toLong
+    // 6 crash-replays of the same batch: without compaction the store
+    // would grow to 7x the clean size; the append-path trigger must
+    // keep it at or under the slack bound the whole run — and every
+    // replay's survivors must still come back (the localCheckpoint pin
+    // means the rewrite cannot invalidate the returned frame)
+    (1 to 6).foreach { i =>
+      val kept = dedup.processBatch(b, "text", "doc_id")
+        .select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(1L, 2L), s"replay $i survivors: ${kept.toSeq}")
+      val rows = spark.read.parquet(s"$dir/signatures").count()
+      assert(rows <= bound, s"store must stay bounded after replay $i: $rows > $bound")
+    }
+    // matching still works on the auto-compacted store
+    val kept2 = dedup.processBatch(
+        Seq((10L, nearDup)).toDF("doc_id", "text"), "text", "doc_id")
+      .select("doc_id").as[Long].collect()
+    assert(kept2.isEmpty, s"auto-compacted store must still catch near-dups: ${kept2.toSeq}")
   }
 
   test("reopening a store with different hyperparameters fails fast") {
