@@ -225,8 +225,8 @@ object Corpus {
       evalEmb.select(col(evalVecCol).as("__ev"))
         .withColumn("__en", norm(col("__ev"))))
     train.join(ev,
-      dot(col(vecCol), col("__ev")) /
-        (norm(col(vecCol)) * col("__en")) >= threshold,
+      Similarity.safeCosine(dot(col(vecCol), col("__ev")),
+        norm(col(vecCol)), col("__en")) >= threshold,
       "left_anti")
   }
 

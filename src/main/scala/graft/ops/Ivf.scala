@@ -184,7 +184,8 @@ object Ivf {
         col(vecCol).as("__cv"), col("centroid_id")),
       Seq("centroid_id"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("__cv"), col("__pv")) / (norm(col("__cv")) * col("__pn")))
+      .withColumn("cosine", Similarity.safeCosine(
+        dot(col("__cv"), col("__pv")), norm(col("__cv")), col("__pn")))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     cands.withColumn("rank", row_number().over(wr))

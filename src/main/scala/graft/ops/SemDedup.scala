@@ -63,7 +63,8 @@ object SemDedup {
       .withColumn("__nb", norm(col("__vb")))
     cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cosine",
-        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 4))
+        round(Similarity.safeCosine(
+          dot(col("__va"), col("__vb")), col("__na"), col("__nb")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

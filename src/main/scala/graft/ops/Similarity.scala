@@ -36,7 +36,19 @@ object Similarity {
 
   /** Cosine similarity (use only when norms can't be precomputed). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    safeCosine(dot(a, b), norm(a), norm(b))
+
+  /** A zero-norm vector makes the cosine 0/0: under ANSI mode (Spark 4's
+    * default) that THROWS [DIVIDE_BY_ZERO] and kills the whole job; with
+    * ANSI off it yields NaN, which Spark orders ABOVE every number, so an
+    * all-zeros embedding would out-rank genuine neighbors and satisfy
+    * every `>= threshold` near-dup gate. A direction-less vector is
+    * similar to nothing: guard the division and define its cosine as 0.
+    */
+  def safeCosine(dp: Column, na: Column, nb: Column): Column = {
+    val den = na * nb
+    when(den > lit(0.0), dp / den).otherwise(lit(0.0))
+  }
 
   /** Brute-force cosine top-k: for each probe row, the k nearest corpus
     * rows (excluding self-id matches). Probe side must be small enough
@@ -56,7 +68,8 @@ object Similarity {
       .withColumn("__pn", norm(col("__pv")))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn")))
+      .withColumn("cosine",
+        safeCosine(dot(col("__cv"), col("__pv")), col("__cn"), col("__pn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     scored
@@ -112,7 +125,8 @@ object Similarity {
     cands
       .join(cv, Seq("corpus_id"))
       .join(broadcast(pv), Seq("query_id"))
-      .withColumn("cosine", dot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn")))
+      .withColumn("cosine",
+        safeCosine(dot(col("__cv"), col("__pv")), col("__cn"), col("__pn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("rank"),
@@ -139,7 +153,7 @@ object Similarity {
       .withColumn("__nb", norm(col("__vb")))
     cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cosine",
-        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 4))
+        round(safeCosine(dot(col("__va"), col("__vb")), col("__na"), col("__nb")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -157,7 +171,8 @@ object Similarity {
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
       .withColumn("__nb", norm(col("__vb")))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .withColumn("cosine",
+        safeCosine(dot(col("__va"), col("__vb")), col("__na"), col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -83,7 +83,7 @@ final class IncrementalAnn(spark: SparkSession, storeDir: String,
 
   private def cos(va: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,
                   vb: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
-    Similarity.dot(va, vb) / (na * nb)
+    Similarity.safeCosine(Similarity.dot(va, vb), na, nb)
 
   /** Process one batch: returns rows NOT near-duplicate (cosine >=
     * threshold) of the accepted corpus or an earlier row of the same

@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale a driver-generated testdata directory by an integer factor to
+  * produce BENCH_SF1-class inputs (the driver only materializes up to
+  * sf0.1; scale evidence needs 10x that).
+  *
+  * Design goals, in order:
+  *
+  *  1. **Work must scale linearly in the factor** — every fact table is
+  *     replicated `factor` times with all int64 join keys shifted by
+  *     `replica * KEY_OFFSET`, so per-replica join fan-out, group
+  *     cardinality and skew shape are IDENTICAL to the source sf and the
+  *     global totals are exactly `factor` times larger. Fixed dimensions
+  *     (region, nation) are copied verbatim, as TPC-H itself scales them.
+  *  2. **No cross-replica dedup/ANN artifacts.** Naive replication would
+  *     give every document 9 exact clones and every embedding 9 perfect
+  *     neighbors, inflating candidate-pair counts ~factor^2 — a
+  *     super-linear blowup the real corpus does not have. Instead:
+  *     - `documents.text`: each token is deterministically renamed per
+  *       replica (`hash(token, replica)` decides; replica 0 is identity).
+  *       Because the rename is a pure function of (token, replica), two
+  *       near-duplicate docs in the same replica transform identically —
+  *       intra-replica Jaccard/MinHash/SimHash structure is preserved
+  *       EXACTLY — while cross-replica shingle overlap collapses to the
+  *       ~12% of 3-grams whose three tokens all kept their names, far
+  *       below every near-dup threshold in the suite.
+  *     - `embeddings.embedding`: per-replica Rademacher sign flip
+  *       (`hash(dim, replica)` picks the sign; replica 0 is identity).
+  *       A coordinate reflection is orthogonal, so intra-replica dot
+  *       products, norms and cosines are preserved EXACTLY, while
+  *       cross-replica cosines become sums of random-sign terms with
+  *       expectation 0 — no spurious near-neighbors across replicas.
+  *  3. **Readable by the same loaders.** `events.ts` arrives as parquet
+  *     TIMESTAMP(NANOS), which SparkEntry reads via
+  *     `legacy.parquet.nanosAsLong`; the copy keeps the column a raw
+  *     int64 of nanos so that read path sees the same shape.
+  *
+  * Output files are repartitioned (round-robin, then sorted within
+  * partitions by primary key) so the scaled tables arrive as multiple
+  * scan splits — a single 10x parquet file would serialize every
+  * downstream stage onto one core and measure the file layout, not the
+  * engine.
+  */
+object ScaleGen {
+  /** Per-replica key shift: far above any source key, far below 2^63/factor. */
+  val KeyOffset = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DST", ".data/sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalegen")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    scale(spark, src, dst, factor)
+    spark.stop()
+  }
+
+  def scale(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    def rd(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def wr(df: DataFrame, name: String, files: Int, sortKey: String): Unit = {
+      val parts = df.repartition(files)
+      (if (sortKey.isEmpty) parts else parts.sortWithinPartitions(sortKey))
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scalegen] wrote $name x$factor -> $dst/$name.parquet ($files files)")
+    }
+    /** Union of `factor` transformed replicas of one source table. */
+    def reps(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => f(base, i)).reduce(_ unionByName _)
+    def shift(d: DataFrame, i: Int, keys: String*): DataFrame =
+      keys.foldLeft(d)((acc, k) => acc.withColumn(k, col(k) + lit(i * KeyOffset)))
+
+    wr(rd("region"), "region", 1, "r_regionkey")
+    wr(rd("nation"), "nation", 1, "n_nationkey")
+    wr(reps(rd("customer"))(shift(_, _, "c_custkey")), "customer", 8, "c_custkey")
+    wr(reps(rd("supplier"))(shift(_, _, "s_suppkey")), "supplier", 2, "s_suppkey")
+    wr(reps(rd("part"))(shift(_, _, "p_partkey")), "part", 4, "p_partkey")
+    wr(reps(rd("orders"))(shift(_, _, "o_orderkey", "o_custkey")),
+      "orders", 16, "o_orderkey")
+    wr(reps(rd("lineitem"))(shift(_, _, "l_orderkey", "l_partkey", "l_suppkey")),
+      "lineitem", 32, "l_orderkey")
+
+    // events: keep ts a raw int64 of nanos (see scaladoc) — read with the
+    // same legacy flag the engine's loader uses so the column stays long.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    wr(reps(rd("events"))(shift(_, _, "event_id", "user_id")),
+      "events", 16, "event_id")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+
+    val mutDoc = reps(rd("documents")) { (d, i) =>
+      val text =
+        if (i == 0) col("text")
+        else array_join(
+          transform(split(col("text"), " "),
+            w => when(pmod(xxhash64(w, lit(i)), lit(2)) === 0, w)
+              .otherwise(concat(w, lit(s"x$i")))), " ")
+      shift(d, i, "doc_id")
+        .withColumn("text", text)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    wr(mutDoc, "documents", 32, "doc_id")
+
+    val mutEmb = reps(rd("embeddings")) { (d, i) =>
+      val vec =
+        if (i == 0) col("embedding")
+        else transform(col("embedding"),
+          (x, idx) => when(pmod(xxhash64(idx, lit(i)), lit(2)) === 0, x).otherwise(-x))
+      shift(d, i, "vec_id").withColumn("embedding", vec)
+    }
+    wr(mutEmb, "embeddings", 8, "vec_id")
+  }
+}

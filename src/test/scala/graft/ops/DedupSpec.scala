@@ -244,6 +244,69 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // ---- adversarial totality (round-6 brief: empty docs, single tokens,
+  //      all-identical corpora) ----
+
+  private lazy val degenerate = Seq(
+    (1L, ""), (2L, "   "), (3L, "\t \n"), (4L, "solo"),
+    (5L, "two words"), (6L, "solo"), (7L, "x y z w v u t s")
+  ).toDF("doc_id", "text")
+
+  test("adversarial: span operators are total on empty/blank/short docs") {
+    // every doc but 7 is below the k=4 window: audit omits them, removal
+    // passes them through byte-identically (modulo normalization)
+    val spans = Dedup.duplicateSpans(degenerate, "text", "doc_id", k = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(spans == Seq(7L), s"only the 8-token doc has windows: $spans")
+    val rm = Dedup.removeDuplicateSpans(degenerate, "text", "doc_id", k = 4)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(rm.length == 7, "no doc may be dropped by span removal")
+    assert(rm.forall(_._4 == 0L), s"nothing repeats corpus-wide: ${rm.toSeq}")
+  }
+
+  test("adversarial: minhash/simhash families are total on degenerate docs") {
+    // empty and blank docs all shingle to the same whole-text [""] under
+    // the short-doc rule -> they ARE mutual exact dups, as are the two
+    // "solo" docs; nothing else may pair with the unrelated doc 7
+    val pairs = Dedup.minhashNearDups(degenerate, "text", "doc_id",
+        threshold = 0.99, shingleK = 3, numHashes = 16, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((4L, 6L)), s"identical single-token docs must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 7L || p._2 == 7L),
+      s"unrelated doc paired: $pairs")
+    val sim = Dedup.simhashCandidates(degenerate, "text", "doc_id",
+        maxHamming = 0, nBlocks = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sim.contains((4L, 6L)))
+    assert(!sim.exists(p => p._1 == 7L || p._2 == 7L))
+  }
+
+  test("adversarial: jaccardTopK is total on empty probes and degenerate corpora") {
+    val noProbes = degenerate.filter($"doc_id" < 0)
+    assert(Dedup.jaccardTopK(degenerate, noProbes, "text", "doc_id", k = 3).count() == 0)
+    // probing WITH an empty-text doc: its whole-text shingle [""] matches
+    // the other blank docs exactly and nothing else
+    val top = Dedup.jaccardTopK(degenerate, degenerate.filter($"doc_id" === 1L),
+        "text", "doc_id", k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(top.forall(_._4 == 1.0), s"blank docs only match blank docs: ${top.toSeq}")
+    assert(top.map(_._2).toSet.subsetOf(Set(2L, 3L)), top.toSeq.toString)
+  }
+
+  test("adversarial: all-identical corpus collapses to one cluster, one keeper") {
+    val same = (0L until 10L).map(i => (i, "the same exact sentence repeated verbatim"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(same, "text", "doc_id", threshold = 0.9)
+    assert(pairs.count() == 10L * 9 / 2, "every pair is an exact dup")
+    val clusters = Dedup.clusterPairs(pairs.select("id_a", "id_b"))
+      .as[(Long, Long)].collect()
+    assert(clusters.forall(_._2 == 0L), s"one component with keeper 0: ${clusters.toSeq}")
+    val kept = Curation.curate(same, "text", "doc_id",
+        minQuality = 0.0, langs = Nil, nearDupJaccard = Some(0.9))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(0L), s"exactly one survivor: $kept")
+  }
+
   test("duplicateSpans counts corpus-wide repeated k-token windows") {
     val df = Seq(
       // docs 1 and 2 share the exact 4-token span "one two three four"

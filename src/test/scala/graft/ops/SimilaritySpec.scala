@@ -61,4 +61,63 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 10L)))
   }
+
+  // ---- adversarial inputs (round-6 brief: degenerate-corpus hazards) ----
+
+  test("adversarial: zero-norm vectors never out-rank or near-dup-match anything") {
+    // 0/0 cosine is NaN, and Spark orders NaN above every number — an
+    // unguarded plan ranks the zero vector first and emits it from every
+    // >= threshold gate. safeCosine pins direction-less vectors to 0.
+    val withZero = vecs.unionByName(
+      Seq((99L, Seq.fill(16)(0.0f))).toDF("vec_id", "embedding"))
+    val top = Similarity.bruteForceTopK(withZero, withZero.filter($"vec_id" === 0), 3)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+    assert(top.take(2).map(_._2).toSeq == Seq(10L, 1L),
+      s"zero vector must not out-rank genuine neighbors: ${top.toSeq}")
+    assert(top.forall(r => !r._4.isNaN), s"NaN cosine leaked: ${top.toSeq}")
+    val pairs = Similarity.exactNearDupPairs(withZero, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L),
+      s"zero vector emitted as near-dup: ${pairs.toSeq}")
+    val lshPairs = Similarity.cosineNearDups(withZero, 0.4, nBits = 8, nTables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(!lshPairs.exists(p => p._1 == 99L || p._2 == 99L))
+    // a zero-vector PROBE gets answers (all cosine 0), never NaN
+    val zp = Similarity.bruteForceTopK(withZero, withZero.filter($"vec_id" === 99L), 2)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(zp.length == 2 && zp.forall(r => r._4 == 0.0), zp.toSeq.toString)
+  }
+
+  test("adversarial: all-zero corpus yields no near-dup pairs anywhere") {
+    val zeros = (0L until 8L).map(i => (i, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.exactNearDupPairs(zeros, 0.1).count() == 0)
+    assert(Similarity.cosineNearDups(zeros, 0.1, nBits = 8, nTables = 2).count() == 0)
+    assert(SemDedup.nearDupPairs(zeros, 0.1, k = 2, iters = 1).count() == 0)
+  }
+
+  test("adversarial: SemDedup on an all-identical corpus (one semantic cluster)") {
+    // the documented degenerate case: every vector lands in one cluster,
+    // so the intra-cluster stage IS the global quadratic — it must stay
+    // total and exact, and dedup must keep exactly one representative
+    val one = Seq.fill(16)(0.5f)
+    val same = (0L until 12L).map(i => (i, one)).toDF("vec_id", "embedding")
+    val pairs = SemDedup.nearDupPairs(same, 0.9, k = 4, iters = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 12 * 11 / 2, s"all pairs expected, got ${pairs.length}")
+    assert(pairs.forall(_._3 == 1.0))
+    val kept = SemDedup.dedup(same, 0.9, k = 4, iters = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(kept == Seq(0L), s"one representative must survive: $kept")
+  }
+
+  test("adversarial: single-row and empty corpora are total everywhere") {
+    val single = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val empty = single.filter($"vec_id" < 0)
+    assert(Similarity.exactNearDupPairs(single, 0.1).count() == 0)
+    assert(Similarity.bruteForceTopK(single, single, 3).count() == 0,
+      "self-match excluded, no other candidates")
+    assert(Similarity.exactNearDupPairs(empty, 0.1).count() == 0)
+    assert(Similarity.lshTopK(empty, single, 3).count() == 0)
+    assert(Similarity.cosineNearDups(empty, 0.1).count() == 0)
+  }
 }
