@@ -29,7 +29,8 @@ object Pipelines {
     * every pipeline mode that ships prompts into the plan.
     */
   private def promptsLiteral(prompts: Map[String, String]) =
-    map(prompts.toSeq.sortBy(_._1)
+    if (prompts.isEmpty) map().cast("map<string,string>")
+    else map(prompts.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
 
   /** Run independent persist jobs concurrently and settle ALL of them
@@ -90,33 +91,44 @@ object Pipelines {
     */
   def interactive(cat: Catalog, stage: String, fileName: String): DataFrame = {
     val spark = cat.spark
-    val doc = cat.directory(stage)
+    import spark.implicits._
+    // single-document flow: materialize the ONE row driver-side in a
+    // single job (scan + parse + classify), then work from a local
+    // relation — an interactive request is latency-bound by Spark job
+    // count, and a distributed 1-row frame pays a job per touch
+    val docRow = cat.directory(stage)
       .filter(col("relative_path") === fileName)
       .withColumn("text", parse_document(col("content")))
       .withColumn("class_name", ai_classify(col("text")))
-      .cache() // reused by 4 writes below; single row, cheap
-    try {
-    ensurePrompts(cat, doc.select("class_name"))
-    // canonicalize on read (app:490, app:162-183): stored prompt
-    // schemas may be flat dicts, ['q', text] lists, or nested dicts
-    val prompts = cat.table("CLASS_PROMPTS")
-      .withColumn("prompt_map",
-        canonicalize_prompts(col("prompts"), col("class_name")))
-      .select("class_name", "prompt_map")
-    val extracted = doc
-      .join(broadcast(prompts), Seq("class_name"), "left")
+      .select("file_url", "relative_path", "text", "class_name")
+      .collect().headOption.getOrElse(
+        throw new NoSuchElementException(s"no file '$fileName' in stage @$stage"))
+    val className = docRow.getString(3)
+    ensurePrompts(cat, className)
+    // canonicalized prompt map via the invalidation-based PromptStore
+    // cache (app:490, app:162-183) — the warm path costs zero jobs
+    val promptMap = PromptStore.get(cat, className)
+    val derived = Seq((docRow.getString(0), docRow.getString(1),
+        docRow.getString(2), className))
+      .toDF("file_url", "relative_path", "text", "class_name")
+      .withColumn("prompt_map", promptsLiteral(promptMap))
       .withColumn("extraction_result", ai_extract_json(col("text"), col("prompt_map")))
       .withColumn("result_map", ai_extract(col("text"), col("prompt_map")))
       .withColumn("ocr", to_json(struct(col("text").as("content"))))
       .withColumn("summary", ai_complete(lit("mistral-7b"),
         substring(col("text"), 1, 6000)))
-      .cache()
-    try {
-    // persist x4 (app:523-554). The three appends hit independent
-    // tables, so they run as concurrent Spark jobs — the engine's form
-    // of the reference's side-thread OCR/summary pool (app:450-452),
-    // including its 120 s join timeout (app:515). The NEW_UPLOADS
-    // merge stays sequential: it is a read-modify-swap.
+    // materialize the derived columns ONCE, single-threaded, before the
+    // concurrent fan-out: four jobs sharing one lazy local-relation plan
+    // would let ConvertToLocalRelation constant-fold the same to_json /
+    // UDF expression INSTANCES from four optimizer threads at once, and
+    // StructsToJsonEvaluator's JacksonGenerator is not thread-safe
+    val extracted = spark.createDataFrame(
+      java.util.Arrays.asList(derived.collect(): _*), derived.schema)
+    // persist x4 (app:523-554), ALL concurrent — the three appends and
+    // the NEW_UPLOADS read-modify-swap touch four different tables —
+    // the engine's form of the reference's side-thread OCR/summary pool
+    // (app:450-452), including its 120 s join timeout (app:515). The
+    // writes project already-materialized values; no shared evaluators.
     runConcurrently(Seq(
       () => cat.append("DOCUMENTS_PROCESSED", extracted.select(
         col("file_url"), col("relative_path").as("file_ref"),
@@ -129,25 +141,32 @@ object Pipelines {
           .withColumn("confidence", lit(null).cast("double"))),
       () => cat.append("DOCUMENT_OCR", extracted.select(
         col("relative_path").as("file_name"), col("relative_path").as("file_ref"),
-        col("ocr"), col("summary")))))
-    cat.merge("NEW_UPLOADS",
-      extracted.select(
-        col("relative_path").as("file_name"),
-        concat(lit(stage), lit("/"), col("relative_path")).as("file_ref"),
-        lit(stage).as("stage_name"),
-        lit(true).as("processed"),
-        current_timestamp().as("uploaded_at")),
-      Seq("file_name"))
-    // materialize into a local relation so the cached inputs can be
-    // released without invalidating the returned frame
-    val spark2 = cat.spark
-    val resultRows = extracted
-      .select("file_url", "class_name", "result_map", "summary").collect()
-    val resultSchema = extracted
-      .select("file_url", "class_name", "result_map", "summary").schema
-    spark2.createDataFrame(java.util.Arrays.asList(resultRows: _*), resultSchema)
-    } finally extracted.unpersist()
-    } finally doc.unpersist()
+        col("ocr"), col("summary"))),
+      () => cat.merge("NEW_UPLOADS",
+        extracted.select(
+          col("relative_path").as("file_name"),
+          concat(lit(stage), lit("/"), col("relative_path")).as("file_ref"),
+          lit(stage).as("stage_name"),
+          lit(true).as("processed"),
+          current_timestamp().as("uploaded_at")),
+        Seq("file_name"))))
+    extracted.select("file_url", "class_name", "result_map", "summary")
+  }
+
+  /** [[ensurePrompts]] for ONE class, served from the PromptStore cache:
+    * the warm path (class known, prompts cached) costs zero Spark jobs —
+    * the shape an interactive request needs. Falls back to a presence
+    * probe + generate only when the cache has nothing for the class.
+    */
+  def ensurePrompts(cat: Catalog, className: String): Unit = {
+    if (PromptStore.get(cat, className).nonEmpty) return
+    // empty canonical map can mean EITHER absent or stored-but-empty —
+    // only absence may generate (insert-if-absent, like the frame form)
+    val spark = cat.spark
+    import spark.implicits._
+    val present = !cat.table("CLASS_PROMPTS")
+      .filter(col("class_name") === className).isEmpty
+    if (!present) ensurePrompts(cat, Seq(className).toDF("class_name"))
   }
 
   /** Batch single-SQL mode (§3.3) — the flagship one-plan query:
