@@ -173,6 +173,17 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("embedding contract audits push the vec_id cap into the scan") {
+    // the fixed-sample audit bound (SparkEntry.EmbAuditCap) must prune
+    // AT THE SCAN — at 100 TB the contract query reads 2000 vectors'
+    // worth of row groups, not the corpus
+    for (q <- Seq("q_emb_near_dups_lsh", "q_semdedup")) {
+      val p = plan(q)
+      assert(p.contains("LessThan(vec_id,2000)"),
+        s"$q: audit cap must reach PushedFilters:\n$p")
+    }
+  }
+
   test("repetition stats ride the scan — zero exchanges before the sort") {
     val p = plan("q_text_repetition")
     // the ONLY exchange allowed is the final presentation ORDER BY;
