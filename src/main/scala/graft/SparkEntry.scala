@@ -232,9 +232,11 @@ object SparkEntry {
 
   private def qF7(s: SparkSession, d: String): DataFrame =
     ev(s, d)
+      // extract once, cast the extracted column — two get_json_object
+      // calls parse the JSON twice per row (no CSE across the cast)
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").as("k_str"),
-        get_json_object(col("props"), "$.k").cast("long").as("k_int"))
+        get_json_object(col("props"), "$.k").as("k_str"))
+      .withColumn("k_int", col("k_str").cast("long"))
       .orderBy(col("event_id"))
 
   /** F7/F9 in Spark-4 VARIANT form: parse_json -> typed variant_get.
