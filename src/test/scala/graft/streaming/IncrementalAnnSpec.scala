@@ -90,6 +90,26 @@ class IncrementalAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(kept2.isEmpty, s"auto-compacted store must still catch near-dups: ${kept2.toSeq}")
   }
 
+  test("adversarial: zero-norm vectors neither drop others nor get dropped as dups") {
+    // the streaming face of Similarity.safeCosine: an all-zeros
+    // embedding has no direction — it must pass through (cosine 0 to
+    // everything) and must never make OTHER rows look like its dups,
+    // across batches included
+    val dir = java.nio.file.Files.createTempDirectory("graft_incann_z_").toString
+    val ann = new IncrementalAnn(spark, dir, nBits = 4, nTables = 16, threshold = 0.9)
+    val zero = Array(0.0, 0.0, 0.0, 0.0)
+    val b1 = Seq((1L, zero.toSeq), (2L, base.toSeq)).toDF("vec_id", "embedding")
+    val kept1 = ann.processBatch(b1, "embedding", "vec_id")
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept1.toSeq == Seq(1L, 2L), s"zero vector and real vector both kept: ${kept1.toSeq}")
+    // a second zero vector: cosine(0,0) is defined as 0, NOT a dup
+    val b2 = Seq((10L, zero.toSeq), (11L, other.toSeq)).toDF("vec_id", "embedding")
+    val kept2 = ann.processBatch(b2, "embedding", "vec_id")
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept2.toSeq == Seq(10L, 11L),
+      s"zero vectors must not near-dup-match each other: ${kept2.toSeq}")
+  }
+
   test("reopening a store with different hyperparameters fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("graft_incann_hp_").toString
     val ann = new IncrementalAnn(spark, dir, nBits = 4, nTables = 16)

@@ -104,6 +104,25 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept2.isEmpty, s"auto-compacted store must still catch near-dups: ${kept2.toSeq}")
   }
 
+  test("adversarial: empty and single-token docs flow through the store totally") {
+    // empty/blank docs all shingle to the whole-text [""] shingle under
+    // the short-doc rule, so they ARE mutual exact dups (J=1): the first
+    // is accepted, later ones drop — deterministic, no crash, and real
+    // docs are never affected
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_deg_").toString
+    val dedup = new IncrementalDedup(spark, dir, threshold = 0.7)
+    val b1 = Seq((1L, ""), (2L, "solo"), (3L, base)).toDF("doc_id", "text")
+    val kept1 = dedup.processBatch(b1, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept1.toSeq == Seq(1L, 2L, 3L), s"batch 1: ${kept1.toSeq}")
+    val b2 = Seq((10L, "   "), (11L, "solo"), (12L, "fresh unrelated content here"))
+      .toDF("doc_id", "text")
+    val kept2 = dedup.processBatch(b2, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2.toSeq == Seq(12L),
+      s"blank ~ empty (J=1) and repeated single token must drop: ${kept2.toSeq}")
+  }
+
   test("reopening a store with different hyperparameters fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_hp_").toString
     val dedup = new IncrementalDedup(spark, dir, threshold = 0.5)
