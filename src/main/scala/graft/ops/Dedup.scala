@@ -52,27 +52,47 @@ object Dedup {
     * window and are omitted.
     *
     * Shuffle profile: windows travel as (id, md5) — 16-byte hashes,
-    * never text; the corpus-wide window count is a window function over
-    * the hash (ONE shuffle), the per-doc rollup a second narrow one.
+    * never text. The corpus-wide occurrence count is a hash AGGREGATE
+    * (partial/final, no sort) filtered to hashes seen more than once —
+    * duplicated windows are the rare case, so that side is small and
+    * AQE broadcasts the flag join back onto the window stream. The old
+    * shape (count() OVER (PARTITION BY hash)) forced a full sort of
+    * every window row — the spill hazard at corpus scale.
     */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
                      k: Int): DataFrame = {
     require(k > 0, "window must be positive")
-    val wins = df
-      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
-      .filter(size(col("__toks")) >= k)
-      .select(col(idCol), col("__toks"),
-        explode(sequence(lit(1), size(col("__toks")) - (k - 1))).as("__start"))
-      .select(col(idCol),
-        md5(array_join(slice(col("__toks"), col("__start"), lit(k)), " ")).as("__h"))
-    val counted = wins.withColumn("__c",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
-    counted.groupBy(col(idCol))
+    val wins = spanWindows(df, textCol, idCol, k)
+    val flagged = wins.join(
+      dupWindowHashes(wins).withColumn("__dup", lit(1L)), Seq("__h"), "left")
+    flagged.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_windows"))
       .withColumn("dup_window_frac",
         round(col("n_dup_windows").cast("double") / col("n_windows"), 4))
   }
+
+  /** (id, start, hash) for every k-token window of every doc — the
+    * map-side explode both ExactSubstr halves consume. Cheap to
+    * recompute (scan + explode, no shuffle), so callers reference it
+    * twice rather than materializing 16-byte-hash rows.
+    */
+  private def spanWindows(df: DataFrame, textCol: String, idCol: String,
+                          k: Int): DataFrame =
+    df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (k - 1))).as("__start"))
+      .select(col(idCol), col("__start"),
+        md5(array_join(slice(col("__toks"), col("__start"), lit(k)), " ")).as("__h"))
+
+  /** Hashes occurring more than once corpus-wide: one partial/final
+    * hash aggregate over 16-byte hashes, then the >1 filter — small by
+    * construction (bounded by actual duplication, not corpus size).
+    */
+  private def dupWindowHashes(wins: DataFrame): DataFrame =
+    wins.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("__h"))
 
   /** Exact duplicate-span REMOVAL (the action half of ExactSubstr —
     * [[duplicateSpans]] is the audit half): drop every token covered by
@@ -91,15 +111,12 @@ object Dedup {
     require(k > 0, "window must be positive")
     val toks = df.select(col(idCol),
       split(lower(trim(col(textCol))), "\\s+").as("__toks"))
-    val wins = toks
-      .filter(size(col("__toks")) >= k)
-      .select(col(idCol), col("__toks"),
-        explode(sequence(lit(1), size(col("__toks")) - (k - 1))).as("__start"))
-      .select(col(idCol), col("__start"),
-        md5(array_join(slice(col("__toks"), col("__start"), lit(k)), " ")).as("__h"))
-    val counted = wins.withColumn("__c",
-      count(lit(1)).over(Window.partitionBy(col("__h"))))
-    val covered = counted.filter(col("__c") > 1)
+    val wins = spanWindows(df, textCol, idCol, k)
+    // covered positions: only windows whose hash repeats corpus-wide —
+    // semi-join against the small dup-hash set (hash-agg, no sort; see
+    // duplicateSpans) instead of sorting every window row
+    val covered = wins
+      .join(dupWindowHashes(wins), Seq("__h"), "left_semi")
       .select(col(idCol),
         explode(sequence(col("__start"), col("__start") + (k - 1))).as("__pos"))
       .distinct()
