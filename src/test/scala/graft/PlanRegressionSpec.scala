@@ -173,6 +173,16 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ExactSubstr never sorts the window stream — dup hashes hash-aggregate") {
+    for (q <- Seq("q_dedup_spans", "q_dedup_rm")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q: corpus-wide window counts must be a hash aggregate, not a sort-backed window:\n$p")
+      assert(p.contains("partial_count"),
+        s"$q: dup-hash count must map-side combine:\n$p")
+    }
+  }
+
   test("embedding contract audits push the vec_id cap into the scan") {
     // the fixed-sample audit bound (SparkEntry.EmbAuditCap) must prune
     // AT THE SCAN — at 100 TB the contract query reads 2000 vectors'
