@@ -314,6 +314,95 @@ object TextHashExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** text_stats_counts(text, families): ONE char-level pass computing
+    * every token/character count the stats annotation needs, replacing
+    * a split + one interpreted higher-order filter PER family + two
+    * regexp scans. Returns array<long> laid out as
+    * `[n_toks, perFamilyCount..., n_nonws_cp, n_punct_cp]` where:
+    *
+    *  - `n_toks` / per-family counts replicate
+    *    `size(split(lower(trim(text)), "\\s+"))` and
+    *    `size(filter(tokens, isin(family)))` EXACTLY, including the
+    *    edges: Spark `trim` strips 0x20 only; Java `split("\\s+")`
+    *    keeps a leading empty token (post-trim leading tab), drops
+    *    trailing empties, and splits "" to [""];
+    *  - `n_nonws_cp` = code points of the ORIGINAL text outside Java
+    *    regex `\s` (= the 6 ASCII whitespace chars) — the value of
+    *    `length(regexp_replace(text, "\\s+", ""))`;
+    *  - `n_punct_cp` = code points matching `[^A-Za-z0-9\s]` — the
+    *    value of `size(regexp_extract_all(text, "[^A-Za-z0-9\\s]"))`.
+    */
+  case class TextStatsCounts(child: Expression, families: Seq[Seq[String]])
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "text_stats_counts"
+
+    @transient private lazy val sets: Array[java.util.HashSet[String]] =
+      families.map { f =>
+        val s = new java.util.HashSet[String](f.size * 2)
+        f.foreach(s.add)
+        s
+      }.toArray
+
+    // Java regex \s — ASCII-only, NOT Character.isWhitespace
+    private def isWs(c: Int): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+    override def nullSafeEval(a: Any): Any = {
+      val full = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val nFam = sets.length
+      val out = new Array[Long](nFam + 3)
+      var i = 0
+      while (i < full.length) {
+        val cp = full.codePointAt(i)
+        if (!isWs(cp)) {
+          out(nFam + 1) += 1
+          val alnum = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+            (cp >= '0' && cp <= '9')
+          if (!alnum) out(nFam + 2) += 1
+        }
+        i += Character.charCount(cp)
+      }
+      var b = 0
+      var e = full.length
+      while (b < e && full.charAt(b) == ' ') b += 1
+      while (e > b && full.charAt(e - 1) == ' ') e -= 1
+      val s = full.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+      if (s.isEmpty) out(0) = 1L // "".split -> [""]
+      else {
+        if (isWs(s.charAt(0))) out(0) += 1 // post-trim leading \t etc.
+        val sb = new java.lang.StringBuilder(16)
+        var inTok = false
+        var j = 0
+        def flush(): Unit = {
+          out(0) += 1
+          val tok = sb.toString
+          var f = 0
+          while (f < nFam) {
+            if (sets(f).contains(tok)) out(1 + f) += 1
+            f += 1
+          }
+          sb.setLength(0)
+        }
+        while (j < s.length) {
+          val c = s.charAt(j)
+          if (isWs(c)) { if (inTok) { flush(); inTok = false } }
+          else { sb.append(c); inTok = true }
+          j += 1
+        }
+        if (inTok) flush()
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def text_stats_counts(text: Column, families: Seq[Seq[String]]): Column =
+    column(TextStatsCounts(expression(text), families))
+
   def jaccard_sets(a: Column, b: Column): Column =
     column(JaccardSets(expression(a), expression(b)))
 

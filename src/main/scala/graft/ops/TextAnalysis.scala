@@ -88,55 +88,55 @@ object TextAnalysis {
     md5(array_join(array_sort(array_distinct(
       split(lower(trim(text)), "\\s+"))), " "))
 
-  /** One-pass DataFrame-level stats annotation: tokenizes once into an
-    * intermediate column and derives every token-based metric from the
-    * shared array. The scalar helpers above each re-split the text;
-    * array HOFs run interpreted (not codegen) in Spark 4, so on a wide
-    * stats projection the repeated tokenization dominated the profile.
-    * CollapseProject keeps the non-cheap intermediates materialized
-    * instead of re-inlining them into every consumer, so this is one
-    * split + one filter pass per metric family per row.
+  /** One-pass DataFrame-level stats annotation: a single native
+    * expression (TextStatsCounts, one char-level scan per row) computes
+    * the token count, the stopword count, every language-marker count,
+    * and the non-whitespace / punctuation code-point counts — replacing
+    * a split + one interpreted higher-order `filter` per marker family
+    * + two regexp scans, which together dominated the stats profile.
     *
     * Values are expression-for-expression identical to the scalar
-    * helpers (same rounding, same tie-breaks): lowering before the
-    * shared split cannot change whitespace, so token/stopword/marker
-    * counts are unchanged.
+    * helpers (same tokenization edges, rounding, and tie-breaks — see
+    * TextStatsCounts' scaladoc for the replicated split/trim edge
+    * cases).
     *
     * Adds: n_chars, n_tokens (long), mean_word_len, punct_ratio,
     * stopword_ratio, quality, lang_pred.
     */
   def annotateStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val sCols = markers.map { case (lang, _) => s"__s_$lang" }
-    val best = greatest(sCols.map(col): _*)
-    val langPred = markers.zip(sCols).foldRight(lit("und"): Column) {
-      case (((lang, _), s), acc) =>
-        when(col(s) === best && best > 0, lang).otherwise(acc)
+    // layout: [n_toks, n_stop, s_<lang>..., n_nonws, n_punct]
+    val families = stopwords +: markers.map(_._2)
+    val nFam = families.size
+    val st = col("__st")
+    val nToks = element_at(st, 1)
+    val nStop = element_at(st, 2)
+    val sLang = markers.indices.map(i => element_at(st, 3 + i))
+    val nNonWs = element_at(st, 2 + nFam)
+    val nPunct = element_at(st, 3 + nFam)
+    val best = greatest(sLang: _*)
+    val langPred = markers.map(_._1).zip(sLang).foldRight(lit("und"): Column) {
+      case ((lang, s), acc) => when(s === best && best > 0, lang).otherwise(acc)
     }
-    val ratio = round(col("__n_stop").cast("double") /
-      greatest(col("__n_toks"), lit(1)).cast("double"), 4)
+    val ratio = round(nStop.cast("double") /
+      greatest(nToks, lit(1)).cast("double"), 4)
     val lenOk = when(length(t).between(20, 100000), 1.0).otherwise(0.0)
-    val wordOk = when(col("__n_toks") >= lit(5), 1.0).otherwise(0.0)
+    val wordOk = when(nToks >= lit(5), 1.0).otherwise(0.0)
     val stopOk = when(ratio > lit(0.0), 1.0).otherwise(0.0)
-    markers.zip(sCols)
-      .foldLeft(df.withColumn("__toks", split(lower(trim(t)), "\\s+"))) {
-        case (d, ((_, ws), s)) =>
-          d.withColumn(s, size(filter(col("__toks"),
-            x => x.isin(ws.map(lit(_)): _*))))
-      }
-      .withColumn("__n_toks", size(col("__toks")))
-      .withColumn("__n_stop", size(filter(col("__toks"),
-        x => x.isin(stopwords.map(lit(_)): _*))))
+    df.withColumn("__st",
+        graft.functions.TextHashExpressions.text_stats_counts(t, families))
       .withColumn("n_chars", charCount(t))
-      .withColumn("n_tokens", col("__n_toks").cast("long"))
+      .withColumn("n_tokens", nToks)
       .withColumn("mean_word_len",
-        round(length(regexp_replace(t, "\\s+", "")).cast("double") /
-          greatest(col("__n_toks"), lit(1)).cast("double"), 4))
-      .withColumn("punct_ratio", punctRatio(t))
+        round(nNonWs.cast("double") /
+          greatest(nToks, lit(1)).cast("double"), 4))
+      .withColumn("punct_ratio",
+        round(nPunct.cast("double") /
+          greatest(length(t), lit(1)).cast("double"), 4))
       .withColumn("stopword_ratio", ratio)
       .withColumn("quality", round((lenOk + wordOk + stopOk) / lit(3.0), 4))
       .withColumn("lang_pred", langPred)
-      .drop("__toks" +: "__n_toks" +: "__n_stop" +: sCols: _*)
+      .drop("__st")
   }
 
   /** Rolling content hash over whitespace tokens — an order-sensitive
