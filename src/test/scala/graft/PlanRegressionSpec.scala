@@ -48,10 +48,14 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Broadcast"), p)
   }
 
-  test("text stats tokenize exactly once (annotateStats)") {
+  test("text stats scan text exactly once (native TextStatsCounts)") {
     val p = plan("q_text_stats")
+    // the one-pass expression replaced the shared split: no split-based
+    // tokenization may remain, and the native counter appears once
     val splits = "split\\(lower\\(trim\\(".r.findAllIn(p).length
-    assert(splits == 1, s"expected exactly 1 tokenization, found $splits:\n$p")
+    assert(splits == 0, s"expected no split tokenization, found $splits:\n$p")
+    val counters = "text_stats_counts".r.findAllIn(p).length
+    assert(counters == 1, s"expected exactly 1 native stats pass, found $counters:\n$p")
   }
 
   test("TF-IDF keeps df skew-safe: partial-agg + broadcast, no distinct shuffle") {
