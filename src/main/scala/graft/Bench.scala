@@ -58,16 +58,16 @@ object Bench {
       dt
     }
     val firstPass = picked.map { case (name, fn) =>
-      name -> (0 until reps).map(_ => timedRun(name, fn)).min
+      (name, fn, (0 until reps).map(_ => timedRun(name, fn)).min)
     }
     // headline stability: the slowest queries carry the round-over-round
     // signal, and a single extra shot on just those is cheap relative to
     // their own runtime — min-of-(reps+1) there keeps the ~±10% per-run
     // harness noise (r4->r5 drifted 55->60 s on byte-identical source)
     // from masquerading as a code regression
-    val headline = firstPass.sortBy(-_._2).take(10).map(_._1).toSet
-    val results = firstPass.map { case (name, t) =>
-      if (headline(name)) name -> math.min(t, timedRun(name, SparkEntry.queries(name)))
+    val headline = firstPass.sortBy(-_._3).take(10).map(_._1).toSet
+    val results = firstPass.map { case (name, fn, t) =>
+      if (headline(name)) name -> math.min(t, timedRun(name, fn))
       else name -> t
     }
     // keep the JSON line SHORT (trimmed decimals, basename sf) so the

@@ -323,9 +323,11 @@ object TextHashExpressions {
     *  - `n_toks` / per-family counts replicate
     *    `size(split(lower(trim(text)), "\\s+"))` and
     *    `size(filter(tokens, isin(family)))` EXACTLY, including the
-    *    edges: Spark `trim` strips 0x20 only; Java `split("\\s+")`
-    *    keeps a leading empty token (post-trim leading tab), drops
-    *    trailing empties, and splits "" to [""];
+    *    edges: Spark `trim` strips 0x20 only, and Spark's `split`
+    *    passes limit -1 to Java `Pattern.split`, so BOTH a leading
+    *    empty token (post-trim leading tab) AND a trailing empty token
+    *    (post-trim trailing tab/newline) are kept — unlike Java's
+    *    default split — and "" splits to [""];
     *  - `n_nonws_cp` = code points of the ORIGINAL text outside Java
     *    regex `\s` (= the 6 ASCII whitespace chars) — the value of
     *    `length(regexp_replace(text, "\\s+", ""))`;
@@ -372,6 +374,7 @@ object TextHashExpressions {
       if (s.isEmpty) out(0) = 1L // "".split -> [""]
       else {
         if (isWs(s.charAt(0))) out(0) += 1 // post-trim leading \t etc.
+        if (isWs(s.charAt(s.length - 1))) out(0) += 1 // trailing \t/\n (limit -1)
         val sb = new java.lang.StringBuilder(16)
         var inTok = false
         var j = 0

@@ -44,10 +44,13 @@ object Similarity {
     * all-zeros embedding would out-rank genuine neighbors and satisfy
     * every `>= threshold` near-dup gate. A direction-less vector is
     * similar to nothing: guard the division and define its cosine as 0.
+    * A NULL input (missing embedding) stays NULL — desc ordering puts
+    * NULLS LAST, so a row with no embedding keeps ranking below every
+    * real candidate instead of scoring 0.
     */
   def safeCosine(dp: Column, na: Column, nb: Column): Column = {
     val den = na * nb
-    when(den > lit(0.0), dp / den).otherwise(lit(0.0))
+    when(den > lit(0.0), dp / den).otherwise(when(den.isNotNull, lit(0.0)))
   }
 
   /** Brute-force cosine top-k: for each probe row, the k nearest corpus

@@ -110,6 +110,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Seq(0L), s"one representative must survive: $kept")
   }
 
+  test("adversarial: NULL embeddings rank below every real candidate, not at 0") {
+    // null norms must stay NULL through safeCosine — desc ordering puts
+    // NULLS LAST; pinning them to 0.0 would out-rank genuinely
+    // negative-cosine neighbors with a row that has no embedding at all
+    val withNull = vecs.unionByName(
+      Seq((98L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val k = withNull.count().toInt // ask for everything: null must be last
+    val top = Similarity.bruteForceTopK(withNull, withNull.filter($"vec_id" === 0), k)
+      .orderBy("rank").collect() // Row-typed: the null cosine is the point
+    assert(top.map(_.getLong(1)).contains(98L), "null row still appears when k covers all")
+    assert(top.last.getLong(1) == 98L, s"null embedding must rank last: ${top.toSeq}")
+    assert(top.last.isNullAt(3), s"its cosine must be NULL, not 0: ${top.last}")
+    val pairs = Similarity.exactNearDupPairs(withNull, -1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(!pairs.exists(p => p._1 == 98L || p._2 == 98L),
+      "NULL cosine must not satisfy any threshold gate")
+  }
+
   test("adversarial: single-row and empty corpora are total everywhere") {
     val single = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val empty = single.filter($"vec_id" < 0)

@@ -52,7 +52,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       (5L, "el que la los de una cosa y otra mas aqui."),
       (6L, "a, b! c? d; e: f."),
       (7L, "x " * 30 + "the end."),
-      (8L, "的 是 了 在 我 something 的 mixed"))
+      (8L, "的 是 了 在 我 something 的 mixed"),
+      // trailing/leading NON-SPACE whitespace: Spark trim strips 0x20
+      // only and Spark split passes limit -1 (trailing empty tokens
+      // KEPT) — the parity edge a Java-default split implementation
+      // silently gets wrong
+      (9L, "hello world\n"),
+      (10L, "\ttab lead"),
+      (11L, "trail tab\t"),
+      (12L, "\n"),
+      (13L, "the and of \t\n"))
       .toDF("doc_id", "text")
     val fast = TextAnalysis.annotateStats(docs, "text")
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),

@@ -45,11 +45,14 @@ class ScaleGenSpec extends AnyFunSuite with SparkTestBase {
     val matched = orders.join(cust,
       orders("o_custkey") === cust("c_custkey"), "left_anti").count()
     assert(matched == 0, s"$matched orders lost their customer")
-    // keys of replica i live in [i*OFF, (i+1)*OFF)
-    val bad = cust.filter(
-      !(col("c_custkey") % ScaleGen.KeyOffset < ScaleGen.KeyOffset) ||
-        col("c_custkey") >= 3 * ScaleGen.KeyOffset).count()
-    assert(bad == 0)
+    // keys of replica i live in [i*OFF, (i+1)*OFF): the in-band offsets
+    // must be exactly the source key set, and no key may exceed band 2
+    val srcKeys = spark.read.parquet(s"$src/customer.parquet")
+      .select("c_custkey").as[Long].collect().toSet
+    val offsets = cust.select((col("c_custkey") % ScaleGen.KeyOffset))
+      .as[Long].collect().toSet
+    assert(offsets == srcKeys, "in-band offsets must equal the source key set")
+    assert(cust.filter(col("c_custkey") >= 3 * ScaleGen.KeyOffset).count() == 0)
     assert(cust.select((col("c_custkey") / ScaleGen.KeyOffset).cast("int"))
       .distinct().count() == 3, "three disjoint replica key spaces")
   }
