@@ -73,9 +73,17 @@ object Dedup {
   }
 
   /** (id, start, hash) for every k-token window of every doc — the
-    * map-side explode both ExactSubstr halves consume. Cheap to
-    * recompute (scan + explode, no shuffle), so callers reference it
-    * twice rather than materializing 16-byte-hash rows.
+    * map-side explode both ExactSubstr halves consume. Callers
+    * reference it twice (window stream + dup-hash aggregate), which
+    * recomputes the tokenize+md5 map work. Considered and kept: the
+    * alternatives are worse at corpus scale — persisting the window
+    * stream materializes O(corpus-tokens) 28-byte rows (more bytes
+    * than re-reading the source text), and the single-aggregation
+    * shape (groupBy(hash).agg(count, collect_list(id, start))) puts a
+    * window's entire occurrence list into ONE aggregation buffer, an
+    * OOM on a boilerplate window repeated across millions of docs,
+    * where the count-then-semi-join shape stays skew-safe via partial
+    * aggregation. Recompute is map-side-only CPU and scales flat.
     */
   private def spanWindows(df: DataFrame, textCol: String, idCol: String,
                           k: Int): DataFrame =
@@ -100,11 +108,20 @@ object Dedup {
     * reassemble the remaining tokens. Operates on the normalized
     * (lowercased, whitespace-split) token stream, like the detector.
     *
-    * Shuffle profile: window hashes travel as (id, start, md5) — never
-    * text; covered positions are (id, pos) pairs; the one text-bearing
-    * shuffle is the final per-doc reassembly (inherent to position-
-    * level editing — the suffix-array original pays the same to emit
-    * cleaned text). Docs shorter than k tokens pass through untouched.
+    * Shuffle profile (span-merge shape): window hashes travel as
+    * (id, start, md5) — never text. Only the STARTS of duplicated
+    * windows shuffle (O(duplicated windows), bounded by actual
+    * duplication), merging per doc into disjoint covered segments
+    * `(s, e)` via one sorted linear fold. Reassembly is then a pure
+    * per-row expression — the gaps between covered segments are sliced
+    * out of the doc's own token array and re-joined — so the token
+    * stream never explodes into rows and text never shuffles at all
+    * (the tiny segment side joins back onto the doc scan; AQE
+    * broadcasts it when duplication is rare). The previous shape
+    * exploded every doc into (id, pos, token) rows and rebuilt docs
+    * with a corpus-wide collect_list — O(tokens) shuffled rows and the
+    * worst sf1 scaler in the suite; this one shuffles O(dup windows).
+    * Docs shorter than k tokens pass through untouched.
     */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
                            k: Int): DataFrame = {
@@ -112,31 +129,53 @@ object Dedup {
     val toks = df.select(col(idCol),
       split(lower(trim(col(textCol))), "\\s+").as("__toks"))
     val wins = spanWindows(df, textCol, idCol, k)
-    // covered positions: only windows whose hash repeats corpus-wide —
-    // semi-join against the small dup-hash set (hash-agg, no sort; see
-    // duplicateSpans) instead of sorting every window row
-    val covered = wins
+    val segType = "array<struct<s: int, e: int>>"
+    // starts of windows whose hash repeats corpus-wide — semi-join
+    // against the small dup-hash set (hash-agg, no sort; see
+    // duplicateSpans). (id, start) is unique by construction, so no
+    // distinct is needed.
+    val dupStarts = wins
       .join(dupWindowHashes(wins), Seq("__h"), "left_semi")
+      .select(col(idCol), col("__start"))
+    // merge each doc's covered windows [s, s+k-1] into disjoint
+    // segments: sort the starts once, then a linear fold — state is
+    // O(segments per doc), never a per-token row explosion. Nested
+    // when() keeps element_at(acc, -1) off the empty-accumulator path.
+    val segs = dupStarts.groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("__start"))).as("__starts"))
       .select(col(idCol),
-        explode(sequence(col("__start"), col("__start") + (k - 1))).as("__pos"))
-      .distinct()
-    val positioned = toks
-      .select(col(idCol), col("__toks"),
-        posexplode(col("__toks")).as(Seq("__p0", "__tk")))
-      .select(col(idCol), (col("__p0") + 1).as("__pos"), col("__tk"))
-    val kept = positioned.join(covered, Seq(idCol, "__pos"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("__pos"), col("__tk")))),
-            x => x.getField("__tk")), " ").as("clean_text"),
-        count(lit(1)).as("__n_kept"))
-    toks.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
-      .join(kept, Seq(idCol), "left")
+        aggregate(col("__starts"), array().cast(segType), (acc, s) => {
+          val last = element_at(acc, -1)
+          val seg = array(struct(s.as("s"), (s + (k - 1)).as("e")))
+          when(size(acc) === 0, seg)
+            .otherwise(when(s > last.getField("e") + 1, concat(acc, seg))
+              .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+                array(struct(last.getField("s").as("s"),
+                  (s + (k - 1)).as("e"))))))
+        }).as("__segs"))
+    // complement of the covered segments inside [1, n]: sentinel
+    // bounds at both ends, pairwise gaps, then slice + rejoin the
+    // token array — each stage staged as a column so it evaluates
+    // once per row
+    val n = size(col("__toks"))
+    toks.join(segs, Seq(idCol), "left")
+      .withColumn("__bounds", concat(
+        array(struct(lit(0).as("s"), lit(0).as("e"))),
+        coalesce(col("__segs"), array().cast(segType)),
+        array(struct((n + 1).as("s"), (n + 1).as("e")))))
+      .withColumn("__gaps", filter(
+        transform(sequence(lit(1), size(col("__bounds")) - 1), i =>
+          struct(
+            (element_at(col("__bounds"), i).getField("e") + 1).as("s"),
+            (element_at(col("__bounds"), i + 1).getField("s") - 1).as("e"))),
+        g => g.getField("e") >= g.getField("s")))
+      .withColumn("__kept", flatten(transform(col("__gaps"),
+        g => slice(col("__toks"), g.getField("s"),
+          g.getField("e") - g.getField("s") + 1))))
       .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+        array_join(col("__kept"), " ").as("clean_text"),
+        n.cast("long").as("n_tokens"),
+        (n - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
   // ---- shingles / n-grams ----
