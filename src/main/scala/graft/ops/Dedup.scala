@@ -371,17 +371,24 @@ object Dedup {
     * one removable group {A,B,C}; this resolves each member to
     * cluster_id = min id in its component, the canonical keeper.
     *
-    * Each round is one equi-join + aggregation on ids (narrow rows);
-    * label propagation converges in <= diameter rounds (near-dup
-    * components are small and dense, so a handful). The driver-side
-    * loop moves only a single converged? count per round — the edge
-    * and label sets never leave the executors.
+    * Each round is a neighbor-min equi-join + aggregation on ids
+    * (narrow rows) followed by one pointer-jump self-join (every node
+    * also adopts the label OF its label), which halves remaining chain
+    * depth per round — convergence is O(log diameter) rounds, not
+    * O(diameter), so even a pathological million-node path needs ~20
+    * rounds, and `maxRounds` (default 64 — enough for any graph that
+    * fits in 2^64 ids) is a hard guard that fails loudly instead of
+    * spinning the driver. The driver-side loop moves only a single
+    * converged? count per round — the edge and label sets never leave
+    * the executors.
     *
     * Input: (id_a, id_b) pairs, any orientation. Output: (id,
     * cluster_id) for every id that appears in a pair.
     */
   def clusterPairs(pairs: DataFrame,
-                   idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+                   idA: String = "id_a", idB: String = "id_b",
+                   maxRounds: Int = 64): DataFrame = {
+    require(maxRounds > 0, "maxRounds must be positive")
     // pair generation upstream may be expensive (LSH, crossJoin
     // kernels) — pin the edge set so each propagation round reads the
     // materialized ids instead of replaying the whole dedup pipeline
@@ -394,12 +401,29 @@ object Dedup {
     var round = 0
     var converged = false
     while (!converged) {
+      if (round >= maxRounds) {
+        labels.unpersist(); edges.unpersist()
+        throw new IllegalStateException(
+          s"clusterPairs did not converge in $maxRounds rounds — " +
+            "pointer-jumped propagation needs ~log2(component diameter) " +
+            "rounds, so this indicates a bug or a graph far beyond the " +
+            "guard; raise maxRounds explicitly if the latter")
+      }
       // every node adopts min(own label, neighbors' labels)
-      val computed = edges
+      val afterNbr = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("__nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__minNbr"))
         .join(labels, Seq("id"))
         .select(col("id"), least(col("cluster_id"), col("__minNbr")).as("cluster_id"))
+        .cache()
+      // pointer jump: also adopt the label OF the current label (labels
+      // are always node ids of the same component, so the lookup always
+      // hits) — this is the path-halving step that makes high-diameter
+      // chains converge in O(log d) rounds instead of O(d)
+      val computed = afterNbr
+        .join(afterNbr.select(col("id").as("__lid"), col("cluster_id").as("__ll")),
+          col("cluster_id") === col("__lid"))
+        .select(col("id"), least(col("cluster_id"), col("__ll")).as("cluster_id"))
       // cache pins each round's result, but the PLAN still stacks one
       // join per round — on a high-diameter component that blows up
       // planning/stack depth, so truncate lineage every few rounds
@@ -410,6 +434,7 @@ object Dedup {
         else computed.cache()
       val changed = next.join(labels.withColumnRenamed("cluster_id", "__old"), Seq("id"))
         .filter(col("cluster_id") =!= col("__old")).limit(1).count()
+      afterNbr.unpersist() // next is materialized by the count above
       labels.unpersist()
       labels = next
       round += 1

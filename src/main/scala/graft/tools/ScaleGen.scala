@@ -48,6 +48,41 @@ object ScaleGen {
   /** Per-replica key shift: far above any source key, far below 2^63/factor. */
   val KeyOffset = 100000000L
 
+  /** Dup-HEAVY adversarial variant of a documents table: a deterministic
+    * `frac` of docs get one of `nTemplates` shared boilerplate
+    * paragraphs (`tokensPerTemplate` distinctive tokens) prepended —
+    * the navbar/license-header corpus shape where duplicated k-token
+    * windows are NOT rare. ExactSubstr's "dup side is small, AQE
+    * broadcasts it" argument and LSH candidate volumes both degrade
+    * gracefully or break loudly on this shape, so the dedup family is
+    * spec'd against it (DedupSpec / ScaleGenSpec).
+    *
+    * Deterministic pure-column construction (hash of doc id picks both
+    * membership and template), so replays and oracles agree. Template
+    * tokens are lowercase + synthetic (`tmpl<t>q<i>`) so they never
+    * collide with natural corpus tokens and survive the normalized
+    * (lowercased) tokenization unchanged.
+    */
+  def withBoilerplate(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", frac: Double = 0.3,
+                      nTemplates: Int = 3,
+                      tokensPerTemplate: Int = 24): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, "frac must be in [0,1]")
+    require(nTemplates > 0 && tokensPerTemplate > 0)
+    val hit = pmod(xxhash64(col(idCol), lit("dupheavy")), lit(1000)) <
+      lit((frac * 1000).round)
+    val tmpl = pmod(xxhash64(col(idCol), lit("tmplpick")), lit(nTemplates))
+    val para = array_join(
+      transform(sequence(lit(0), lit(tokensPerTemplate - 1)),
+        i => concat(lit("tmpl"), tmpl, lit("q"), i)), " ")
+    val mutated = when(hit, concat(para, lit(" "), col(textCol)))
+      .otherwise(col(textCol))
+    val out = docs.withColumn(textCol, mutated)
+    if (out.columns.contains("n_chars"))
+      out.withColumn("n_chars", length(col(textCol)).cast("long"))
+    else out
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DST", ".data/sf1")
@@ -62,6 +97,15 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     scale(spark, src, dst, factor)
+    // optional adversarial fixture: documents_dupheavy.parquet with
+    // SPARK_GRAFT_SCALE_DUPFRAC of docs sharing boilerplate paragraphs
+    val dupFrac = sys.env.getOrElse("SPARK_GRAFT_SCALE_DUPFRAC", "0").toDouble
+    if (dupFrac > 0) {
+      withBoilerplate(spark.read.parquet(s"$dst/documents.parquet"), frac = dupFrac)
+        .repartition(32).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$dst/documents_dupheavy.parquet")
+      println(s"[scalegen] wrote documents_dupheavy (frac=$dupFrac) -> $dst")
+    }
     spark.stop()
   }
 

@@ -177,6 +177,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(labels.forall(_._2 == 0L), labels.mkString(","))
   }
 
+  test("clusterPairs: 512-node chain converges within the O(log d) round bound") {
+    // a 512-node path is the adversarial high-diameter graph the round
+    // guard exists for: plain min-label propagation needs ~511 rounds
+    // (511 driver round-trips); with pointer jumping it must finish in
+    // O(log2 511) ~ 9 + change-detection rounds. maxRounds = 16 makes
+    // the bound an ASSERTION — exceeding it throws, failing this test.
+    val pairs = (0L until 511L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterPairs(pairs, maxRounds = 16)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 512)
+    assert(labels.forall(_._2 == 0L))
+  }
+
+  test("clusterPairs: exceeding maxRounds fails loudly instead of spinning") {
+    val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusterPairs(pairs, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("clusterPairs result is not left registered in the CacheManager") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val out = Dedup.clusterPairs(pairs)

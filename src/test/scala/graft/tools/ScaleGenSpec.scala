@@ -125,6 +125,83 @@ class ScaleGenSpec extends AnyFunSuite with SparkTestBase {
       s"per-replica pair sets must be shift-images: r0=${r0.size} r1=${r1.size} r2=${r2.size}")
   }
 
+  test("dup-heavy fixture: ~frac of docs carry a shared boilerplate template") {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val heavy = ScaleGen.withBoilerplate(docs, frac = 0.3,
+      nTemplates = 3, tokensPerTemplate = 24)
+    val n = docs.count()
+    assert(heavy.count() == n, "no doc may be added or dropped")
+    val hit = heavy.filter(col("text").startsWith("tmpl")).count()
+    assert(hit >= (0.2 * n).toLong && hit <= (0.4 * n).toLong,
+      s"expected ~30% boilerplate docs, got $hit/$n")
+    // deterministic: two builds produce byte-identical text
+    val again = ScaleGen.withBoilerplate(docs, frac = 0.3,
+      nTemplates = 3, tokensPerTemplate = 24)
+    assert(heavy.select("doc_id", "text").exceptAll(
+      again.select("doc_id", "text")).count() == 0)
+    // n_chars stays consistent with the mutated text
+    assert(heavy.filter(length(col("text")).cast("long") =!= col("n_chars"))
+      .count() == 0)
+  }
+
+  test("dup-heavy fixture: ExactSubstr removal cuts the boilerplate, only the boilerplate") {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val heavy = ScaleGen.withBoilerplate(docs, frac = 0.3,
+      nTemplates = 3, tokensPerTemplate = 24)
+    // docs whose ORIGINAL text has zero corpus-duplicated windows: on
+    // those, span removal on the heavy corpus must cut exactly the
+    // 24-token template (hit docs) or nothing (clean docs) — body
+    // windows keep their corpus-wide multiplicity (content unchanged by
+    // the prepend), and boundary windows mix synthetic template tokens
+    // with the doc's own body, so they repeat only when two
+    // same-template docs share their first body words — that covers at
+    // most the k-1 = 7 leading body tokens beyond the template
+    val cleanBase = Dedup.duplicateSpans(docs, "text", "doc_id", k = 8)
+      .filter(col("n_dup_windows") === 0).select("doc_id")
+      .as[Long].collect().toSet
+    assert(cleanBase.size > 100, s"fixture sanity: ${cleanBase.size}")
+    val hitIds = heavy.filter(col("text").startsWith("tmpl"))
+      .select("doc_id").as[Long].collect().toSet
+    val rm = Dedup.removeDuplicateSpans(heavy, "text", "doc_id", k = 8)
+    assert(rm.count() == docs.count(), "removal must be total")
+    val byId = rm.select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    for (id <- cleanBase) {
+      val (text, removed) = byId(id)
+      if (hitIds(id)) {
+        assert(removed >= 24L && removed <= 31L,
+          s"doc $id: expected the 24 template tokens (+<=7 boundary) cut, got $removed")
+        assert(!text.contains("tmpl"), s"doc $id kept template tokens")
+      } else assert(removed == 0L, s"doc $id: clean doc must be untouched, got $removed")
+    }
+  }
+
+  test("dup-heavy fixture: dedup family stays equi-join-shaped (no cartesian/BNLJ)") {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val heavy = ScaleGen.withBoilerplate(docs, frac = 0.3,
+      nTemplates = 3, tokensPerTemplate = 24)
+    val frames = Seq(
+      "duplicateSpans" -> Dedup.duplicateSpans(heavy, "text", "doc_id", k = 8),
+      "removeDuplicateSpans" -> Dedup.removeDuplicateSpans(heavy, "text", "doc_id", k = 8),
+      "minhashNearDups" -> Dedup.minhashNearDups(heavy, "text", "doc_id",
+        threshold = 0.1, shingleK = 3, numHashes = 16, bands = 8))
+    for ((name, df) <- frames) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name went cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name went BNLJ:\n$plan")
+      assert(df.count() > 0, s"$name must complete on the dup-heavy corpus")
+    }
+    // 30% boilerplate means the shared-window side is NOT small: the
+    // same-template near-dup pairs must actually surface through LSH
+    val pairs = Dedup.minhashNearDups(heavy, "text", "doc_id",
+      threshold = 0.1, shingleK = 3, numHashes = 16, bands = 8)
+    val hitIds = heavy.filter(col("text").startsWith("tmpl"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val hitPairs = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+      .count(p => hitIds(p._1) && hitIds(p._2))
+    assert(hitPairs > 0, "same-template docs must surface as near-dup pairs")
+  }
+
   test("embedding near-dup pairs are shift-images per replica too") {
     val emb = spark.read.parquet(s"$dst/embeddings.parquet")
     val pairs = Similarity.exactNearDupPairs(emb, threshold = 0.4)
