@@ -695,7 +695,11 @@ object SparkEntry {
     * q_sim_topk / q_sim_lsh_topk / q_sim_ivf_topk / q_decon_sem and the
     * incremental ANN store — all ~linear at sf1 (see SCALE.md).
     */
-  private val EmbAuditCap = 2000L
+  // package-visible: interpolated into the DuckDB oracle SQL below and
+  // asserted against the physical scan in PlanRegressionSpec, so the
+  // cap has ONE source of truth — changing it here moves the oracle
+  // predicate and the plan assertion with it
+  private[graft] val EmbAuditCap = 2000L
 
   /** Staged exact near-dup truth set (judge r4 item 3): q_emb_near_dups,
     * q_emb_near_dups_lsh and q_semdedup all gate on the SAME exact
@@ -1594,7 +1598,7 @@ object SparkEntry {
     // SemDeDup contract: brute-force pair count + recall bound
     "q_semdedup" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok FROM embeddings a, embeddings b " +
-        "WHERE a.vec_id < b.vec_id AND b.vec_id < 2000 " +
+        s"WHERE a.vec_id < b.vec_id AND b.vec_id < $EmbAuditCap " +
         "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4"),
     "q_text_tfidf" ->
       "WITH terms AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents), tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM terms GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word), n AS (SELECT COUNT(*) AS n_docs FROM documents) SELECT doc_id, word, tfidf, rank FROM (SELECT tf.doc_id, tf.word, round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf, ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) DESC, tf.word) AS rank FROM tf JOIN df USING (word) CROSS JOIN n) WHERE rank <= 3 ORDER BY doc_id, rank",
@@ -1615,11 +1619,11 @@ object SparkEntry {
         "SELECT doc_id, quality, lang_pred, n_tokens FROM gated " +
         "WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5(text)) ORDER BY doc_id"),
     "q_emb_near_dups" ->
-      "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND b.vec_id < 2000 AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b",
+      s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND b.vec_id < $EmbAuditCap AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b",
     // LSH scale-path contract: pair count from brute force, recall bound
     "q_emb_near_dups_lsh" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok FROM embeddings a, embeddings b " +
-        "WHERE a.vec_id < b.vec_id AND b.vec_id < 2000 " +
+        s"WHERE a.vec_id < b.vec_id AND b.vec_id < $EmbAuditCap " +
         "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4"),
     // ANN recall contracts: the exact top-5 exists (q_sim_topk proves
     // DuckDB and Spark agree on it); the gate is recall@5 >= 0.8

@@ -352,7 +352,8 @@ object TextHashExpressions {
       c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
 
     override def nullSafeEval(a: Any): Any = {
-      val full = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val u = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val full = u.toString
       val nFam = sets.length
       val out = new Array[Long](nFam + 3)
       var i = 0
@@ -366,11 +367,12 @@ object TextHashExpressions {
         }
         i += Character.charCount(cp)
       }
-      var b = 0
-      var e = full.length
-      while (b < e && full.charAt(b) == ' ') b += 1
-      while (e > b && full.charAt(e - 1) == ' ') e -= 1
-      val s = full.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+      // trim + lowercase via UTF8String — the EXACT code paths of
+      // Spark's Trim/Lower expressions (ASCII fast path, JVM-default-
+      // locale slow path), so tokenization stays expression-for-
+      // expression identical to the lower(trim(text)) scalar pipeline
+      // under ANY default locale (tr/az/lt cased non-ASCII included)
+      val s = u.trim().toLowerCase().toString
       if (s.isEmpty) out(0) = 1L // "".split -> [""]
       else {
         if (isWs(s.charAt(0))) out(0) += 1 // post-trim leading \t etc.

@@ -96,13 +96,21 @@ object Pipelines {
     // single job (scan + parse + classify), then work from a local
     // relation — an interactive request is latency-bound by Spark job
     // count, and a distributed 1-row frame pays a job per touch
-    val docRow = cat.directory(stage)
+    val docRows = cat.directory(stage)
       .filter(col("relative_path") === fileName)
       .withColumn("text", parse_document(col("content")))
       .withColumn("class_name", ai_classify(col("text")))
       .select("file_url", "relative_path", "text", "class_name")
-      .collect().headOption.getOrElse(
-        throw new NoSuchElementException(s"no file '$fileName' in stage @$stage"))
+      .collect()
+    // relative_path is the stage's primary key (one directory row per
+    // PUT path — re-PUT overwrites); >1 match means a corrupted
+    // directory table, and silently processing only the first row
+    // would hide it
+    require(docRows.length <= 1,
+      s"stage @$stage has ${docRows.length} directory rows for " +
+        s"'$fileName' — relative_path must be unique per stage")
+    val docRow = docRows.headOption.getOrElse(
+      throw new NoSuchElementException(s"no file '$fileName' in stage @$stage"))
     val className = docRow.getString(3)
     ensurePrompts(cat, className)
     // canonicalized prompt map via the invalidation-based PromptStore

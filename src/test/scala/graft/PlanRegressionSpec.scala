@@ -188,12 +188,13 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("embedding contract audits push the vec_id cap into the scan") {
-    // the fixed-sample audit bound (SparkEntry.EmbAuditCap) must prune
-    // AT THE SCAN — at 100 TB the contract query reads 2000 vectors'
+    // the fixed-sample audit bound (SparkEntry.EmbAuditCap, single
+    // source of truth — also interpolated into the oracle SQL) must
+    // prune AT THE SCAN — at 100 TB the contract query reads the cap's
     // worth of row groups, not the corpus
     for (q <- Seq("q_emb_near_dups_lsh", "q_semdedup")) {
       val p = plan(q)
-      assert(p.contains("LessThan(vec_id,2000)"),
+      assert(p.contains(s"LessThan(vec_id,${graft.SparkEntry.EmbAuditCap})"),
         s"$q: audit cap must reach PushedFilters:\n$p")
     }
   }
