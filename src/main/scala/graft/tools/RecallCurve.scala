@@ -1,0 +1,172 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ivf, Similarity}
+
+/** Measured recall curves for the ANN surface — the numbers behind
+  * docs/RECALL.md, so a user choosing (nBits, nTables) for SRP-LSH or
+  * (k, nProbe, multi-assign m) for IVF at 100 TB has the engine's own
+  * measurements on its own fixture, not just the banding formula.
+  *
+  * Everything here is DETERMINISTIC given the input parquet: SRP
+  * hyperplanes are seeded, IVF init is farthest-point over an
+  * md5-ordered sample, ranking tie-breaks on id. RecallCurveSpec
+  * re-computes headline grid points and pins them to the documented
+  * values (IVF within a small tolerance: Lloyd means average doubles
+  * in shuffle order, so the last bits can differ across partitionings).
+  *
+  * recall@5 = |approx top5 ∩ exact top5| / 5, averaged over the probe
+  * set (vec_id < nProbes), exact side from brute force.
+  */
+object RecallCurve {
+  val DefaultProbes = 50
+
+  def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** (query_id, corpus_id) exact top-5 pairs for the probe set. */
+  def exactTop5(spark: SparkSession, dir: String,
+                nProbes: Int = DefaultProbes): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < nProbes), k = 5)
+      .select("query_id", "corpus_id")
+  }
+
+  private def recallAgainst(exact: DataFrame, approx: DataFrame,
+                            nProbes: Int): Double = {
+    val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi").count()
+    math.round(hits.toDouble / (nProbes * 5L) * 1000) / 1000.0
+  }
+
+  /** SRP-LSH recall@5 for one (nBits, nTables) point. */
+  def lshRecall(spark: SparkSession, dir: String, nBits: Int, nTables: Int,
+                nProbes: Int = DefaultProbes,
+                exact: Option[DataFrame] = None): Double = {
+    val e = emb(spark, dir)
+    val approx = Similarity.lshTopK(e, e.filter(col("vec_id") < nProbes),
+      k = 5, nBits = nBits, nTables = nTables)
+      .select("query_id", "corpus_id")
+    recallAgainst(exact.getOrElse(exactTop5(spark, dir, nProbes)), approx, nProbes)
+  }
+
+  /** IVF recall@5 for one (k, nProbe) point over a prebuilt index. */
+  def ivfRecall(spark: SparkSession, dir: String, index: Ivf.IvfIndex,
+                nProbe: Int, nProbes: Int = DefaultProbes,
+                exact: Option[DataFrame] = None): Double = {
+    val e = emb(spark, dir)
+    val approx = Ivf.search(index, e.filter(col("vec_id") < nProbes),
+      topK = 5, nProbe = nProbe)
+      .select("query_id", "corpus_id")
+    recallAgainst(exact.getOrElse(exactTop5(spark, dir, nProbes)), approx, nProbes)
+  }
+
+  /** Fraction of the brute-force pair space a config actually scores —
+    * the COST axis of the recall trade-off. Measured through the
+    * production search path itself (topK large enough to keep every
+    * candidate), so it counts exactly what the engine would compute.
+    */
+  def lshCandidateFrac(spark: SparkSession, dir: String, nBits: Int,
+                       nTables: Int, nProbes: Int = DefaultProbes): Double = {
+    val e = emb(spark, dir)
+    val n = e.count()
+    val cands = Similarity.lshTopK(e, e.filter(col("vec_id") < nProbes),
+      k = Int.MaxValue, nBits = nBits, nTables = nTables).count()
+    math.round(cands.toDouble / (nProbes * (n - 1L)) * 1000) / 1000.0
+  }
+
+  def ivfCandidateFrac(spark: SparkSession, dir: String, index: Ivf.IvfIndex,
+                       nProbe: Int, nProbes: Int = DefaultProbes): Double = {
+    val e = emb(spark, dir)
+    val n = e.count()
+    val cands = Ivf.search(index, e.filter(col("vec_id") < nProbes),
+      topK = Int.MaxValue, nProbe = nProbe).count()
+    math.round(cands.toDouble / (nProbes * (n - 1L)) * 1000) / 1000.0
+  }
+
+  /** Planted-near-dup PAIR recall for `cosineNearDups` at one
+    * (nBits, nTables) point: fraction of the exact cos>=thresh pairs
+    * (the clustered sub-population the q_emb_near_dups_lsh gate
+    * measures) that the LSH path surfaces.
+    */
+  def nearDupPairRecall(spark: SparkSession, dir: String, nBits: Int,
+                        nTables: Int, cap: Int = 2000,
+                        thresh: Double = 0.4): Double = {
+    val e = emb(spark, dir).filter(col("vec_id") < cap)
+    val exact = Similarity.exactNearDupPairs(e, thresh).select("id_a", "id_b")
+    val lsh = Similarity.cosineNearDups(e, thresh, nBits = nBits,
+      nTables = nTables).select("id_a", "id_b")
+    val total = exact.count()
+    val hit = exact.join(lsh, Seq("id_a", "id_b"), "left_semi").count()
+    if (total == 0) 1.0 else math.round(hit.toDouble / total * 1000) / 1000.0
+  }
+
+  /** SemDeDup-style candidate-PAIR recall for multi-assignment m: of
+    * the exact cosine>=thresh pairs on the capped slice, the fraction
+    * whose two vectors share at least one of their m nearest lists.
+    */
+  def pairRecall(spark: SparkSession, dir: String, index: Ivf.IvfIndex,
+                 m: Int, cap: Int = 2000, thresh: Double = 0.4): Double = {
+    val e = emb(spark, dir).filter(col("vec_id") < cap)
+    val exact = Similarity.exactNearDupPairs(e, thresh).select("id_a", "id_b")
+    val assigned = Ivf.multiAssign(e, index, m)
+      .select(col("vec_id"), col("centroid_id"))
+    val cands = assigned.select(col("vec_id").as("id_a"), col("centroid_id"))
+      .join(assigned.select(col("vec_id").as("id_b"), col("centroid_id")),
+        Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val total = exact.count()
+    val hit = exact.join(cands, Seq("id_a", "id_b"), "left_semi").count()
+    if (total == 0) 1.0 else math.round(hit.toDouble / total * 1000) / 1000.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val exact = Some(exactTop5(spark, dir).cache())
+    exact.foreach(_.count())
+
+    println(s"## SRP-LSH recall@5 / candidate-fraction ($dir, ${DefaultProbes} probes)")
+    println("| nBits \\ nTables | 4 | 8 | 16 | 32 |")
+    println("|---|---|---|---|---|")
+    for (nBits <- Seq(2, 4, 6, 8)) {
+      val row = Seq(4, 8, 16, 32).map { t =>
+        s"${lshRecall(spark, dir, nBits, t, exact = exact)} / " +
+          s"${lshCandidateFrac(spark, dir, nBits, t)}"
+      }
+      println(s"| $nBits | ${row.mkString(" | ")} |")
+    }
+
+    println(s"\n## IVF recall@5 / candidate-fraction ($dir, ${DefaultProbes} probes)")
+    println("| k \\ nProbe | 2 | 4 | 8 | 12 |")
+    println("|---|---|---|---|---|")
+    for (k <- Seq(16, 64)) {
+      val idx = Ivf.build(emb(spark, dir), k = k)
+      val row = Seq(2, 4, 8, 12).map { p =>
+        s"${ivfRecall(spark, dir, idx, p, exact = exact)} / " +
+          s"${ivfCandidateFrac(spark, dir, idx, p)}"
+      }
+      println(s"| $k | ${row.mkString(" | ")} |")
+    }
+
+    println(s"\n## Planted near-dup pair recall (cosineNearDups, cap 2000, cos>=0.4)")
+    val nd = Seq((4, 32), (6, 16), (8, 8), (8, 4))
+      .map { case (b, t) => s"($b,$t): ${nearDupPairRecall(spark, dir, b, t)}" }
+    println(nd.mkString("  "))
+
+    println(s"\n## SemDeDup pair recall vs multi-assign m (k=16, cap 2000, cos>=0.4)")
+    val idx16 = Ivf.build(emb(spark, dir).filter(col("vec_id") < 2000), k = 16)
+    val ms = Seq(1, 2, 3).map(m => s"m=$m: ${pairRecall(spark, dir, idx16, m)}")
+    println(ms.mkString("  "))
+    spark.stop()
+  }
+}
