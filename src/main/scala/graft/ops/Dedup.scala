@@ -138,21 +138,28 @@ object Dedup {
       .join(dupWindowHashes(wins), Seq("__h"), "left_semi")
       .select(col(idCol), col("__start"))
     // merge each doc's covered windows [s, s+k-1] into disjoint
-    // segments: sort the starts once, then a linear fold — state is
-    // O(segments per doc), never a per-token row explosion. Nested
-    // when() keeps element_at(acc, -1) off the empty-accumulator path.
+    // segments. Window ends are monotone in starts (fixed k), so two
+    // windows merge iff consecutive sorted starts differ by <= k, and
+    // the merged segments are exactly the maximal such runs: boundary
+    // starts open segments, boundary ends close them, and the two
+    // boundary lists zip in order (each run contributes one of each).
+    // Three linear higher-order passes over the sorted starts — never a
+    // per-token row explosion, and no O(segments^2) accumulator rebuild
+    // (the previous fold re-copied the whole segment array per start,
+    // quadratic on boilerplate-dense docs with many segments).
     val segs = dupStarts.groupBy(col(idCol))
       .agg(array_sort(collect_list(col("__start"))).as("__starts"))
-      .select(col(idCol),
-        aggregate(col("__starts"), array().cast(segType), (acc, s) => {
-          val last = element_at(acc, -1)
-          val seg = array(struct(s.as("s"), (s + (k - 1)).as("e")))
-          when(size(acc) === 0, seg)
-            .otherwise(when(s > last.getField("e") + 1, concat(acc, seg))
-              .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
-                array(struct(last.getField("s").as("s"),
-                  (s + (k - 1)).as("e"))))))
-        }).as("__segs"))
+      .select(col(idCol), {
+        val st = col("__starts")
+        val m = size(st)
+        val opens = filter(sequence(lit(1), m), i =>
+          (i === 1) || (element_at(st, i) > element_at(st, i - 1) + k))
+        val closes = filter(sequence(lit(1), m), i =>
+          (i === m) || (element_at(st, i + 1) > element_at(st, i) + k))
+        zip_with(opens, closes, (o, c) =>
+          struct(element_at(st, o).as("s"),
+            (element_at(st, c) + (k - 1)).as("e")))
+      }.cast(segType).as("__segs"))
     // complement of the covered segments inside [1, n]: sentinel
     // bounds at both ends, pairwise gaps, then slice + rejoin the
     // token array — each stage staged as a column so it evaluates

@@ -32,7 +32,11 @@ object DedupStress {
       val t0 = System.nanoTime()
       val rows = f
       val dt = (System.nanoTime() - t0) / 1e9
-      f""""$name":{"sec":$dt%.2f,"rows":$rows}"""
+      // Locale.ROOT: the bare f-interpolator formats with the JVM
+      // default locale — a comma-decimal locale would emit invalid JSON
+      val sec = String.format(java.util.Locale.ROOT, "%.2f",
+        java.lang.Double.valueOf(dt))
+      s""""$name":{"sec":$sec,"rows":$rows}"""
     }
     val parts = Seq(
       timed("dedup_spans") {

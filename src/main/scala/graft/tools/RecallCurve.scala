@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.SparkEntry
 import graft.ops.{Ivf, Similarity}
 
 /** Measured recall curves for the ANN surface — the numbers behind
@@ -18,7 +19,10 @@ import graft.ops.{Ivf, Similarity}
   * in shuffle order, so the last bits can differ across partitionings).
   *
   * recall@5 = |approx top5 ∩ exact top5| / 5, averaged over the probe
-  * set (vec_id < nProbes), exact side from brute force.
+  * set (vec_id < nProbes), exact side from brute force. Each grid cell
+  * runs ONE unbounded search: the full ranked candidate list yields
+  * recall (rank <= 5 rows — identical to the k=5 search, same window
+  * ranking) and candidate-fraction (total rows) in a single pass.
   */
 object RecallCurve {
   val DefaultProbes = 50
@@ -34,64 +38,72 @@ object RecallCurve {
       .select("query_id", "corpus_id")
   }
 
-  private def recallAgainst(exact: DataFrame, approx: DataFrame,
-                            nProbes: Int): Double = {
-    val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi").count()
-    math.round(hits.toDouble / (nProbes * 5L) * 1000) / 1000.0
+  /** (recall@5, candidate-fraction) from one full ranked candidate
+    * list — cached so the two counts share the single search.
+    */
+  private def cell(full: DataFrame, exact: DataFrame, nProbes: Int,
+                   nCorpus: Long): (Double, Double) = {
+    val f = full.select("query_id", "corpus_id", "rank").cache()
+    try {
+      val cands = f.count()
+      val hits = exact.join(f.filter(col("rank") <= 5),
+        Seq("query_id", "corpus_id"), "left_semi").count()
+      (math.round(hits.toDouble / (nProbes * 5L) * 1000) / 1000.0,
+        math.round(cands.toDouble / (nProbes * (nCorpus - 1L)) * 1000) / 1000.0)
+    } finally f.unpersist()
   }
 
-  /** SRP-LSH recall@5 for one (nBits, nTables) point. */
+  /** SRP-LSH (recall@5, candidate-fraction) for one (nBits, nTables)
+    * point — one search through the production path.
+    */
+  def lshCell(spark: SparkSession, dir: String, nBits: Int, nTables: Int,
+              nProbes: Int = DefaultProbes,
+              exact: Option[DataFrame] = None): (Double, Double) = {
+    val e = emb(spark, dir)
+    val full = Similarity.lshTopK(e, e.filter(col("vec_id") < nProbes),
+      k = Int.MaxValue, nBits = nBits, nTables = nTables)
+    cell(full, exact.getOrElse(exactTop5(spark, dir, nProbes)), nProbes, e.count())
+  }
+
+  /** IVF (recall@5, candidate-fraction) for one nProbe over a prebuilt
+    * index — one search through the production path.
+    */
+  def ivfCell(spark: SparkSession, dir: String, index: Ivf.IvfIndex,
+              nProbe: Int, nProbes: Int = DefaultProbes,
+              exact: Option[DataFrame] = None): (Double, Double) = {
+    val e = emb(spark, dir)
+    val full = Ivf.search(index, e.filter(col("vec_id") < nProbes),
+      topK = Int.MaxValue, nProbe = nProbe)
+    cell(full, exact.getOrElse(exactTop5(spark, dir, nProbes)), nProbes, e.count())
+  }
+
   def lshRecall(spark: SparkSession, dir: String, nBits: Int, nTables: Int,
                 nProbes: Int = DefaultProbes,
-                exact: Option[DataFrame] = None): Double = {
-    val e = emb(spark, dir)
-    val approx = Similarity.lshTopK(e, e.filter(col("vec_id") < nProbes),
-      k = 5, nBits = nBits, nTables = nTables)
-      .select("query_id", "corpus_id")
-    recallAgainst(exact.getOrElse(exactTop5(spark, dir, nProbes)), approx, nProbes)
-  }
+                exact: Option[DataFrame] = None): Double =
+    lshCell(spark, dir, nBits, nTables, nProbes, exact)._1
 
-  /** IVF recall@5 for one (k, nProbe) point over a prebuilt index. */
+  def lshCandidateFrac(spark: SparkSession, dir: String, nBits: Int,
+                       nTables: Int, nProbes: Int = DefaultProbes): Double =
+    lshCell(spark, dir, nBits, nTables, nProbes)._2
+
   def ivfRecall(spark: SparkSession, dir: String, index: Ivf.IvfIndex,
                 nProbe: Int, nProbes: Int = DefaultProbes,
-                exact: Option[DataFrame] = None): Double = {
-    val e = emb(spark, dir)
-    val approx = Ivf.search(index, e.filter(col("vec_id") < nProbes),
-      topK = 5, nProbe = nProbe)
-      .select("query_id", "corpus_id")
-    recallAgainst(exact.getOrElse(exactTop5(spark, dir, nProbes)), approx, nProbes)
-  }
-
-  /** Fraction of the brute-force pair space a config actually scores —
-    * the COST axis of the recall trade-off. Measured through the
-    * production search path itself (topK large enough to keep every
-    * candidate), so it counts exactly what the engine would compute.
-    */
-  def lshCandidateFrac(spark: SparkSession, dir: String, nBits: Int,
-                       nTables: Int, nProbes: Int = DefaultProbes): Double = {
-    val e = emb(spark, dir)
-    val n = e.count()
-    val cands = Similarity.lshTopK(e, e.filter(col("vec_id") < nProbes),
-      k = Int.MaxValue, nBits = nBits, nTables = nTables).count()
-    math.round(cands.toDouble / (nProbes * (n - 1L)) * 1000) / 1000.0
-  }
+                exact: Option[DataFrame] = None): Double =
+    ivfCell(spark, dir, index, nProbe, nProbes, exact)._1
 
   def ivfCandidateFrac(spark: SparkSession, dir: String, index: Ivf.IvfIndex,
-                       nProbe: Int, nProbes: Int = DefaultProbes): Double = {
-    val e = emb(spark, dir)
-    val n = e.count()
-    val cands = Ivf.search(index, e.filter(col("vec_id") < nProbes),
-      topK = Int.MaxValue, nProbe = nProbe).count()
-    math.round(cands.toDouble / (nProbes * (n - 1L)) * 1000) / 1000.0
-  }
+                       nProbe: Int, nProbes: Int = DefaultProbes): Double =
+    ivfCell(spark, dir, index, nProbe, nProbes)._2
 
   /** Planted-near-dup PAIR recall for `cosineNearDups` at one
     * (nBits, nTables) point: fraction of the exact cos>=thresh pairs
-    * (the clustered sub-population the q_emb_near_dups_lsh gate
-    * measures) that the LSH path surfaces.
+    * (the capped sub-population the q_emb_near_dups_lsh gate measures —
+    * same [[SparkEntry.EmbAuditCap]], so the documented numbers track
+    * the contract population if the cap moves) that the LSH path
+    * surfaces.
     */
   def nearDupPairRecall(spark: SparkSession, dir: String, nBits: Int,
-                        nTables: Int, cap: Int = 2000,
+                        nTables: Int, cap: Long = SparkEntry.EmbAuditCap,
                         thresh: Double = 0.4): Double = {
     val e = emb(spark, dir).filter(col("vec_id") < cap)
     val exact = Similarity.exactNearDupPairs(e, thresh).select("id_a", "id_b")
@@ -107,7 +119,8 @@ object RecallCurve {
     * whose two vectors share at least one of their m nearest lists.
     */
   def pairRecall(spark: SparkSession, dir: String, index: Ivf.IvfIndex,
-                 m: Int, cap: Int = 2000, thresh: Double = 0.4): Double = {
+                 m: Int, cap: Long = SparkEntry.EmbAuditCap,
+                 thresh: Double = 0.4): Double = {
     val e = emb(spark, dir).filter(col("vec_id") < cap)
     val exact = Similarity.exactNearDupPairs(e, thresh).select("id_a", "id_b")
     val assigned = Ivf.multiAssign(e, index, m)
@@ -134,14 +147,15 @@ object RecallCurve {
     spark.sparkContext.setLogLevel("WARN")
     val exact = Some(exactTop5(spark, dir).cache())
     exact.foreach(_.count())
+    val cap = SparkEntry.EmbAuditCap
 
     println(s"## SRP-LSH recall@5 / candidate-fraction ($dir, ${DefaultProbes} probes)")
     println("| nBits \\ nTables | 4 | 8 | 16 | 32 |")
     println("|---|---|---|---|---|")
     for (nBits <- Seq(2, 4, 6, 8)) {
       val row = Seq(4, 8, 16, 32).map { t =>
-        s"${lshRecall(spark, dir, nBits, t, exact = exact)} / " +
-          s"${lshCandidateFrac(spark, dir, nBits, t)}"
+        val (r, f) = lshCell(spark, dir, nBits, t, exact = exact)
+        s"$r / $f"
       }
       println(s"| $nBits | ${row.mkString(" | ")} |")
     }
@@ -152,19 +166,19 @@ object RecallCurve {
     for (k <- Seq(16, 64)) {
       val idx = Ivf.build(emb(spark, dir), k = k)
       val row = Seq(2, 4, 8, 12).map { p =>
-        s"${ivfRecall(spark, dir, idx, p, exact = exact)} / " +
-          s"${ivfCandidateFrac(spark, dir, idx, p)}"
+        val (r, f) = ivfCell(spark, dir, idx, p, exact = exact)
+        s"$r / $f"
       }
       println(s"| $k | ${row.mkString(" | ")} |")
     }
 
-    println(s"\n## Planted near-dup pair recall (cosineNearDups, cap 2000, cos>=0.4)")
+    println(s"\n## Planted near-dup pair recall (cosineNearDups, cap $cap, cos>=0.4)")
     val nd = Seq((4, 32), (6, 16), (8, 8), (8, 4))
       .map { case (b, t) => s"($b,$t): ${nearDupPairRecall(spark, dir, b, t)}" }
     println(nd.mkString("  "))
 
-    println(s"\n## SemDeDup pair recall vs multi-assign m (k=16, cap 2000, cos>=0.4)")
-    val idx16 = Ivf.build(emb(spark, dir).filter(col("vec_id") < 2000), k = 16)
+    println(s"\n## SemDeDup pair recall vs multi-assign m (k=16, cap $cap, cos>=0.4)")
+    val idx16 = Ivf.build(emb(spark, dir).filter(col("vec_id") < cap), k = 16)
     val ms = Seq(1, 2, 3).map(m => s"m=$m: ${pairRecall(spark, dir, idx16, m)}")
     println(ms.mkString("  "))
     spark.stop()

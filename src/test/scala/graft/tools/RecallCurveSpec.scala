@@ -58,7 +58,8 @@ class RecallCurveSpec extends AnyFunSuite with SparkTestBase {
 
   test("SemDeDup pair recall rises with multi-assign m as documented") {
     val idx = Ivf.build(
-      RecallCurve.emb(spark, dir).filter(col("vec_id") < 2000), k = 16)
+      RecallCurve.emb(spark, dir)
+        .filter(col("vec_id") < graft.SparkEntry.EmbAuditCap), k = 16)
     val m1 = RecallCurve.pairRecall(spark, dir, idx, m = 1)
     val m3 = RecallCurve.pairRecall(spark, dir, idx, m = 3)
     assert(math.abs(m1 - 0.264) <= 0.05, s"documented 0.264, got $m1")
