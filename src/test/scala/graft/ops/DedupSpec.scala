@@ -140,6 +140,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2) == ((3L, "tiny doc", 2L, 0L)), "below-k docs untouched")
   }
 
+  test("removeDuplicateSpans: disjoint segments stay split; adjacent windows merge") {
+    // k=3; "a1 a2 a3" and "b1 b2 b3" repeat corpus-wide. doc 1/3 carry
+    // them with one unique token between (two DISJOINT covered
+    // segments — the gap token must survive); in doc 2 they are exactly
+    // adjacent (next start = prev start + k, the merge boundary: one
+    // contiguous segment, whole doc cut); doc 3 repeats "a1 a2 a3"
+    // again -> THREE segments, two gap tokens kept
+    val docs = Seq(
+      (1L, "u1 a1 a2 a3 x b1 b2 b3 u2"),
+      (2L, "a1 a2 a3 b1 b2 b3"),
+      (3L, "e1 a1 a2 a3 e2 b1 b2 b3 e3 a1 a2 a3 e4")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "text", "doc_id", k = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "u1 x u2", 9L, 6L)), out(0).toString)
+    assert(out(1) == ((2L, "", 6L, 6L)), "adjacent segments must merge: " + out(1))
+    assert(out(2) == ((3L, "e1 e2 e3 e4", 13L, 9L)), out(2).toString)
+  }
+
   test("jaccardTopK surfaces the planted near-dup as top-1, exact-ranked") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val near = (1 to 29).map(i => s"w$i").mkString(" ") + " zz" // J = 28/31-ish
