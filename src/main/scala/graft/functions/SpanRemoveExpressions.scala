@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native span-removal reassembly for the ExactSubstr action half
+  * (ops/Dedup.removeDuplicateSpans): given a doc's token array and the
+  * (unsorted) 1-based start positions of its duplicated k-token
+  * windows, drop every covered token and re-join the survivors — one
+  * imperative O(n + m log m) pass per row.
+  *
+  * Why an Expression and not composed builtins: the previous
+  * formulation (filter/zip_with segment merge + transform/slice/
+  * flatten gap reassembly) ran as INTERPRETED higher-order functions —
+  * a boxed lambda call per array element per row. Measured on the
+  * sf10 dup-heavy stress fixture (500k docs, 30% boilerplate,
+  * local[32]) the same job ran 25.7 s with an 8 GiB driver heap but
+  * 593 s at 32 GiB — the allocation-heavy interpreted path turns a JVM
+  * tuning choice into a 23x cliff. A single codegen'd pass allocates
+  * only the kept-token array and the output row, making the operator's
+  * cost a function of the data again instead of the heap geometry.
+  */
+object SpanRemoveCore {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Coverage walk: token t (1-based) is removed iff some start s has
+    * s <= t <= s+k-1. Returns struct(clean_text, n_removed). Static
+    * forwarder is called from both nullSafeEval and generated code.
+    */
+  def remove(toksA: ArrayData, startsA: ArrayData, k: Int): InternalRow = {
+    val n = toksA.numElements()
+    val m = startsA.numElements()
+    if (m == 0) {
+      val all = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) { all(i) = toksA.getUTF8String(i); i += 1 }
+      return new GenericInternalRow(
+        Array[Any](UTF8String.concatWs(SPACE, all: _*), 0))
+    }
+    val starts = new Array[Int](m)
+    var i = 0
+    while (i < m) { starts(i) = startsA.getInt(i); i += 1 }
+    java.util.Arrays.sort(starts)
+    val kept = new Array[UTF8String](n)
+    var nKept = 0
+    var idx = 0
+    var coveredUntil = 0
+    var t = 1
+    while (t <= n) {
+      while (idx < m && starts(idx) <= t) {
+        val e = starts(idx) + k - 1
+        if (e > coveredUntil) coveredUntil = e
+        idx += 1
+      }
+      if (t > coveredUntil) { kept(nKept) = toksA.getUTF8String(t - 1); nKept += 1 }
+      t += 1
+    }
+    val clean = UTF8String.concatWs(SPACE, java.util.Arrays.copyOf(kept, nKept): _*)
+    new GenericInternalRow(Array[Any](clean, n - nKept))
+  }
+}
+
+object SpanRemoveExpressions {
+
+  val outType: StructType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_removed", IntegerType, nullable = false)))
+
+  /** span_remove_tokens(tokens: array<string>, dupStarts: array<int>, k)
+    * -> struct(clean_text: string, n_removed: int). `dupStarts` need
+    * not be sorted (sorted internally — saves the upstream array_sort).
+    */
+  case class SpanRemoveTokens(tokens: Expression, starts: Expression, k: Int)
+      extends BinaryExpression {
+    override def left: Expression = tokens
+    override def right: Expression = starts
+    override def dataType: DataType = outType
+    override def prettyName: String = "span_remove_tokens"
+
+    override protected def nullSafeEval(t: Any, s: Any): Any =
+      SpanRemoveCore.remove(t.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, s) =>
+        s"${ev.value} = graft.functions.SpanRemoveCore.remove($t, $s, $k);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(tokens = newLeft, starts = newRight)
+  }
+
+  def span_remove_tokens(toks: Column, starts: Column, k: Int): Column =
+    column(SpanRemoveTokens(expression(toks), expression(starts), k))
+}

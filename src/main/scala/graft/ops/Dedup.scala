@@ -111,17 +111,20 @@ object Dedup {
     * Shuffle profile (span-merge shape): window hashes travel as
     * (id, start, md5) — never text. Only the STARTS of duplicated
     * windows shuffle (O(duplicated windows), bounded by actual
-    * duplication), merging per doc into disjoint covered segments
-    * `(s, e)` via one sorted linear fold. Reassembly is then a pure
-    * per-row expression — the gaps between covered segments are sliced
-    * out of the doc's own token array and re-joined — so the token
-    * stream never explodes into rows and text never shuffles at all
-    * (the tiny segment side joins back onto the doc scan; AQE
-    * broadcasts it when duplication is rare). The previous shape
-    * exploded every doc into (id, pos, token) rows and rebuilt docs
-    * with a corpus-wide collect_list — O(tokens) shuffled rows and the
-    * worst sf1 scaler in the suite; this one shuffles O(dup windows).
-    * Docs shorter than k tokens pass through untouched.
+    * duplication); reassembly is then a single native codegen pass per
+    * row ([[graft.functions.SpanRemoveExpressions.SpanRemoveTokens]]:
+    * sort the doc's dup starts, walk tokens once, re-join survivors) —
+    * the token stream never explodes into rows and text never shuffles
+    * at all (the tiny starts side joins back onto the doc scan; AQE
+    * broadcasts it when duplication is rare). The first shape exploded
+    * every doc into (id, pos, token) rows and rebuilt docs with a
+    * corpus-wide collect_list — O(tokens) shuffled rows and the worst
+    * sf1 scaler in the suite; the second merged segments with
+    * interpreted filter/zip_with/transform lambdas — per-element boxed
+    * allocation that made wall-time hostage to heap geometry (25.7 s at
+    * 8 GiB vs 593 s at 32 GiB on the sf10 dup-heavy stress fixture; see
+    * the Expression's doc). Docs shorter than k tokens pass through
+    * untouched.
     */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
                            k: Int): DataFrame = {
@@ -129,60 +132,25 @@ object Dedup {
     val toks = df.select(col(idCol),
       split(lower(trim(col(textCol))), "\\s+").as("__toks"))
     val wins = spanWindows(df, textCol, idCol, k)
-    val segType = "array<struct<s: int, e: int>>"
     // starts of windows whose hash repeats corpus-wide — semi-join
     // against the small dup-hash set (hash-agg, no sort; see
     // duplicateSpans). (id, start) is unique by construction, so no
-    // distinct is needed.
+    // distinct is needed; the expression sorts per row, so no
+    // array_sort either.
     val dupStarts = wins
       .join(dupWindowHashes(wins), Seq("__h"), "left_semi")
       .select(col(idCol), col("__start"))
-    // merge each doc's covered windows [s, s+k-1] into disjoint
-    // segments. Window ends are monotone in starts (fixed k), so two
-    // windows merge iff consecutive sorted starts differ by <= k, and
-    // the merged segments are exactly the maximal such runs: boundary
-    // starts open segments, boundary ends close them, and the two
-    // boundary lists zip in order (each run contributes one of each).
-    // Three linear higher-order passes over the sorted starts — never a
-    // per-token row explosion, and no O(segments^2) accumulator rebuild
-    // (the previous fold re-copied the whole segment array per start,
-    // quadratic on boilerplate-dense docs with many segments).
-    val segs = dupStarts.groupBy(col(idCol))
-      .agg(array_sort(collect_list(col("__start"))).as("__starts"))
-      .select(col(idCol), {
-        val st = col("__starts")
-        val m = size(st)
-        val opens = filter(sequence(lit(1), m), i =>
-          (i === 1) || (element_at(st, i) > element_at(st, i - 1) + k))
-        val closes = filter(sequence(lit(1), m), i =>
-          (i === m) || (element_at(st, i + 1) > element_at(st, i) + k))
-        zip_with(opens, closes, (o, c) =>
-          struct(element_at(st, o).as("s"),
-            (element_at(st, c) + (k - 1)).as("e")))
-      }.cast(segType).as("__segs"))
-    // complement of the covered segments inside [1, n]: sentinel
-    // bounds at both ends, pairwise gaps, then slice + rejoin the
-    // token array — each stage staged as a column so it evaluates
-    // once per row
+    val starts = dupStarts.groupBy(col(idCol))
+      .agg(collect_list(col("__start")).as("__starts"))
     val n = size(col("__toks"))
-    toks.join(segs, Seq(idCol), "left")
-      .withColumn("__bounds", concat(
-        array(struct(lit(0).as("s"), lit(0).as("e"))),
-        coalesce(col("__segs"), array().cast(segType)),
-        array(struct((n + 1).as("s"), (n + 1).as("e")))))
-      .withColumn("__gaps", filter(
-        transform(sequence(lit(1), size(col("__bounds")) - 1), i =>
-          struct(
-            (element_at(col("__bounds"), i).getField("e") + 1).as("s"),
-            (element_at(col("__bounds"), i + 1).getField("s") - 1).as("e"))),
-        g => g.getField("e") >= g.getField("s")))
-      .withColumn("__kept", flatten(transform(col("__gaps"),
-        g => slice(col("__toks"), g.getField("s"),
-          g.getField("e") - g.getField("s") + 1))))
+    toks.join(starts, Seq(idCol), "left")
+      .withColumn("__rm", graft.functions.SpanRemoveExpressions.span_remove_tokens(
+        col("__toks"),
+        coalesce(col("__starts"), array().cast("array<int>")), k))
       .select(col(idCol),
-        array_join(col("__kept"), " ").as("clean_text"),
+        col("__rm").getField("clean_text").as("clean_text"),
         n.cast("long").as("n_tokens"),
-        (n - size(col("__kept"))).cast("long").as("n_removed"))
+        col("__rm").getField("n_removed").cast("long").as("n_removed"))
   }
 
   // ---- shingles / n-grams ----
@@ -229,16 +197,37 @@ object Dedup {
 
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, numHashes: Int = 16,
-                        bands: Int = 4): DataFrame = {
+                        bands: Int = 4,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
     val rowsPerBand = numHashes / bands
     val sig = shingleTable(df, textCol, idCol, shingleK)
       .select(col(idCol), minhashSignature(col("shingle_set"), numHashes).as("__sig"))
     val banded = sig.select(col(idCol),
       posexplode(bandBuckets(col("__sig"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    // Optional hot-bucket guard for boilerplate-heavy corpora: a shared
+    // template can dominate every band's minima, putting ~all template
+    // carriers into ONE bucket whose self-join is Θ(bucket²) candidate
+    // pairs that mostly FAIL exact-Jaccard verification (the template
+    // matches, the unique text doesn't). Buckets above maxBucket are
+    // dropped WHOLESALE (not sampled) — the candidate set stays a
+    // deterministic subset of the uncapped one, and a pair survives iff
+    // some band still buckets it below the cap. The unconditioned fix
+    // is pipeline order: removeDuplicateSpans FIRST, then MinHash on
+    // cleaned text (measured in SCALE.md); the cap is the guard rail
+    // for residual hot keys. Default Int.MaxValue = exact banding.
+    val kept =
+      if (maxBucket == Int.MaxValue) banded
+      else banded.join(
+        banded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucket)
+          .select(col("band"), col("bucket")),
+        Seq("band", "bucket"), "left_semi")
+    val a = kept.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = kept.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
@@ -259,8 +248,10 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double, shingleK: Int = 3,
-                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, shingleK, numHashes, bands)
+                      numHashes: Int = 16, bands: Int = 4,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, shingleK, numHashes,
+      bands, maxBucket)
     val sets = shingleTable(df, textCol, idCol, shingleK)
     cands
       .join(sets.select(col(idCol).as("id_a"), col("shingle_set").as("__sa")), Seq("id_a"))

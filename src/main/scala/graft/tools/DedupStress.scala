@@ -1,21 +1,33 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, length, lit, sum}
 
 import graft.ops.Dedup
 
 /** One-shot stress runner for the ExactSubstr/MinHash dedup family on
   * an arbitrary documents parquet (e.g. the ScaleGen dup-heavy fixture
-  * or an sf3 scale-up) — evidence that the family completes and stays
-  * equi-join-shaped on corpora where duplication is NOT rare, at
+  * or an sf3/sf10 scale-up) — evidence that the family completes and
+  * stays equi-join-shaped on corpora where duplication is NOT rare, at
   * scales the unit specs don't reach.
   *
   * Env: SPARK_GRAFT_STRESS_DOCS (parquet path, default the sf1
-  * dup-heavy fixture), SPARK_GRAFT_CPUS. Prints one JSON line of
-  * per-op seconds + output rows.
+  * dup-heavy fixture), SPARK_GRAFT_CPUS. Optional op-name args
+  * restrict the run to those ops (isolation experiments). Prints one
+  * JSON line of per-op seconds + output rows (each op also echoed to
+  * stderr as it lands, so long runs show progress). The uncapped
+  * MinHash baseline runs LAST and is skippable: on THIS fixture the
+  * boilerplate is a minority of each doc's shingles, so band minima
+  * stay doc-specific and the uncapped baseline is cheap (sf3: 3.6 s,
+  * 41.6k pairs); the hot-bucket hazard the maxBucket guard exists for
+  * is the template-DOMINANT shape (near-identical docs), pinned by
+  * DedupSpec's "maxBucket drops hot buckets whole" unit test.
   */
 object DedupStress {
   def main(args: Array[String]): Unit = {
+    // optional op-name args restrict the run (isolation experiments)
+    val only = args.toSet
+    def picked(name: String): Boolean = only.isEmpty || only(name)
     val docs = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS",
       ".data/sf1/documents_dupheavy.parquet")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -36,23 +48,59 @@ object DedupStress {
       // default locale — a comma-decimal locale would emit invalid JSON
       val sec = String.format(java.util.Locale.ROOT, "%.2f",
         java.lang.Double.valueOf(dt))
-      s""""$name":{"sec":$sec,"rows":$rows}"""
+      val part = s""""$name":{"sec":$sec,"rows":$rows}"""
+      System.err.println(s"[stress] $part")
+      part
     }
-    val parts = Seq(
-      timed("dedup_spans") {
-        Dedup.duplicateSpans(df, "text", "doc_id", k = 8).count()
-      },
-      timed("dedup_rm") {
-        Dedup.removeDuplicateSpans(df, "text", "doc_id", k = 8).count()
-      },
-      timed("minhash_near_dups") {
+    /** rows + force clean_text: a bare count() would let Spark prune
+      * the reassembly projection and under-report the operator.
+      */
+    def countWithText(d: org.apache.spark.sql.DataFrame): Long =
+      d.select(count(lit(1)).as("n"), sum(length(col("clean_text"))))
+        .first().getLong(0)
+
+    val parts = collection.mutable.ArrayBuffer[String]()
+    if (picked("dedup_spans")) parts += timed("dedup_spans") {
+      Dedup.duplicateSpans(df, "text", "doc_id", k = 8).count()
+    }
+    if (picked("dedup_rm")) parts += timed("dedup_rm") {
+      countWithText(Dedup.removeDuplicateSpans(df, "text", "doc_id", k = 8))
+    }
+    // the 100-TB pipeline order for boilerplate corpora: ExactSubstr
+    // removal FIRST, then a MIN-LENGTH filter, then MinHash on cleaned
+    // text — shared templates never reach the banding (no hot buckets),
+    // and the length filter drops docs the removal reduced to stubs
+    // (the C4/Gopher step; without it the near-empty residues have
+    // tiny shingle sets and pair all-to-all at J≈1 — measured 35.8M
+    // bogus pairs on the sf3 fixture). The cleaned corpus is
+    // materialized between the stages (as a real pipeline would persist
+    // it); the measured time INCLUDES that materialization.
+    if (picked("rm_then_minhash")) parts += timed("rm_then_minhash") {
+      val cleaned = Dedup.removeDuplicateSpans(df, "text", "doc_id", k = 8)
+        .filter(col("n_tokens") - col("n_removed") >= 20)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint()
+      try Dedup.minhashNearDups(cleaned, "text", "doc_id",
+        threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4).count()
+      finally cleaned.unpersist()
+    }
+    // residual guard rail: uncleaned text, hot buckets dropped whole
+    if (picked("minhash_capped")) parts += timed("minhash_capped") {
+      Dedup.minhashNearDups(df, "text", "doc_id",
+        threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4,
+        maxBucket = 64).count()
+    }
+    if (picked("simhash_candidates")) parts += timed("simhash_candidates") {
+      Dedup.simhashCandidates(df, "text", "doc_id",
+        maxHamming = 3, nBlocks = 4).count()
+    }
+    // hot-bucket blowup baseline — last, and skippable for huge runs
+    if (picked("minhash_near_dups") &&
+        !sys.env.get("SPARK_GRAFT_STRESS_SKIP_UNCAPPED").exists(_ == "1"))
+      parts += timed("minhash_near_dups") {
         Dedup.minhashNearDups(df, "text", "doc_id",
           threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4).count()
-      },
-      timed("simhash_candidates") {
-        Dedup.simhashCandidates(df, "text", "doc_id",
-          maxHamming = 3, nBlocks = 4).count()
-      })
+      }
     println(s"""{"docs":"$docs","n_docs":${df.count()},${parts.mkString(",")}}""")
     spark.stop()
   }

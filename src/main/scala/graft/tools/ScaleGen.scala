@@ -87,6 +87,12 @@ object ScaleGen {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DST", ".data/sf1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    // optional comma-separated subset (e.g. "documents" for a 100x
+    // dedup-only fixture without paying for 100x lineitem)
+    val tables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(AllTables)
+    require(tables.subsetOf(AllTables), s"unknown tables: ${tables -- AllTables}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -96,11 +102,11 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scale(spark, src, dst, factor)
+    scale(spark, src, dst, factor, tables)
     // optional adversarial fixture: documents_dupheavy.parquet with
     // SPARK_GRAFT_SCALE_DUPFRAC of docs sharing boilerplate paragraphs
     val dupFrac = sys.env.getOrElse("SPARK_GRAFT_SCALE_DUPFRAC", "0").toDouble
-    if (dupFrac > 0) {
+    if (dupFrac > 0 && tables("documents")) {
       withBoilerplate(spark.read.parquet(s"$dst/documents.parquet"), frac = dupFrac)
         .repartition(32).sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(s"$dst/documents_dupheavy.parquet")
@@ -109,14 +115,21 @@ object ScaleGen {
     spark.stop()
   }
 
-  def scale(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  /** Every table the generator knows how to scale. */
+  val AllTables: Set[String] = Set("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  def scale(spark: SparkSession, src: String, dst: String, factor: Int,
+            tables: Set[String] = AllTables): Unit = {
     def rd(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
-    def wr(df: DataFrame, name: String, files: Int, sortKey: String): Unit = {
-      val parts = df.repartition(files)
-      (if (sortKey.isEmpty) parts else parts.sortWithinPartitions(sortKey))
-        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      println(s"[scalegen] wrote $name x$factor -> $dst/$name.parquet ($files files)")
-    }
+    def wr(df: => DataFrame, name: String, files: Int, sortKey: String): Unit =
+      if (tables(name)) {
+        val parts = df.repartition(files)
+        (if (sortKey.isEmpty) parts else parts.sortWithinPartitions(sortKey))
+          .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+        println(s"[scalegen] wrote $name x$factor -> $dst/$name.parquet ($files files)")
+      }
     /** Union of `factor` transformed replicas of one source table. */
     def reps(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => f(base, i)).reduce(_ unionByName _)

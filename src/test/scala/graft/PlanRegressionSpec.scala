@@ -187,6 +187,20 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("span removal reassembles via ONE native codegen pass per row") {
+    val p = plan("q_dedup_rm")
+    val hits = "span_remove_tokens".r.findAllIn(p).size
+    // the struct output feeds two projected fields (clean_text,
+    // n_removed); CollapseProject must not inline the non-cheap
+    // expression into each extraction — that would re-run the
+    // coverage walk (and rebuild the string) per field
+    assert(hits == 1,
+      s"q_dedup_rm: expected exactly one span_remove_tokens eval, got $hits:\n$p")
+    // and none of the old interpreted higher-order reassembly remains
+    assert(!p.contains("zip_with") && !p.contains("flatten("),
+      s"q_dedup_rm: interpreted HOF reassembly crept back:\n$p")
+  }
+
   test("embedding contract audits push the vec_id cap into the scan") {
     // the fixed-sample audit bound (SparkEntry.EmbAuditCap, single
     // source of truth — also interpolated into the oracle SQL) must

@@ -158,6 +158,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2) == ((3L, "e1 e2 e3 e4", 13L, 9L)), out(2).toString)
   }
 
+  test("minhash maxBucket drops hot buckets whole, keeps small-bucket pairs") {
+    // ten identical "template" docs put all ten ids in ONE bucket per
+    // band (size 10 > cap 4 -> dropped wholesale); the unrelated
+    // near-dup pair (11, 12) buckets alone (size 2 <= cap) and survives
+    val tmpl = (1 to 20).map(i => s"t$i").mkString(" ")
+    val pairBase = (100 to 120).map(i => s"p$i").mkString(" ")
+    val docs = ((1L to 10L).map(i => (i, tmpl)) ++
+      Seq((11L, pairBase), (12L, pairBase + " extra"))).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashNearDups(docs, "text", "doc_id",
+        threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 45 + 1, s"45 template pairs + (11,12): $uncapped")
+    val capped = Dedup.minhashNearDups(docs, "text", "doc_id",
+        threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4,
+        maxBucket = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((11L, 12L)),
+      s"cap must drop the hot bucket whole and keep the small one: $capped")
+  }
+
   test("jaccardTopK surfaces the planted near-dup as top-1, exact-ranked") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val near = (1 to 29).map(i => s"w$i").mkString(" ") + " zz" // J = 28/31-ish
