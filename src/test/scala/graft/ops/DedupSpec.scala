@@ -158,6 +158,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2) == ((3L, "e1 e2 e3 e4", 13L, 9L)), out(2).toString)
   }
 
+  test("pipeline order: boilerplate stubs drop, shingle-level near-dups survive") {
+    // the 100-TB curation order SCALE.md measures: ExactSubstr removal
+    // -> min-length filter -> MinHash on cleaned text. Five docs are a
+    // shared 20-token boilerplate block + 2 unique tokens: removal
+    // reduces them to stubs the length filter drops, so they never
+    // reach banding. Docs 11/12 are near-dups at the SHINGLE level
+    // only — every 7th token differs, so no 8-token run is shared and
+    // ExactSubstr leaves them intact — and must still pair after
+    // cleaning.
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    def varied(tag: String) = (1 to 40).map(i =>
+      if (i % 7 == 0) s"$tag$i" else s"w$i").mkString(" ")
+    val docs = ((1L to 5L).map(i => (i, s"$boiler u${i}a u${i}b")) ++
+      Seq((11L, varied("x")), (12L, varied("y")))).toDF("doc_id", "text")
+    val cleaned = Dedup.removeDuplicateSpans(docs, "text", "doc_id", k = 8)
+      .filter(col("n_tokens") - col("n_removed") >= 10)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val survivors = cleaned.as[(Long, String)].collect().toMap
+    assert(survivors.keySet == Set(11L, 12L),
+      s"only the shingle-level pair survives the length filter: $survivors")
+    assert(survivors(11L) == varied("x"),
+      "no shared 8-token run -> removal must not touch the pair docs")
+    val pairs = Dedup.minhashNearDups(cleaned, "text", "doc_id",
+        threshold = 0.35, shingleK = 3, numHashes = 16, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((11L, 12L)), s"cleaned near-dup pair: $pairs")
+  }
+
   test("minhash maxBucket drops hot buckets whole, keeps small-bucket pairs") {
     // ten identical "template" docs put all ten ids in ONE bucket per
     // band (size 10 > cap 4 -> dropped wholesale); the unrelated
