@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, count, length, lit, sum}
+import org.apache.spark.sql.functions.{col, count, countDistinct, length, lit, sum}
 
 import graft.ops.Dedup
 
@@ -89,6 +89,20 @@ object DedupStress {
       Dedup.minhashNearDups(df, "text", "doc_id",
         threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4,
         maxBucket = 64).count()
+    }
+    // end-to-end near-dup GROUP resolution at stress scale: capped
+    // banding's pair stream -> pointer-jumped min-label components ->
+    // one keeper per cluster (rows = resolved cluster count). The
+    // boilerplate population forms giant components, so this is the
+    // worst case for the O(log diameter) propagation loop.
+    if (picked("cluster_capped_pairs")) parts += timed("cluster_capped_pairs") {
+      val pairs = Dedup.minhashNearDups(df, "text", "doc_id",
+          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4,
+          maxBucket = 64)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      try Dedup.clusterPairs(pairs)
+        .select(countDistinct(col("cluster_id"))).first().getLong(0)
+      finally pairs.unpersist()
     }
     if (picked("simhash_candidates")) parts += timed("simhash_candidates") {
       Dedup.simhashCandidates(df, "text", "doc_id",
