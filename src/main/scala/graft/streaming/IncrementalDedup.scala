@@ -16,6 +16,12 @@ import graft.ops.Dedup
   *
   * Work per batch is O(batch x hashes) + a hash join keyed on bucket
   * — independent of corpus size except through bucket collision rate.
+  * On boilerplate-heavy corpora that exception bites: stored FALSE
+  * collisions (docs sharing band minima without passing verification)
+  * accumulate in hot buckets and tax every future batch quadratically;
+  * `maxStoreBucket` drops over-cap store buckets whole (see
+  * processBatch), and upstream span-removal cleaning (SCALE.md
+  * pipeline order) prevents the accumulation at the source.
   * Designed for use inside foreachBatch of a document stream. Replay
   * of a crashed batch is OUTPUT-correct (self-matches are excluded, so
   * survivors survive again); the store may then hold duplicate
@@ -26,8 +32,10 @@ import graft.ops.Dedup
 final class IncrementalDedup(spark: SparkSession, storeDir: String,
                              shingleK: Int = 3, numHashes: Int = 16,
                              bands: Int = 8, threshold: Double = 0.7,
-                             autoCompactSlack: Double = 1.5) {
+                             autoCompactSlack: Double = 1.5,
+                             maxStoreBucket: Int = Int.MaxValue) {
   require(numHashes % bands == 0)
+  require(maxStoreBucket > 0, "maxStoreBucket must be positive")
 
   private val rowsPerBand = numHashes / bands
 
@@ -92,28 +100,75 @@ final class IncrementalDedup(spark: SparkSession, storeDir: String,
   def processBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame = {
     val sigs = signatures(batch, textCol, idCol).cache()
     try {
+      // Staged-shingle candidate verification (same shape as the batch
+      // jaccardTopK fix): the bucket join and the pair distinct move
+      // only NARROW (id, partner) rows; shingle sets join back once per
+      // distinct id afterwards. The previous shape dragged both full
+      // shingle arrays through the candidate distinct — text-derived
+      // payload shuffling at candidate-PAIR volume, which on a
+      // boilerplate-heavy corpus (sf10 dup-heavy stress fixture, 100k
+      // doc batches, 30% shared paragraphs) measured 209 s for batch 0
+      // and 398 s for batch 1 before this rewrite.
+      val batchSets = sigs.select(col("id"), col("shingle_set"))
+        .dropDuplicates("id")
       // candidates vs the persisted corpus. The store row's id rides
       // along so a row never matches ITSELF: a foreachBatch replay
       // after a crash re-presents rows whose signatures were already
       // persisted, and without the self-exclusion every replayed
       // survivor would J=1-match its own stored set and be dropped.
-      val cands = sigs.join(
-          store().select(col("band"), col("bucket"), col("id").as("__cid"),
-            col("shingle_set").as("__corpus_set")),
-          Seq("band", "bucket"))
+      // Every join below that touches the pair stream or the set
+      // tables is hinted shuffle_hash: on an adversarial corpus the
+      // pair stream can be orders of magnitude larger than any size
+      // ESTIMATE suggests (narrow projections of it look tiny to the
+      // planner), and a mis-chosen broadcast build of it is a driver
+      // OOM — measured on the first staged-shape attempt at sf10.
+      // Optional hot-bucket cap on the STORE side (batch analogue:
+      // Dedup.minhashCandidates maxBucket). Over-cap store buckets are
+      // dropped WHOLE before pair formation. Principled on this store
+      // specifically: true near-dups never accumulate here (a
+      // J>=threshold match is dropped, not appended), so a bucket that
+      // grows past any reasonable cap holds FALSE collisions — docs
+      // sharing band minima (boilerplate) without passing verification
+      // — and each one taxes every future batch. A true partner that
+      // happens to sit in a hot bucket usually also shares one of the
+      // other bands' doc-specific buckets. Default Int.MaxValue =
+      // exact (no cap).
+      val storeBuckets = {
+        val sb = store().select(col("band"), col("bucket"), col("id").as("__cid"))
+        if (maxStoreBucket == Int.MaxValue) sb
+        else sb.join(
+          sb.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("__bsz"))
+            .filter(col("__bsz") <= maxStoreBucket)
+            .select(col("band"), col("bucket")),
+          Seq("band", "bucket"), "left_semi")
+      }
+      val candPairs = sigs.select(col("band"), col("bucket"), col("id"))
+        .join(storeBuckets, Seq("band", "bucket"))
         .filter(col("id") =!= col("__cid"))
-        .select(col("id"), col("shingle_set"), col("__corpus_set")).distinct()
+        .select(col("id"), col("__cid")).distinct()
+      val candPartners = candPairs.select(col("__cid")).distinct()
+      val corpusSets = store()
+        .select(col("id").as("__cid"), col("shingle_set").as("__corpus_set"))
+        .join(candPartners.hint("shuffle_hash"), Seq("__cid"), "left_semi")
+        .dropDuplicates("__cid")
+      val cands = candPairs
+        .join(batchSets.hint("shuffle_hash"), Seq("id"))
+        .join(corpusSets.hint("shuffle_hash"), Seq("__cid"))
         .withColumn("j", Dedup.jaccardFromSets(col("shingle_set"), col("__corpus_set")))
         .filter(col("j") >= threshold)
         .select(col("id")).distinct()
       // candidates within the batch itself (keep lowest id of a pair)
-      val a = sigs.select(col("band"), col("bucket"), col("id").as("id_a"),
-        col("shingle_set").as("__sa"))
-      val b = sigs.select(col("band"), col("bucket"), col("id").as("id_b"),
-        col("shingle_set").as("__sb"))
-      val intra = a.join(b, Seq("band", "bucket"))
+      val intraPairs = sigs.select(col("band"), col("bucket"), col("id").as("id_a"))
+        .join(sigs.select(col("band"), col("bucket"), col("id").as("id_b")),
+          Seq("band", "bucket"))
         .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("__sa"), col("__sb")).distinct()
+        .select(col("id_a"), col("id_b")).distinct()
+      val intra = intraPairs
+        .join(batchSets.select(col("id").as("id_a"), col("shingle_set").as("__sa"))
+          .hint("shuffle_hash"), Seq("id_a"))
+        .join(batchSets.select(col("id").as("id_b"), col("shingle_set").as("__sb"))
+          .hint("shuffle_hash"), Seq("id_b"))
         .withColumn("j", Dedup.jaccardFromSets(col("__sa"), col("__sb")))
         .filter(col("j") >= threshold)
         .select(col("id_b").as("id")).distinct()

@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, count, countDistinct, length, lit, sum}
+import org.apache.spark.sql.functions.{col, count, countDistinct, length, lit, pmod, sum}
 
 import graft.ops.Dedup
 
@@ -107,6 +107,40 @@ object DedupStress {
     if (picked("simhash_candidates")) parts += timed("simhash_candidates") {
       Dedup.simhashCandidates(df, "text", "doc_id",
         maxHamming = 3, nBlocks = 4).count()
+    }
+    // the 100-TB ingestion story under adversarial duplication: stream
+    // the corpus through the incremental store in batches and watch
+    // per-batch cost. Template-DOMINANT docs self-limit (only the
+    // first survives, so its bucket never grows); what grows the store
+    // is boilerplate-MINORITY carriers that bucket-collide but fail
+    // J>=threshold — each batch then verifies against an ever-larger
+    // partner set, which is the growth curve this measures (rows =
+    // total kept).
+    if (picked("incremental_batches")) parts += timed("incremental_batches") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_incstress")
+      try {
+        // SPARK_GRAFT_STRESS_STORE_CAP exercises maxStoreBucket (the
+        // hot-store-bucket guard); unset = exact/uncapped
+        val cap = sys.env.get("SPARK_GRAFT_STRESS_STORE_CAP")
+          .map(_.toInt).getOrElse(Int.MaxValue)
+        val inc = new graft.streaming.IncrementalDedup(spark, dir.toString,
+          maxStoreBucket = cap)
+        val nB = 5
+        var keptTotal = 0L
+        for (i <- 0 until nB) {
+          val t0 = System.nanoTime()
+          val batch = df.filter(pmod(col("doc_id"), lit(nB)) === i)
+          keptTotal += inc.processBatch(batch, "text", "doc_id").count()
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[stress]   incremental batch %d: %.2f s", Integer.valueOf(i),
+            java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9)))
+        }
+        keptTotal
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
     // hot-bucket blowup baseline — last, and skippable for huge runs
     if (picked("minhash_near_dups") &&

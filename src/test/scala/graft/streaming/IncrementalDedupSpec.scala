@@ -123,6 +123,42 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
       s"blank ~ empty (J=1) and repeated single token must drop: ${kept2.toSeq}")
   }
 
+  test("maxStoreBucket drops hot store buckets whole; doc-specific buckets still match") {
+    // batch 1 stores a 10-doc boilerplate crowd (shared 25-token base +
+    // one unique trailing token each: J ~ 0.85 < threshold 0.95, so ALL
+    // are stored — the false-collision accumulation the cap targets;
+    // their shared-minima buckets hold all 10 members) plus one
+    // unrelated doc. batch 2 presents exact copies of crowd doc 1 and
+    // of the unrelated doc (threshold 0.95 needs J=1 matches at these
+    // doc lengths).
+    val boiler = (1 to 25).map(i => s"b$i").mkString(" ")
+    val crowd = (1L to 10L).map(i => (i, s"$boiler unique$i"))
+    val lone = (50L, other)
+    def run(cap: Int): Seq[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_cap_").toString
+      val dedup = new IncrementalDedup(spark, dir, threshold = 0.95,
+        maxStoreBucket = cap)
+      val k1 = dedup.processBatch((crowd :+ lone).toDF("doc_id", "text"),
+        "text", "doc_id").count()
+      assert(k1 == 11, s"crowd is below threshold, all stored (cap=$cap)")
+      val b2 = Seq((100L, s"$boiler unique1"), (101L, other))
+        .toDF("doc_id", "text")
+      dedup.processBatch(b2, "text", "doc_id")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    // uncapped: both exact copies J=1-match their stored partners ->
+    // both dropped
+    assert(run(Int.MaxValue) == Seq.empty, "uncapped drops both")
+    // capped at 5: the crowd's shared buckets (size 10) stop generating
+    // candidates, but the copy still matches crowd doc 1 through the
+    // bucket keyed on doc 1's own unique-token minima (size 1 <= cap) —
+    // the recall-preservation argument for capping THIS store: a true
+    // partner's doc-specific buckets are exactly the ones a false
+    // crowd can't crowd out. The lone-doc copy is untouched.
+    assert(run(5) == Seq.empty,
+      "capped still drops the true dup via the doc-specific bucket")
+  }
+
   test("reopening a store with different hyperparameters fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_hp_").toString
     val dedup = new IncrementalDedup(spark, dir, threshold = 0.5)
