@@ -97,6 +97,21 @@ final class IncrementalAnn(spark: SparkSession, storeDir: String,
       // foreachBatch replay re-presents rows whose signatures were
       // already persisted, and without the self-exclusion every
       // replayed survivor would cosine-1-match its own stored vector.
+      //
+      // Deliberately NOT the staged narrow-pair shape IncrementalDedup
+      // uses — measured, it loses here. On the sf3 embeddings streamed
+      // in 5 batches (DedupStress incremental_ann_batches), one
+      // payload-carrying join + distinct runs 17.3 s at dim 64 and
+      // 33.2 s FLAT per batch at dim 768 (REPEAT=12), while the staged
+      // shape measured 70.3 s / 171.9 s with a GROWING curve. The
+      // asymmetry vs text: SRP tables have 2^nBits buckets, so the
+      // pair distinct dedups little (a pair shares few buckets), and
+      // verification needs pair x vector rows regardless — staging
+      // just re-shuffles the pair stream two extra times to reattach
+      // what the bucket join already delivered. MinHash banding is the
+      // opposite: huge bucket space, adversarially concentrated
+      // collisions, and KB-scale shingle sets that dedup away before
+      // payload attaches.
       val vsCorpus = sigs.join(
           store().select(col("table"), col("bucket"), col("id").as("__cid"),
             col("embedding").as("__ce"), col("norm").as("__cn")),

@@ -142,6 +142,47 @@ object DedupStress {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     }
+    // same curve for the vector store: stream an embeddings fixture
+    // through IncrementalAnn in batches. SRP tables have only 2^nBits
+    // buckets, so candidate-pair volume grows ~ batch x corpus per
+    // batch; this stage is the evidence that the one-pass
+    // payload-carrying join stays flat there (and that the staged
+    // narrow-pair alternative does not — see the decision note in
+    // IncrementalAnn.processBatch).
+    if (picked("incremental_ann_batches")) parts += timed("incremental_ann_batches") {
+      // SPARK_GRAFT_STRESS_EMB_REPEAT=r synthesizes realistic payload
+      // width from the dim-64 fixture by concatenating each vector
+      // with itself r times: dots scale by r and norms by sqrt(r), so
+      // every cosine — and therefore the kept/dropped decision set —
+      // is preserved EXACTLY while payload bytes grow r x.
+      val rep = sys.env.get("SPARK_GRAFT_STRESS_EMB_REPEAT")
+        .map(_.toInt).getOrElse(1)
+      val emb0 = spark.read.parquet(sys.env.getOrElse(
+        "SPARK_GRAFT_STRESS_EMB", ".data/sf3/embeddings.parquet"))
+      val emb = if (rep == 1) emb0
+        else emb0.withColumn("embedding",
+          org.apache.spark.sql.functions.flatten(
+            org.apache.spark.sql.functions.array_repeat(col("embedding"), rep)))
+      val dir = java.nio.file.Files.createTempDirectory("graft_annstress")
+      try {
+        val inc = new graft.streaming.IncrementalAnn(spark, dir.toString)
+        val nB = 5
+        var keptTotal = 0L
+        for (i <- 0 until nB) {
+          val t0 = System.nanoTime()
+          val batch = emb.filter(pmod(col("vec_id"), lit(nB)) === i)
+          keptTotal += inc.processBatch(batch, "embedding", "vec_id").count()
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[stress]   ann batch %d: %.2f s", Integer.valueOf(i),
+            java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9)))
+        }
+        keptTotal
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     // hot-bucket blowup baseline — last, and skippable for huge runs
     if (picked("minhash_near_dups") &&
         !sys.env.get("SPARK_GRAFT_STRESS_SKIP_UNCAPPED").exists(_ == "1"))
