@@ -137,8 +137,11 @@ final class IncrementalDedup(spark: SparkSession, storeDir: String,
         val sb = store().select(col("band"), col("bucket"), col("id").as("__cid"))
         if (maxStoreBucket == Int.MaxValue) sb
         else sb.join(
+          // distinct members, not rows: foreachBatch replays can leave
+          // duplicate signature rows until compaction, and a row count
+          // would let a replay push a legitimate bucket over the cap
           sb.groupBy(col("band"), col("bucket"))
-            .agg(count(lit(1)).as("__bsz"))
+            .agg(count_distinct(col("__cid")).as("__bsz"))
             .filter(col("__bsz") <= maxStoreBucket)
             .select(col("band"), col("bucket")),
           Seq("band", "bucket"), "left_semi")
