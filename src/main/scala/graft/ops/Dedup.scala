@@ -148,7 +148,12 @@ object Dedup {
         col("__toks"),
         coalesce(col("__starts"), array().cast("array<int>")), k))
       .select(col(idCol),
-        col("__rm").getField("clean_text").as("clean_text"),
+        // NULL text -> NULL __toks -> NULL struct from the
+        // null-intolerant expression; surface "" (the reassembly of
+        // zero tokens), matching the oracle's COALESCE(clean_text, '').
+        // n_tokens/n_removed stay NULL on both sides.
+        coalesce(col("__rm").getField("clean_text"), lit(""))
+          .as("clean_text"),
         n.cast("long").as("n_tokens"),
         col("__rm").getField("n_removed").cast("long").as("n_removed"))
   }
@@ -218,14 +223,21 @@ object Dedup {
     // is pipeline order: removeDuplicateSpans FIRST, then MinHash on
     // cleaned text (measured in SCALE.md); the cap is the guard rail
     // for residual hot keys. Default Int.MaxValue = exact banding.
+    // Window count, not a groupBy + self-semi-join: the join shape
+    // evaluates `banded` twice (probe side + count side) with no
+    // exchange reuse across the partial aggregate, re-running the
+    // dominant tokenize+shingle+minhash map work over the whole corpus
+    // whenever the cap is on. The window computes bucket sizes and
+    // filters in ONE scan, shuffling the narrow (id, band, bucket)
+    // stream once on the same (band, bucket) key the candidate
+    // self-join needs anyway.
     val kept =
       if (maxBucket == Int.MaxValue) banded
-      else banded.join(
-        banded.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") <= maxBucket)
-          .select(col("band"), col("bucket")),
-        Seq("band", "bucket"), "left_semi")
+      else banded
+        .withColumn("__bsz", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("bucket"))))
+        .filter(col("__bsz") <= maxBucket)
+        .drop("__bsz")
     val a = kept.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = kept.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))

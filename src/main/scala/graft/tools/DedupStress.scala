@@ -24,9 +24,31 @@ import graft.ops.Dedup
   * DedupSpec's "maxBucket drops hot buckets whole" unit test.
   */
 object DedupStress {
+  /** Every op stage the runner knows. */
+  val AllOps: Set[String] = Set("dedup_spans", "dedup_rm",
+    "rm_then_minhash", "minhash_capped", "cluster_capped_pairs",
+    "simhash_candidates", "incremental_batches",
+    "incremental_ann_batches", "minhash_near_dups")
+
+  /** Depth-first delete; closes the walk stream (Files.walk holds a
+    * directory handle until closed — see its javadoc).
+    */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   def main(args: Array[String]): Unit = {
-    // optional op-name args restrict the run (isolation experiments)
+    // optional op-name args restrict the run (isolation experiments);
+    // a typo'd op name would otherwise "succeed" having measured nothing
     val only = args.toSet
+    val unknown = only.diff(AllOps)
+    require(unknown.isEmpty,
+      s"unknown ops ${unknown.toSeq.sorted.mkString(", ")}; " +
+        s"known: ${AllOps.toSeq.sorted.mkString(", ")}")
     def picked(name: String): Boolean = only.isEmpty || only(name)
     val docs = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS",
       ".data/sf1/documents_dupheavy.parquet")
@@ -136,11 +158,7 @@ object DedupStress {
             java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9)))
         }
         keptTotal
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      } finally deleteRecursively(dir)
     }
     // same curve for the vector store: stream an embeddings fixture
     // through IncrementalAnn in batches. SRP tables have only 2^nBits
@@ -177,11 +195,7 @@ object DedupStress {
             java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9)))
         }
         keptTotal
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      } finally deleteRecursively(dir)
     }
     // hot-bucket blowup baseline — last, and skippable for huge runs
     if (picked("minhash_near_dups") &&
@@ -190,7 +204,10 @@ object DedupStress {
         Dedup.minhashNearDups(df, "text", "doc_id",
           threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4).count()
       }
-    println(s"""{"docs":"$docs","n_docs":${df.count()},${parts.mkString(",")}}""")
+    // header fields prepended as parts so an empty op selection still
+    // emits valid JSON (no dangling comma)
+    val header = Seq(s""""docs":"$docs"""", s""""n_docs":${df.count()}""")
+    println((header ++ parts).mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -153,7 +153,11 @@ object ScaleGen {
       "events", 16, "event_id")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
 
-    val mutDoc = reps(rd("documents")) { (d, i) =>
+    // def, not val: wr's parameter is by-name precisely so excluded
+    // tables never touch their source parquet (a subset dst reused as
+    // src lacks them); an eager val would spark.read before the
+    // tables(name) check.
+    def mutDoc = reps(rd("documents")) { (d, i) =>
       val text =
         if (i == 0) col("text")
         else array_join(
@@ -166,7 +170,7 @@ object ScaleGen {
     }
     wr(mutDoc, "documents", 32, "doc_id")
 
-    val mutEmb = reps(rd("embeddings")) { (d, i) =>
+    def mutEmb = reps(rd("embeddings")) { (d, i) =>
       val vec =
         if (i == 0) col("embedding")
         else transform(col("embedding"),

@@ -124,6 +124,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2)._4 == 0L)
   }
 
+  test("removeDuplicateSpans: NULL text yields '' clean_text, NULL counts") {
+    // oracle parity: DuckDB side COALESCEs clean_text to '' while
+    // n_tokens/n_removed stay NULL (len(NULL) arithmetic)
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq((1L, s"a $shared b"), (2L, s"c $shared d"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "text", "doc_id", k = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "a b")
+    assert(out(2).getString(1) == "", "NULL text -> empty clean_text")
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3),
+      "counts stay NULL for NULL text on both engine and oracle sides")
+  }
+
   test("removeDuplicateSpans: short docs pass through; overlap cuts union of spans") {
     // docs 1/2 share the 10-token prefix "r1..r9 ending": its three
     // overlapping duplicated 8-windows cover the UNION of positions

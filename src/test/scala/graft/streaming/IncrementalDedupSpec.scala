@@ -134,7 +134,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     val boiler = (1 to 25).map(i => s"b$i").mkString(" ")
     val crowd = (1L to 10L).map(i => (i, s"$boiler unique$i"))
     val lone = (50L, other)
-    def run(cap: Int): Seq[Long] = {
+    def run(cap: Int): (Seq[Long], Seq[Long]) = {
       val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_cap_").toString
       val dedup = new IncrementalDedup(spark, dir, threshold = 0.95,
         maxStoreBucket = cap)
@@ -143,20 +143,33 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
       assert(k1 == 11, s"crowd is below threshold, all stored (cap=$cap)")
       val b2 = Seq((100L, s"$boiler unique1"), (101L, other))
         .toDF("doc_id", "text")
-      dedup.processBatch(b2, "text", "doc_id")
+      val k2 = dedup.processBatch(b2, "text", "doc_id")
         .select("doc_id").as[Long].collect().sorted.toSeq
+      // doc 102 is the PURE template (no unique token): J vs any crowd
+      // member = 23/24 ~ 0.958 >= 0.95, but every one of its band
+      // minima is boiler-derived, so its only STORE buckets are the
+      // size-10 crowd buckets — the cap's differential witness. Probed
+      // in its OWN batch: in-batch pairs are not store-capped, so
+      // co-batching it with doc 100 would dedup them against each
+      // other and mask the store-side pruning under test.
+      val k3 = dedup.processBatch(Seq((102L, boiler)).toDF("doc_id", "text"),
+        "text", "doc_id").select("doc_id").as[Long].collect().sorted.toSeq
+      (k2, k3)
     }
-    // uncapped: both exact copies J=1-match their stored partners ->
-    // both dropped
-    assert(run(Int.MaxValue) == Seq.empty, "uncapped drops both")
+    // uncapped: all three J-match stored partners -> all dropped
+    assert(run(Int.MaxValue) == ((Seq.empty, Seq.empty)),
+      "uncapped drops all three")
     // capped at 5: the crowd's shared buckets (size 10) stop generating
-    // candidates, but the copy still matches crowd doc 1 through the
-    // bucket keyed on doc 1's own unique-token minima (size 1 <= cap) —
-    // the recall-preservation argument for capping THIS store: a true
-    // partner's doc-specific buckets are exactly the ones a false
+    // candidates — doc 102 (reachable ONLY through them) is now KEPT,
+    // proving the cap actually prunes store-side candidates — but the
+    // exact copy still matches crowd doc 1 through the bucket keyed on
+    // doc 1's own unique-token minima (size 1 <= cap): the
+    // recall-preservation argument for capping THIS store is that a
+    // true partner's doc-specific buckets are exactly the ones a false
     // crowd can't crowd out. The lone-doc copy is untouched.
-    assert(run(5) == Seq.empty,
-      "capped still drops the true dup via the doc-specific bucket")
+    assert(run(5) == ((Seq.empty, Seq(102L))),
+      "capped prunes hot-bucket candidates (102 kept) yet still drops " +
+        "the true dup via the doc-specific bucket")
   }
 
   test("reopening a store with different hyperparameters fails fast") {
