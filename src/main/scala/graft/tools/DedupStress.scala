@@ -18,7 +18,7 @@ import graft.ops.Dedup
   * stderr as it lands, so long runs show progress). The uncapped
   * MinHash baseline runs LAST and is skippable: on THIS fixture the
   * boilerplate is a minority of each doc's shingles, so band minima
-  * stay doc-specific and the uncapped baseline is cheap (sf3: 3.6 s,
+  * stay doc-specific and the uncapped baseline is cheap (sf3: ~3 s,
   * 41.6k pairs); the hot-bucket hazard the maxBucket guard exists for
   * is the template-DOMINANT shape (near-identical docs), pinned by
   * DedupSpec's "maxBucket drops hot buckets whole" unit test.
