@@ -190,12 +190,62 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** pq_adc_ip(codes, lut): asymmetric-distance inner product for a
+    * product-quantized vector — sum over subspaces m of
+    * lut[m * k + codes[m]], where `codes` is the corpus row's m-byte PQ
+    * code (binary) and `lut` is the probe's flattened m x k table of
+    * partial inner products against every subspace centroid
+    * ([[graft.ops.Pq]] builds both sides from one codebook). This is
+    * THE inner loop of billion-scale ANN (Jegou et al. 2011): the
+    * per-pair cost drops from `dim` multiplies on two float arrays to
+    * `m` table lookups on an m-byte code, and it must stay inside
+    * whole-stage codegen for the scan to run at memory bandwidth —
+    * an interpreted higher-order-function form would re-box every
+    * lookup. Null-intolerant like the other vector expressions.
+    */
+  case class PqAdcIp(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "pq_adc_ip"
+
+    override def nullSafeEval(codes: Any, lut: Any): Any = {
+      val c = codes.asInstanceOf[Array[Byte]]
+      val l = lut.asInstanceOf[ArrayData]
+      var s = 0.0
+      var m = 0
+      while (m < c.length) {
+        s += l.getDouble(m * k + (c(m) & 0xff))
+        m += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, l) => {
+        val m = ctx.freshName("m")
+        val s = ctx.freshName("s")
+        s"""
+           |double $s = 0.0;
+           |for (int $m = 0; $m < $c.length; $m++) {
+           |  $s += $l.getDouble($m * $k + ($c[$m] & 0xff));
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   def vector_dot(a: Column, b: Column): Column = column(VectorDot(expression(a), expression(b)))
   def vector_norm(a: Column): Column = column(VectorNorm(expression(a)))
   def srp_signatures(vec: Column, nBits: Int, nTables: Int): Column =
     column(SrpSignatures(expression(vec), nBits, nTables))
+  def pq_adc_ip(codes: Column, lut: Column, k: Int): Column =
+    column(PqAdcIp(expression(codes), expression(lut), k))
 
   /** Register vector_dot / vector_norm for spark.sql use. */
   def register(spark: SparkSession): Unit = {
