@@ -23,14 +23,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos and convert (lossless here —
-    * the generator emits whole microseconds; verified in TESTDATA).
+  /** events.ts varies by fixture vintage — legacy TIMESTAMP(NANOS)
+    * (read as raw nanos under the legacy flag) vs native
+    * timestamp[us] (read as TIMESTAMP_NTZ). Normalize to an instant
+    * timestamp either way; see EventStreams.normalizeEventTs.
     */
   private def ev(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.streaming.EventStreams.normalizeEventTs(
+      s.read.parquet(s"$dir/events.parquet"))
   }
 
   /** Flagship query (SURVEY §3.3): directory-style scan of `documents`

@@ -228,19 +228,33 @@ object EventStreams {
     else // batch backfill parity: global exact dedup
       events.dropDuplicates(keyCols.head, keyCols.tail: _*)
 
+  /** Normalize the events fixture's `ts` column to an instant
+    * TimestampType across generator vintages: raw int64 of nanos
+    * (legacy TIMESTAMP(NANOS) files read under
+    * `spark.sql.legacy.parquet.nanosAsLong`), native timestamp[us]
+    * (which Spark reads as TIMESTAMP_NTZ), or an already-instant
+    * timestamp. The engine pins the session timezone to UTC
+    * everywhere, so the NTZ → instant cast preserves wall-clock
+    * values and downstream windows/formats are byte-identical across
+    * vintages.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
+
   /** Read the events fixture as a bounded stream (for tests/demos):
-    * parquet dir streamed file-by-file.
+    * parquet dir streamed file-by-file. The stream schema is taken
+    * from a batch sniff of the same path so the reader tracks
+    * whichever `ts` physical type the fixture vintage uses.
     */
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val schema = spark.read.parquet(path).schema
+    normalizeEventTs(spark.readStream.schema(schema).parquet(path))
   }
 }

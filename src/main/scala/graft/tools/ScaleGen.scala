@@ -33,10 +33,12 @@ import org.apache.spark.sql.functions._
   *       products, norms and cosines are preserved EXACTLY, while
   *       cross-replica cosines become sums of random-sign terms with
   *       expectation 0 — no spurious near-neighbors across replicas.
-  *  3. **Readable by the same loaders.** `events.ts` arrives as parquet
-  *     TIMESTAMP(NANOS), which SparkEntry reads via
-  *     `legacy.parquet.nanosAsLong`; the copy keeps the column a raw
-  *     int64 of nanos so that read path sees the same shape.
+  *  3. **Readable by the same loaders.** `events.ts` varies by fixture
+  *     vintage (legacy TIMESTAMP(NANOS) read as raw int64 under
+  *     `legacy.parquet.nanosAsLong`, vs native timestamp[us]); the
+  *     copy passes whichever physical type the source has straight
+  *     through, and the engine's loader normalizes both
+  *     (EventStreams.normalizeEventTs).
   *
   * Output files are repartitioned (round-robin, then sorted within
   * partitions by primary key) so the scaled tables arrive as multiple
@@ -146,8 +148,9 @@ object ScaleGen {
     wr(reps(rd("lineitem"))(shift(_, _, "l_orderkey", "l_partkey", "l_suppkey")),
       "lineitem", 32, "l_orderkey")
 
-    // events: keep ts a raw int64 of nanos (see scaladoc) — read with the
-    // same legacy flag the engine's loader uses so the column stays long.
+    // events: pass ts through in the source's physical type (see
+    // scaladoc) — the legacy flag only engages on TIMESTAMP(NANOS)
+    // sources, where it keeps the column a raw long as the loader expects.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     wr(reps(rd("events"))(shift(_, _, "event_id", "user_id")),
       "events", 16, "event_id")

@@ -57,10 +57,15 @@ class ScaleGenSpec extends AnyFunSuite with SparkTestBase {
       .distinct().count() == 3, "three disjoint replica key spaces")
   }
 
-  test("events.ts stays a raw int64 of nanos (loader-compatible)") {
-    val schema = spark.read.parquet(s"$dst/events.parquet").schema
-    assert(schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType, schema("ts").dataType.toString)
+  test("events.ts type tracks the source fixture (loader-compatible)") {
+    val srcType = spark.read.parquet(s"$src/events.parquet").schema("ts").dataType
+    val dstType = spark.read.parquet(s"$dst/events.parquet").schema("ts").dataType
+    assert(dstType == srcType, s"copy must pass ts through: $srcType -> $dstType")
+    // and the engine's loader normalizes the copy to an instant timestamp
+    val norm = graft.streaming.EventStreams.normalizeEventTs(
+      spark.read.parquet(s"$dst/events.parquet"))
+    assert(norm.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType, norm.schema("ts").dataType.toString)
   }
 
   test("documents: intra-replica Jaccard preserved exactly, cross-replica collapsed") {
