@@ -749,9 +749,12 @@ object SparkEntry {
         threshold = 0.5, shingleK = 3, numHashes = 32, bands = 16)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dups via the 8-block pigeonhole equi-join
-    * (Dedup.simhashCandidates — the scale path, NOT a crossJoin demo),
-    * gated on recall of the TRUE near-dup pair set: a few true pairs
+  /** SimHash near-dups via the pigeonhole equi-join with q=1 probe
+    * expansion — 4x16-bit blocks + single-bit-flip probes
+    * (Dedup.simhashCandidates — the scale path, NOT a crossJoin demo;
+    * same hamming<=7 set as the 8x8-bit layout, DedupSpec-pinned, with
+    * ~256x sparser buckets), gated on recall of the TRUE near-dup pair
+    * set: a few true pairs
     * sit at Hamming 8-11 (beyond any practical block radius — simhash's
     * inherent trade-off), so the hard contract is (n_true_pairs,
     * recall >= 0.9). n_true_pairs replays exactly in DuckDB; the truth
@@ -765,7 +768,7 @@ object SparkEntry {
         threshold = 0.5, shingleK = 3, numHashes = 32, bands = 16)
       .select(col("id_a"), col("id_b"))
     val found = Dedup.simhashCandidates(docs, "text", "doc_id",
-        maxHamming = 7, nBlocks = 8)
+        maxHamming = 7, nBlocks = 4)
       .select(col("id_a"), col("id_b"))
     truth.join(found.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_true_pairs"),

@@ -344,19 +344,37 @@ object Dedup {
       simhash64(split(lower(trim(col(textCol))), "\\s+")).as("simhash"))
 
   /** SimHash near-dup candidates with Hamming distance <= maxHamming
-    * via the pigeonhole trick: split the 64-bit signature into
-    * `nBlocks` equal blocks; any pair within distance nBlocks-1 must
-    * agree on >=1 block, so an equi-join per block finds all such
-    * pairs — no cross join. The guarantee holds iff maxHamming <=
-    * nBlocks - 1 (enforced); more blocks widen the radius but shrink
-    * the block width, so bucket collisions (candidate volume) grow —
-    * 4x16-bit for tight radii, 8x8-bit for hamming <= 7.
+    * via the generalized pigeonhole: split the 64-bit signature into
+    * `nBlocks` equal blocks with per-block radius
+    * q = floor(maxHamming / nBlocks) — if every block of a pair
+    * differed in more than q bits the total would exceed
+    * nBlocks*(q+1)-1 >= maxHamming, so every qualifying pair agrees
+    * within q bits on SOME block, and a per-block equi-join finds it
+    * with no cross join.
+    *
+    *  - q = 0 (maxHamming < nBlocks): plain block-equality join —
+    *    8x8-bit for hamming <= 7, the classic shape.
+    *  - q = 1 (maxHamming < 2*nBlocks): probe expansion (HmSearch /
+    *    HEngine style) — the probe side also emits every single-bit
+    *    flip of each block (bits+1 variants), so equality catches
+    *    blocks differing in <= 1 bit. This buys DOUBLE-width blocks
+    *    for the same radius: hamming <= 7 rides 4x16-bit blocks whose
+    *    65536-value buckets collide ~256x less than 8-bit ones, at the
+    *    cost of a 17x wider (but narrow: three longs + an int) probe
+    *    stream — the candidate JOIN volume, the quadratic term, drops
+    *    by orders of magnitude on collision-prone corpora.
+    *
+    * Radii beyond q = 1 (e.g. maxHamming = 7 with 2 blocks) would need
+    * C(32,2)+ flip variants and are rejected; raise nBlocks instead.
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3, nBlocks: Int = 4): DataFrame = {
     require(64 % nBlocks == 0, "nBlocks must divide 64")
-    require(maxHamming <= nBlocks - 1,
-      s"pigeonhole guarantee needs maxHamming <= nBlocks-1 (got $maxHamming, $nBlocks)")
+    require(maxHamming >= 0, "maxHamming must be non-negative")
+    val q = maxHamming / nBlocks
+    require(q <= 1,
+      s"per-block radius $q unsupported (maxHamming=$maxHamming, " +
+        s"nBlocks=$nBlocks); need maxHamming <= 2*nBlocks-1 — raise nBlocks")
     val bits = 64 / nBlocks
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val sig = simhashTable(df, textCol, idCol)
@@ -364,15 +382,35 @@ object Dedup {
       posexplode(array((0 until nBlocks).map(b =>
         shiftrightunsigned(col("simhash"), b * bits).bitwiseAND(lit(mask))): _*))
         .as(Seq("block", "block_val")))
-    val a = blocked.select(col("block"), col("block_val"),
-      col(idCol).as("id_a"), col("simhash").as("sig_a"))
+    // probe side: at q=1 every block value additionally probes its
+    // single-bit flips, so a <=1-bit block difference still equi-joins
+    val a = (if (q == 0) blocked
+             else blocked.select(col(idCol), col("simhash"), col("block"),
+               explode(array((Seq(col("block_val")) ++ (0 until bits).map(k =>
+                 col("block_val").bitwiseXOR(lit(1L << k)))): _*))
+                 .as("block_val")))
+      .select(col("block"), col("block_val"),
+        col(idCol).as("id_a"), col("simhash").as("sig_a"))
     val b = blocked.select(col("block"), col("block_val"),
       col(idCol).as("id_b"), col("simhash").as("sig_b"))
+    // A qualifying pair agrees (within q bits) on SEVERAL blocks — a
+    // true near-dup on most of them — so the per-block joins emit it
+    // up to nBlocks times. Keep only the copy from the FIRST agreeing
+    // block — unique by construction — instead of a trailing
+    // distinct(): that turns an O(candidates) dedup exchange into a
+    // codegen'd bitwise filter evaluated before the hamming check
+    // (multi-index hashing's standard dedup, Norouzi et al., CVPR'12).
+    val xor = col("sig_a").bitwiseXOR(col("sig_b"))
+    val firstAgree = (nBlocks - 1 to 0 by -1).foldLeft(lit(-1)) { (acc, j) =>
+      when(bit_count(shiftrightunsigned(xor, j * bits).bitwiseAND(lit(mask)))
+        <= q, lit(j)).otherwise(acc)
+    }
     a.join(b, Seq("block", "block_val"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(firstAgree === col("block"))
+      .withColumn("hamming", bit_count(xor))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Duplicate clusters from near-dup pairs: connected components via

@@ -333,15 +333,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(want.subsetOf(got), s"missed: ${want -- got}")
     assert(got == want, s"extra pairs beyond the radius: ${got -- want}")
+    // the q=1 probe-expansion path (4x16-bit blocks, single-bit-flip
+    // probes) must find the EXACT same hamming<=7 set
+    val expanded = Dedup.simhashCandidates(corpus, "text", "doc_id",
+      maxHamming = 7, nBlocks = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(expanded == want,
+      s"q=1 path diverged: missed ${want -- expanded}, extra ${expanded -- want}")
   }
 
-  test("simhashCandidates with 8 blocks widens the radius to hamming<=7") {
+  test("simhashCandidates widens the radius: q=0 via 8 blocks, q=1 via flips") {
     val pairs = Dedup.simhashCandidates(docs, "text", "doc_id",
       maxHamming = 7, nBlocks = 8).select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
-    // the pigeonhole precondition is enforced
+    val pairs4 = Dedup.simhashCandidates(docs, "text", "doc_id",
+      maxHamming = 7, nBlocks = 4).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs4 == pairs, s"block layouts disagree: $pairs4 vs $pairs")
+    // per-block radii beyond 1 are rejected, not silently wrong
     intercept[IllegalArgumentException] {
-      Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 7, nBlocks = 4)
+      Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 7, nBlocks = 2)
     }
   }
 
