@@ -27,7 +27,12 @@ object Bench {
     val warmDir = {
       val d = new java.io.File(sfDir).getParentFile
       val tiny = new java.io.File(d, "sf0.001")
-      if (tiny.isDirectory) tiny.getPath else sfDir
+      // scaled fixtures (.data/sf1, .data/sf3) have no tiny sibling —
+      // warm on the driver's sf0.001 testdata instead of paying a
+      // full-scale untimed pass per query
+      val fallback = new java.io.File("/root/testdata/sf0.001")
+      if (tiny.isDirectory) tiny.getPath
+      else if (fallback.isDirectory) fallback.getPath else sfDir
     }
     picked.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

@@ -237,8 +237,17 @@ object TextAnalysis {
       .select(col(idCol),
         concat(element_at(col("__toks"), col("__i")), lit(" "),
           element_at(col("__toks"), col("__i") + 1)).as("__g"))
-    val gramFreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__gc"))
-    val scored = grams
+    // Pre-aggregate per (doc, gram) multiplicity BEFORE the frequency
+    // joins: a gram repeated m times in a doc contributes m * s(g) to
+    // the mean, so the join/shuffle stream shrinks from O(corpus
+    // bigram occurrences) to O(distinct doc-grams) — natural text
+    // repeats bigrams enough that the three equi-joins and the final
+    // per-doc aggregate all ride the smaller stream, and the gram
+    // counts come from the same aggregate (sum of multiplicities).
+    val docGrams = grams.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__m"))
+    val gramFreq = docGrams.groupBy(col("__g")).agg(sum(col("__m")).as("__gc"))
+    val scored = docGrams
       .join(gramFreq, Seq("__g"))
       .withColumn("__pw", substring_index(col("__g"), " ", 1))
       .withColumn("__cw", substring_index(col("__g"), " ", -1))
@@ -246,10 +255,11 @@ object TextAnalysis {
       .join(uniFreq.select(col("__tok").as("__cw"), col("__uc").as("__cc")), Seq("__cw"))
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
-      .agg(round(avg(log(
+      .agg(round((sum(col("__m") * log(
           lit(lambda) * (col("__gc") / col("__pc")) +
-          lit(1.0 - lambda) * (col("__cc") / col("__n")))), 4).as("lm_logprob"),
-        count(lit(1)).cast("long").as("n_bigrams"))
+          lit(1.0 - lambda) * (col("__cc") / col("__n")))) /
+          sum(col("__m"))), 4).as("lm_logprob"),
+        sum(col("__m")).cast("long").as("n_bigrams"))
     df.select(col(idCol)).join(scored, Seq(idCol), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
