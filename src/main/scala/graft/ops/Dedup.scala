@@ -366,11 +366,18 @@ object Dedup {
     *
     * Radii beyond q = 1 (e.g. maxHamming = 7 with 2 blocks) would need
     * C(32,2)+ flip variants and are rejected; raise nBlocks instead.
+    *
+    * `maxBucket` is the hot-bucket guard rail for adversarial
+    * boilerplate corpora (the minhashCandidates pattern): buckets
+    * above the cap drop wholesale, yielding a deterministic subset —
+    * a pair survives iff some block still buckets it below the cap.
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3, nBlocks: Int = 4): DataFrame = {
+                        maxHamming: Int = 3, nBlocks: Int = 4,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     require(64 % nBlocks == 0, "nBlocks must divide 64")
     require(maxHamming >= 0, "maxHamming must be non-negative")
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
     val q = maxHamming / nBlocks
     require(q <= 1,
       s"per-block radius $q unsupported (maxHamming=$maxHamming, " +
@@ -382,35 +389,59 @@ object Dedup {
       posexplode(array((0 until nBlocks).map(b =>
         shiftrightunsigned(col("simhash"), b * bits).bitwiseAND(lit(mask))): _*))
         .as(Seq("block", "block_val")))
+    // Optional hot-bucket guard (the minhashCandidates maxBucket
+    // pattern): an adversarial corpus of near-identical signatures
+    // puts ~all carriers into ONE (block, value) bucket whose
+    // self-join is Θ(bucket²). Buckets above maxBucket are dropped
+    // WHOLESALE from the BUILD side — deterministic-subset semantics
+    // (a pair survives iff one of its blocks still buckets below the
+    // cap) — which bounds join output at O(probe rows × maxBucket);
+    // probe rows aimed at a dropped bucket simply find nothing.
+    val kept =
+      if (maxBucket == Int.MaxValue) blocked
+      else blocked
+        .withColumn("__bsz", count(lit(1)).over(
+          Window.partitionBy(col("block"), col("block_val"))))
+        .filter(col("__bsz") <= maxBucket)
+        .drop("__bsz")
     // probe side: at q=1 every block value additionally probes its
     // single-bit flips, so a <=1-bit block difference still equi-joins
-    val a = (if (q == 0) blocked
-             else blocked.select(col(idCol), col("simhash"), col("block"),
+    val a = (if (q == 0) kept
+             else kept.select(col(idCol), col("simhash"), col("block"),
                explode(array((Seq(col("block_val")) ++ (0 until bits).map(k =>
                  col("block_val").bitwiseXOR(lit(1L << k)))): _*))
                  .as("block_val")))
       .select(col("block"), col("block_val"),
         col(idCol).as("id_a"), col("simhash").as("sig_a"))
-    val b = blocked.select(col("block"), col("block_val"),
+    val b = kept.select(col("block"), col("block_val"),
       col(idCol).as("id_b"), col("simhash").as("sig_b"))
     // A qualifying pair agrees (within q bits) on SEVERAL blocks — a
     // true near-dup on most of them — so the per-block joins emit it
-    // up to nBlocks times. Keep only the copy from the FIRST agreeing
-    // block — unique by construction — instead of a trailing
+    // up to nBlocks times. Uncapped, keep only the copy from the FIRST
+    // agreeing block — unique by construction — instead of a trailing
     // distinct(): that turns an O(candidates) dedup exchange into a
     // codegen'd bitwise filter evaluated before the hamming check
     // (multi-index hashing's standard dedup, Norouzi et al., CVPR'12).
+    // CAPPED, the first agreeing block may be a dropped hot bucket
+    // while a later block survives — the signature-computed filter
+    // would wrongly reject the survivor — so the guard-rail path keeps
+    // every emission and dedups with distinct(), affordable exactly
+    // because the cap bounded the stream.
     val xor = col("sig_a").bitwiseXOR(col("sig_b"))
     val firstAgree = (nBlocks - 1 to 0 by -1).foldLeft(lit(-1)) { (acc, j) =>
       when(bit_count(shiftrightunsigned(xor, j * bits).bitwiseAND(lit(mask)))
         <= q, lit(j)).otherwise(acc)
     }
-    a.join(b, Seq("block", "block_val"))
+    val joined = a.join(b, Seq("block", "block_val"))
       .filter(col("id_a") < col("id_b"))
-      .filter(firstAgree === col("block"))
+    val deduped =
+      if (maxBucket == Int.MaxValue) joined.filter(firstAgree === col("block"))
+      else joined
+    val out = deduped
       .withColumn("hamming", bit_count(xor))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    if (maxBucket == Int.MaxValue) out else out.distinct()
   }
 
   /** Duplicate clusters from near-dup pairs: connected components via

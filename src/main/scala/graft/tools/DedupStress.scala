@@ -130,6 +130,12 @@ object DedupStress {
       Dedup.simhashCandidates(df, "text", "doc_id",
         maxHamming = 3, nBlocks = 4).count()
     }
+    // wide radius (q=1 probe expansion) under adversarial duplication,
+    // hot signature buckets dropped whole — the simhash guard rail
+    if (picked("simhash_capped")) parts += timed("simhash_capped") {
+      Dedup.simhashCandidates(df, "text", "doc_id",
+        maxHamming = 7, nBlocks = 4, maxBucket = 64).count()
+    }
     // the 100-TB ingestion story under adversarial duplication: stream
     // the corpus through the incremental store in batches and watch
     // per-batch cost. Template-DOMINANT docs self-limit (only the

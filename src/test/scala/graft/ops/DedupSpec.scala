@@ -110,6 +110,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("simhashCandidates maxBucket caps hot buckets to a deterministic subset") {
+    // 40 identical template docs (one signature -> every block bucket
+    // hot) + one genuinely distinct near-dup pair that must survive
+    val template = (0 until 40).map(i =>
+      (100L + i, "the same boilerplate navigation header text repeated verbatim"))
+    // identical pair (hamming 0, bucket of 2) — survival must not
+    // depend on per-token hash margins, only on the cap
+    val corpus = (template ++ Seq(
+      (1L, "completely original research about deep sea creatures and habitats"),
+      (2L, "completely original research about deep sea creatures and habitats")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.simhashCandidates(corpus, "text", "doc_id",
+        maxHamming = 7, nBlocks = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.simhashCandidates(corpus, "text", "doc_id",
+        maxHamming = 7, nBlocks = 4, maxBucket = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped), "cap must only REMOVE candidates")
+    assert(capped.contains((1L, 2L)),
+      s"distinct near-dup pair lost to the cap: $capped")
+    // the 40-doc template bucket (780 pairs) was dropped wholesale
+    assert(!capped.exists(p => p._1 >= 100L && p._2 >= 100L),
+      s"hot template bucket must be capped out: ${capped.size} pairs")
+    assert(uncapped.count(p => p._1 >= 100L && p._2 >= 100L) == 780,
+      "uncapped must still see the full template clique")
+  }
+
   test("removeDuplicateSpans cuts the shared window, keeps unique text") {
     val shared = (1 to 8).map(i => s"dup$i").mkString(" ") // one 8-token window
     val docs = Seq(
