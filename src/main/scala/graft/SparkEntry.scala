@@ -372,6 +372,17 @@ object SparkEntry {
         col("quality"))
       .orderBy(col("doc_id"))
 
+  /** Linear quality classifier (fastText/CCNet shape, fixed documented
+    * weights — TextAnalysis.QualityLr*): logistic score over the 4dp
+    * stats features, keep-gate at 0.5. The oracle replays the exact
+    * arithmetic, so the score hash-matches like q_text_stats' features.
+    */
+  private def qTextQualityLr(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityLr(t(s, d, "documents"), "text")
+      .select(col("doc_id"), col("stopword_ratio"), col("quality_lr"),
+        col("kept"))
+      .orderBy(col("doc_id"))
+
   private def qTextFingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -863,6 +874,20 @@ object SparkEntry {
   private def qDedupClusters(s: SparkSession, d: String): DataFrame =
     Dedup.clusterPairs(jaccardPairs(s, d)).orderBy(col("id"))
 
+  /** Cluster-representative selection over the same bounded slice as
+    * q_dedup_clusters: every doc_id < 200 labeled with its component
+    * (singletons label themselves) and a `kept` verdict — keep the
+    * longest member per cluster (n_chars desc, doc_id asc tiebreak).
+    * The post-clustering step of a real dedup pipeline: keep BEST
+    * quality, not first-crawled.
+    */
+  private def qDedupKeepBest(s: SparkSession, d: String): DataFrame =
+    Dedup.keepBestPerCluster(
+        t(s, d, "documents").filter(col("doc_id") < 200),
+        Dedup.clusterPairs(jaccardPairs(s, d)),
+        idCol = "doc_id", qualityCol = "n_chars")
+      .orderBy(col("doc_id"))
+
   /** Recall@5 contract for an ANN result against the exact top-5: a
     * returned neighbor counts as "good" if its cosine reaches the
     * query's exact 5th-best (ties included, 1e-6 slack for the shared
@@ -920,6 +945,24 @@ object SparkEntry {
     annAggRecallContract(
       Similarity.bruteForceTopK(emb, probes, 5),
       graft.ops.Ivf.search(idx, probes, topK = 5, nProbe = 12),
+      topK = 5, minRecall = 0.8)
+  }
+
+  /** PQ ANN top-5 (product-quantized codes + ADC scan + exact re-rank,
+    * ops/Pq.scala — the memory-bound scale path: 16-byte codes instead
+    * of 256-byte float vectors), gated on AGGREGATE recall@5 >= 0.8
+    * like q_sim_ivf_topk. The fixture is near-uniform random — the
+    * hardest case for quantization (no cluster structure to spend code
+    * budget on) — so the honest operating point is m=16 subspaces of 4
+    * dims (measured aggregate recall 0.9-1.0 across SFs with the
+    * default 16x shortlist).
+    */
+  private def qSimPq(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    annAggRecallContract(
+      Similarity.bruteForceTopK(emb, probes, 5),
+      graft.ops.Pq.search(emb, probes, topK = 5, m = 16, k = 16),
       topK = 5, minRecall = 0.8)
   }
 
@@ -1328,7 +1371,9 @@ object SparkEntry {
     "q_dedup_exact_keep" -> qDedupExactKeep,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_dedup_keep_best" -> qDedupKeepBest,
     "q_text_stats" -> qTextStats,
+    "q_text_quality_lr" -> qTextQualityLr,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_langid" -> qTextLangId,
     "q_text_tokens_bpe" -> qTokensBpe,
@@ -1363,6 +1408,7 @@ object SparkEntry {
     "q_dedup_simhash" -> qSimhashPairs,
     "q_sim_lsh_topk" -> qSimLsh,
     "q_sim_ivf_topk" -> qSimIvf,
+    "q_sim_pq_topk" -> qSimPq,
     "q_ai_classify" -> qAiClassify,
     "q_ai_extract_wide" -> qAiExtractWide,
     "q_ai_summarize" -> qAiSummarize,
@@ -1468,6 +1514,18 @@ object SparkEntry {
         "FROM s a, s b WHERE a.doc_id < b.doc_id) WHERE jaccard >= 0.05 ORDER BY id_a, id_b"),
     "q_text_stats" ->
       s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS mean_word_len, round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio, round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains($stopList, x))) AS DOUBLE) / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 4) AS stopword_ratio, round((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END + CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 5 THEN 1.0 ELSE 0.0 END + CASE WHEN round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains($stopList, x))) AS DOUBLE) / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 4) > 0.0 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality FROM documents ORDER BY doc_id",
+    // linear quality classifier: the logit consumes the SAME rounded
+    // 4dp features as q_text_stats, weights interpolated from the one
+    // Scala source of truth (TextAnalysis.QualityLr*)
+    "q_text_quality_lr" ->
+      (s"WITH f AS (SELECT doc_id, " +
+        s"round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains($stopList, x))) AS DOUBLE) / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 4) AS stopword_ratio, " +
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+        "round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS mean_word_len, " +
+        "round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio FROM documents), " +
+        s"s AS (SELECT doc_id, stopword_ratio, ((${TextAnalysis.QualityLrBias}) + stopword_ratio * (${TextAnalysis.QualityLrWStop}) + ln(1 + n_tokens) * (${TextAnalysis.QualityLrWLnTok}) + mean_word_len * (${TextAnalysis.QualityLrWMeanLen}) + punct_ratio * (${TextAnalysis.QualityLrWPunct})) AS logit FROM f) " +
+        "SELECT doc_id, stopword_ratio, round(1.0 / (1.0 + exp(-logit)), 4) AS quality_lr, " +
+        "round(1.0 / (1.0 + exp(-logit)), 4) >= 0.5 AS kept FROM s ORDER BY doc_id"),
     "q_text_fingerprint" ->
       "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fp FROM documents ORDER BY doc_id",
     "q_text_langid" ->
@@ -1635,6 +1693,8 @@ object SparkEntry {
       "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY query_id",
     "q_sim_ivf_topk" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "q_sim_pq_topk" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
     // banded-minhash candidates must reproduce the exact all-pairs
     // J >= 0.5 set (planted dups all sit at J >= 0.8); the simhash
     // block join is gated on true-pair count + recall bound
@@ -1777,6 +1837,24 @@ object SparkEntry {
         "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
         "reach(src, dst) AS (SELECT src, dst FROM e UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src) " +
         "SELECT src AS id, least(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src ORDER BY id"),
+    // keep-best representative: same clusters CTE, then per-cluster
+    // argmax by (n_chars desc, doc_id) over ALL docs < 200 (singletons
+    // are their own cluster and trivially kept)
+    "q_dedup_keep_best" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents WHERE doc_id < 200), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) END AS sh FROM t), " +
+        "p AS (SELECT id_a, id_b FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard " +
+        "FROM s a, s b WHERE a.doc_id < b.doc_id) WHERE jaccard >= 0.05), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+        "reach(src, dst) AS (SELECT src, dst FROM e UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src), " +
+        "cl AS (SELECT src AS id, least(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src), " +
+        "lab AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id, d.n_chars " +
+        "FROM documents d LEFT JOIN cl ON d.doc_id = cl.id WHERE d.doc_id < 200) " +
+        "SELECT doc_id, cluster_id, " +
+        "(ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1) AS kept " +
+        "FROM lab ORDER BY doc_id"),
     // corpus-prep: chunking / split+pack / scrub
     "q_chunking" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +

@@ -527,4 +527,36 @@ object Dedup {
     labels.unpersist()
     out
   }
+
+  /** Cluster-representative selection — the step a dedup pipeline runs
+    * AFTER [[clusterPairs]]: within each near-dup cluster keep exactly
+    * one document, the one with the highest `qualityCol` (ties broken
+    * by lowest id, so the choice is total and deterministic); documents
+    * in no cluster are their own singleton and always kept. Real
+    * curation pipelines keep the best-quality member, not the lowest
+    * id — min-id keeping silently biases the corpus toward whatever
+    * crawled first.
+    *
+    * Input: `docs` with (idCol, qualityCol); `clusters` = (id,
+    * cluster_id) as produced by [[clusterPairs]] (clustered ids only).
+    * Output: (idCol, cluster_id, kept) for EVERY input doc.
+    *
+    * Scale shape: the join and the per-cluster argmax window both move
+    * only (id, cluster_id, quality) rows — the text never shuffles —
+    * and cluster cardinality ~= corpus cardinality (singletons
+    * dominate), so the window's hash partitioning is as balanced as the
+    * id space itself.
+    */
+  def keepBestPerCluster(docs: DataFrame, clusters: DataFrame,
+                         idCol: String = "doc_id",
+                         qualityCol: String = "n_chars"): DataFrame = {
+    val lab = docs.select(col(idCol), col(qualityCol))
+      .join(clusters.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    lab.withColumn("kept", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_id"), col("kept"))
+  }
 }

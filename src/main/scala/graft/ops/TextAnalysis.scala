@@ -139,6 +139,43 @@ object TextAnalysis {
       .drop("__st")
   }
 
+  /** Fixed weights of the linear quality classifier [[qualityLr]] —
+    * the shape of a fastText/CCNet-style quality model distilled to its
+    * deterministic skeleton: a logistic regression over cheap text
+    * statistics. Real pipelines learn these from labeled good/bad
+    * corpora; the VALUES here are hand-set constants (documented, not
+    * trained) so the operator is reproducible and oracle-checkable —
+    * swap in trained weights without touching the plan shape.
+    */
+  val QualityLrBias = -2.0
+  val QualityLrWStop = 6.0      // stopwords present -> fluent prose
+  val QualityLrWLnTok = 0.35    // longer docs mildly preferred (log-damped)
+  val QualityLrWMeanLen = -0.15 // very long "words" -> junk/URLs
+  val QualityLrWPunct = -8.0    // punctuation-dense -> markup/code noise
+
+  /** Linear (logistic) quality classifier: P(keep) = sigmoid(w . x)
+    * over the [[annotateStats]] feature vector (stopword_ratio,
+    * ln(1+n_tokens), mean_word_len, punct_ratio). Adds `quality_lr`
+    * (rounded 4dp) and `kept` (score >= 0.5). One native stats pass +
+    * pure arithmetic — fully codegen, no shuffle, linear at any scale.
+    *
+    * The logit consumes the ROUNDED 4dp ratio features, so any SQL
+    * engine replaying the documented formulas reproduces the score
+    * bit-for-bit (same contract as q_text_stats' features).
+    */
+  def qualityLr(df: DataFrame, textCol: String): DataFrame = {
+    val ann = annotateStats(df, textCol)
+    val logit = lit(QualityLrBias) +
+      col("stopword_ratio") * lit(QualityLrWStop) +
+      log1p(col("n_tokens")) * lit(QualityLrWLnTok) +
+      col("mean_word_len") * lit(QualityLrWMeanLen) +
+      col("punct_ratio") * lit(QualityLrWPunct)
+    ann
+      .withColumn("quality_lr",
+        round(lit(1.0) / (lit(1.0) + exp(-logit)), 4))
+      .withColumn("kept", col("quality_lr") >= 0.5)
+  }
+
   /** Rolling content hash over whitespace tokens — an order-sensitive
     * fingerprint, unlike [[fingerprint]]. Chained hashing
     * h = xxhash(h, token) via aggregate(): ANSI-safe (no overflowing

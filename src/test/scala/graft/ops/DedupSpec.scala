@@ -445,6 +445,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Seq(0L), s"exactly one survivor: $kept")
   }
 
+  test("keepBestPerCluster keeps the best member per cluster, singletons kept") {
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L), // {1,2,3}: 2 ties 3 -> keep lower id 2
+      (4L, 5L),                        // singleton: its own cluster, kept
+      (5L, 9L), (6L, 7L)               // {5,6}: keep 5
+    ).toDF("doc_id", "n_chars")
+    val clusters = Dedup.clusterPairs(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b"))
+    val out = Dedup.keepBestPerCluster(docs, clusters).orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)), s"got $out")
+  }
+
   test("duplicateSpans counts corpus-wide repeated k-token windows") {
     val df = Seq(
       // docs 1 and 2 share the exact 4-token span "one two three four"

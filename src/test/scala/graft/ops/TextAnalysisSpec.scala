@@ -79,6 +79,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       s"fast=${fast.collect().toSeq}\nslow=${slow.collect().toSeq}")
   }
 
+  test("qualityLr replays the documented logistic formula and gates at 0.5") {
+    val df = Seq(
+      (1L, "the cat sat on the mat with a hat and a bat for fun"),
+      (2L, "zzzzz qqqqq !!!!! ##### @@@@@ %%%%% &&&&& *****")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityLr(df, "text")
+      .select("doc_id", "quality_lr", "kept")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    val feats = TextAnalysis.annotateStats(df, "text")
+      .select("doc_id", "stopword_ratio", "n_tokens", "mean_word_len",
+        "punct_ratio")
+      .as[(Long, Double, Long, Double, Double)].collect().sortBy(_._1)
+    out.zip(feats).foreach { case ((id, score, kept), (fid, sr, nt, mwl, pr)) =>
+      assert(id == fid)
+      val logit = TextAnalysis.QualityLrBias +
+        sr * TextAnalysis.QualityLrWStop +
+        math.log1p(nt.toDouble) * TextAnalysis.QualityLrWLnTok +
+        mwl * TextAnalysis.QualityLrWMeanLen +
+        pr * TextAnalysis.QualityLrWPunct
+      val expect = BigDecimal(1.0 / (1.0 + math.exp(-logit)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(score - expect) <= 1e-12, s"doc $id: $score vs $expect")
+      assert(kept == (score >= 0.5))
+    }
+    // fluent stopword-rich prose outranks punctuation-dense junk
+    assert(out(0)._2 > out(1)._2)
+  }
+
   test("curateStats equals curate minus the text column") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and it was fast."),
