@@ -76,6 +76,47 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange"), s"k-means E-step must not shuffle:\n$p")
   }
 
+  test("quality LR rides the scan: one native stats pass, zero exchanges") {
+    // the operator itself (the q entry adds only the deterministic
+    // output sort, whose range Exchange is presentation, not compute)
+    val p = graft.ops.TextAnalysis.qualityLr(
+        spark.read.parquet(s"$sf/documents.parquet"), "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"logistic scorer must be pure map-side arithmetic:\n$p")
+    val counters = "text_stats_counts".r.findAllIn(p).length
+    assert(counters == 1, s"expected exactly 1 native stats pass, found $counters:\n$p")
+  }
+
+  test("keep-best representative selection never shuffles text") {
+    val p = plan("q_dedup_keep_best")
+    // the cluster label join and the per-cluster argmax window move
+    // only (doc_id, n_chars, cluster_id) — the text column must be
+    // pruned at the documents scan feeding keepBestPerCluster. One
+    // ReadSchema carries text (jaccardPairs' shingle side, bounded
+    // doc_id < 200 slice); the keep-best side must not.
+    val textScans = "text:string".r.findAllIn(p).length
+    assert(textScans <= 1,
+      s"keep-best side must prune text from its scan ($textScans carriers):\n$p")
+  }
+
+  test("PQ ADC scan keeps the corpus shuffle-free up to the rank window") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = graft.ops.Pq.train(emb, m = 16, k = 16, iters = 1)
+    val enc = graft.ops.Pq.encode(emb, model)
+    val p = enc.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"PQ encode must be map-only:\n$p")
+    val s = graft.ops.Pq.searchFromCodes(enc, emb,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+      model, topK = 5)
+    val sp = s.queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastExchange"),
+      s"probe LUTs must broadcast against the streamed code table:\n$sp")
+    assert(sp.contains("pq_adc_ip") || sp.contains("PqAdcIp") ||
+      sp.contains("pqadcip"),
+      s"ADC scoring must be the native lookup expression:\n$sp")
+  }
+
   test("curation stats shuffle carries no text bodies") {
     val p = plan("q_corpus_curation")
     val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
