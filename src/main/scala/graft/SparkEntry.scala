@@ -966,6 +966,24 @@ object SparkEntry {
       topK = 5, minRecall = 0.8)
   }
 
+  /** IVF-PQ composed ANN top-5 (ops/Pq.searchIvfPq — IVF prunes the
+    * candidate lists, PQ compresses the per-candidate cost to an
+    * m-lookup code scan, exact re-rank on the shortlist), gated on
+    * AGGREGATE recall@5 >= 0.8 like the IVF and PQ entries. nProbe
+    * matches q_sim_ivf_topk's operating point; the PQ stage on top
+    * loses nothing measurable because the shortlist (16 x topK) far
+    * exceeds the per-list true-neighbor count.
+    */
+  private def qSimIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    annAggRecallContract(
+      Similarity.bruteForceTopK(emb, probes, 5),
+      graft.ops.Pq.searchIvfPq(emb, probes, topK = 5,
+        kCells = 16, nProbe = 12, m = 16, k = 16, iters = 2),
+      topK = 5, minRecall = 0.8)
+  }
+
   /** Aggregate-recall variant of [[annRecallContract]]: one row
     * (n_probes, recall_ok), recall summed over all probes.
     */
@@ -1409,6 +1427,7 @@ object SparkEntry {
     "q_sim_lsh_topk" -> qSimLsh,
     "q_sim_ivf_topk" -> qSimIvf,
     "q_sim_pq_topk" -> qSimPq,
+    "q_sim_ivfpq_topk" -> qSimIvfPq,
     "q_ai_classify" -> qAiClassify,
     "q_ai_extract_wide" -> qAiExtractWide,
     "q_ai_summarize" -> qAiSummarize,
@@ -1694,6 +1713,8 @@ object SparkEntry {
     "q_sim_ivf_topk" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
     "q_sim_pq_topk" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "q_sim_ivfpq_topk" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
     // banded-minhash candidates must reproduce the exact all-pairs
     // J >= 0.5 set (planted dups all sit at J >= 0.8); the simhash

@@ -164,20 +164,30 @@ object Ivf {
       explode(lists(col(vecCol).cast("array<double>"))).as("centroid_id"))
   }
 
-  /** ANN top-k: nProbe nearest lists per probe, exact re-rank within. */
-  def search(index: IvfIndex, probes: DataFrame, topK: Int, nProbe: Int = 2,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Per-probe inverted-list selection — the probe half of [[search]],
+    * exposed so compositions (IVF-PQ in [[Pq.searchIvfPq]]) can reuse
+    * it: one row per (query_id, centroid_id) with the probe vector and
+    * norm riding along, centroid ranking done map-side in the closure.
+    */
+  def probeLists(index: IvfIndex, probes: DataFrame, nProbe: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cen: Cen = index.centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     // per-probe list selection is a projection: rank the k centroids
     // in the closure, keep nProbe ids, explode
     val ranker = rankedCentroids(cen)
     val lists = udf((emb: Seq[Double]) => ranker(emb).take(nProbe))
-    val chosen = probes
+    probes
       .select(col(idCol).as("query_id"), col(vecCol).as("__pv"))
       .withColumn("__pn", norm(col("__pv")))
       .select(col("query_id"), col("__pv"), col("__pn"),
         explode(lists(col("__pv").cast("array<double>"))).as("centroid_id"))
+  }
+
+  /** ANN top-k: nProbe nearest lists per probe, exact re-rank within. */
+  def search(index: IvfIndex, probes: DataFrame, topK: Int, nProbe: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val chosen = probeLists(index, probes, nProbe, idCol, vecCol)
     // candidates: equi-join on centroid_id, then exact cosine re-rank
     val cands = chosen.join(
       index.assignments.select(col(idCol).as("corpus_id"),

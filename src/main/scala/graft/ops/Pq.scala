@@ -245,8 +245,17 @@ object Pq {
       .withColumn("__arank", row_number().over(wa))
       .filter(col("__arank") <= sl)
       .select(col("query_id"), col("corpus_id"))
-    // exact re-rank of the shortlist only: equi-join back to the full
-    // vectors (shortlist x probes rows — tiny), recompute true cosine
+    exactRerank(short, corpus, p, topK, idCol, vecCol)
+  }
+
+  /** Exact re-rank of a (query_id, corpus_id) shortlist: equi-join back
+    * to the full vectors (shortlist x probes rows — tiny), recompute
+    * true cosine, keep topK. Shared by [[searchFromCodes]] and
+    * [[searchIvfPq]]. `p` must carry one (query_id, __pv, __pn) row per
+    * probe.
+    */
+  private def exactRerank(short: DataFrame, corpus: DataFrame, p: DataFrame,
+                          topK: Int, idCol: String, vecCol: String): DataFrame = {
     val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
     val wr = Window.partitionBy(col("query_id"))
@@ -259,6 +268,53 @@ object Pq {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("corpus_id"), col("rank"),
         round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** IVF-PQ (the FAISS IVFPQ architecture): both scale axes composed —
+    * IVF prunes the CANDIDATE SET (each probe touches ~corpus/kCells x
+    * nProbe vectors via the centroid equi-join), PQ compresses what
+    * those candidates COST (each is an m-lookup ADC score over a
+    * 16-byte code, not a dim-float dot). The compressed inverted index
+    * is (centroid_id, corpus_id, code, norm) rows — at 100 TB the only
+    * full-precision vector reads are the per-probe shortlist re-ranks.
+    *
+    * Shuffle profile: one narrow code-table shuffle onto centroid_id at
+    * index build; per search, probe x nProbe LUT rows broadcast against
+    * it (an equi-join, never a corpus-wide cross join), and only
+    * shortlist survivors reach the full vectors.
+    */
+  def searchIvfPq(corpus: DataFrame, probes: DataFrame, topK: Int,
+                  kCells: Int = 16, nProbe: Int = 4, m: Int = 16, k: Int = 16,
+                  iters: Int = 5, shortlist: Int = 0,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val sl = if (shortlist > 0) shortlist else 16 * topK
+    require(sl >= topK, "shortlist must cover topK")
+    val idx = Ivf.build(corpus, kCells, iters, idCol, vecCol)
+    val model = train(corpus, m, k, idCol = idCol, vecCol = vecCol)
+    // compressed inverted index: codes keyed by their IVF list
+    val codes = encode(corpus, model, idCol, vecCol)
+      .join(idx.assignments.select(col(idCol), col("centroid_id")), Seq(idCol))
+      .select(col(idCol).as("corpus_id"), col("centroid_id"),
+        col("pq_code"), col("pq_norm"))
+    val lutUdf = udf((v: Seq[Double]) => if (v == null) null else model.adcTable(v.toArray))
+    val chosen = Ivf.probeLists(idx, probes, nProbe, idCol, vecCol)
+      .withColumn("__lut", lutUdf(col("__pv").cast("array<double>")))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("corpus_id"))
+    val short = codes
+      .join(broadcast(chosen.select(col("centroid_id"), col("query_id"),
+        col("__pn"), col("__lut"))), Seq("centroid_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("__approx", safeCosine(
+        graft.functions.VectorExpressions.pq_adc_ip(col("pq_code"), col("__lut"), model.k),
+        col("pq_norm"), col("__pn")))
+      .withColumn("__arank", row_number().over(wa))
+      .filter(col("__arank") <= sl)
+      .select(col("query_id"), col("corpus_id"))
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("__pv"))
+      .withColumn("__pn", norm(col("__pv")))
+    exactRerank(short, corpus, p, topK, idCol, vecCol)
   }
 
   /** Train + encode + search in one call (the common small-probe-set

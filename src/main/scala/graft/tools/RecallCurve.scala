@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry
-import graft.ops.{Ivf, Similarity}
+import graft.ops.{Ivf, Pq, Similarity}
 
 /** Measured recall curves for the ANN surface — the numbers behind
   * docs/RECALL.md, so a user choosing (nBits, nTables) for SRP-LSH or
@@ -95,6 +95,43 @@ object RecallCurve {
                        nProbe: Int, nProbes: Int = DefaultProbes): Double =
     ivfCell(spark, dir, index, nProbe, nProbes)._2
 
+  /** PQ recall@5 for one (m, shortlist) point: the flat-ADC search's
+    * final top-5 vs brute force. The cost axis here is not candidate
+    * volume (a flat code scan touches every code) but bytes and ops
+    * per candidate — m bytes + m lookups vs dim floats + dim
+    * multiplies — so the doc reports recall alone for the compression
+    * dial.
+    */
+  def pqRecall(spark: SparkSession, dir: String, m: Int, shortlist: Int,
+               k: Int = 16, nProbes: Int = DefaultProbes,
+               exact: Option[DataFrame] = None): Double = {
+    val e = emb(spark, dir)
+    val got = Pq.search(e, e.filter(col("vec_id") < nProbes), topK = 5,
+        m = m, k = k, shortlist = shortlist)
+      .select("query_id", "corpus_id")
+    val ex = exact.getOrElse(exactTop5(spark, dir, nProbes))
+    val hits = ex.join(got, Seq("query_id", "corpus_id"), "left_semi").count()
+    math.round(hits.toDouble / (nProbes * 5L) * 1000) / 1000.0
+  }
+
+  /** IVF-PQ recall@5 for one nProbe at fixed (kCells, m, shortlist):
+    * the composed path's final top-5 vs brute force. Candidate-fraction
+    * is ~nProbe/kCells (the IVF table's cost column); the PQ stage
+    * changes per-candidate cost, not candidate count.
+    */
+  def ivfPqRecall(spark: SparkSession, dir: String, kCells: Int, nProbe: Int,
+                  m: Int = 16, shortlist: Int = 0,
+                  nProbes: Int = DefaultProbes,
+                  exact: Option[DataFrame] = None): Double = {
+    val e = emb(spark, dir)
+    val got = Pq.searchIvfPq(e, e.filter(col("vec_id") < nProbes), topK = 5,
+        kCells = kCells, nProbe = nProbe, m = m, shortlist = shortlist)
+      .select("query_id", "corpus_id")
+    val ex = exact.getOrElse(exactTop5(spark, dir, nProbes))
+    val hits = ex.join(got, Seq("query_id", "corpus_id"), "left_semi").count()
+    math.round(hits.toDouble / (nProbes * 5L) * 1000) / 1000.0
+  }
+
   /** Planted-near-dup PAIR recall for `cosineNearDups` at one
     * (nBits, nTables) point: fraction of the exact cos>=thresh pairs
     * (the capped sub-population the q_emb_near_dups_lsh gate measures —
@@ -171,6 +208,20 @@ object RecallCurve {
       }
       println(s"| $k | ${row.mkString(" | ")} |")
     }
+
+    println(s"\n## PQ recall@5 vs (m, shortlist) ($dir, ${DefaultProbes} probes, k=16)")
+    println("| m \\ shortlist | 20 | 40 | 80 |")
+    println("|---|---|---|---|")
+    for (m <- Seq(8, 16)) {
+      val row = Seq(20, 40, 80).map(sl =>
+        s"${pqRecall(spark, dir, m, sl, exact = exact)}")
+      println(s"| $m | ${row.mkString(" | ")} |")
+    }
+
+    println(s"\n## IVF-PQ recall@5 vs nProbe (kCells=16, m=16, shortlist=80)")
+    val ivfPqRow = Seq(4, 8, 12).map(p =>
+      s"nProbe=$p: ${ivfPqRecall(spark, dir, kCells = 16, nProbe = p, exact = exact)}")
+    println(ivfPqRow.mkString("  "))
 
     println(s"\n## Planted near-dup pair recall (cosineNearDups, cap $cap, cos>=0.4)")
     val nd = Seq((4, 32), (6, 16), (8, 8), (8, 4))

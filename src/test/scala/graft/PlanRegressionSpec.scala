@@ -117,6 +117,18 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
       s"ADC scoring must be the native lookup expression:\n$sp")
   }
 
+  test("IVF-PQ candidates ride the centroid equi-join, never a cross join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = graft.ops.Pq.searchIvfPq(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+        topK = 5, kCells = 4, nProbe = 2, m = 16, k = 16, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"IVF-PQ must join codes to probe lists on centroid_id:\n$p")
+    assert(p.contains("pq_adc_ip") || p.contains("pqadcip"),
+      s"ADC scoring must be the native lookup expression:\n$p")
+  }
+
   test("curation stats shuffle carries no text bodies") {
     val p = plan("q_corpus_curation")
     val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")

@@ -87,6 +87,24 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       s"aggregate recall@5 $good/${exact.size * 5} below 0.8")
   }
 
+  test("IVF-PQ finds the planted duplicate and meets the recall gate") {
+    val probes = vecs.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(vecs, probes, 5)
+      .groupBy($"query_id").agg(min($"cosine").as("kth"))
+      .as[(Long, Double)].collect().toMap
+    val got = Pq.searchIvfPq(vecs, probes, topK = 5,
+        kCells = 4, nProbe = 3, m = 16, k = 16, iters = 2)
+      .as[(Long, Long, Int, Double)].collect()
+    // probe 0's identical twin (50) must surface through the composed
+    // path with exact cosine 1 after the re-rank
+    val p0 = got.filter(_._1 == 0L).sortBy(_._3)
+    assert(p0.head._2 == 50L && math.abs(p0.head._4 - 1.0) < 1e-6,
+      s"planted dup must rank first: ${p0.toSeq}")
+    val good = got.count { case (q, _, _, cos) => cos >= exact(q) - 1e-6 }
+    assert(good.toDouble / (exact.size * 5) >= 0.8,
+      s"aggregate recall@5 $good/${exact.size * 5} below 0.8")
+  }
+
   test("null and zero-norm embeddings neither crash nor outrank real ones") {
     val weird = vecs.unionByName(Seq(
       (98L, Seq.fill(32)(0.0f)),

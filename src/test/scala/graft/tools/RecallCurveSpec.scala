@@ -56,6 +56,25 @@ class RecallCurveSpec extends AnyFunSuite with SparkTestBase {
     assert(r12 >= r8, "recall must be monotone in nProbe")
   }
 
+  test("PQ recall@5 matches the documented grid points exactly") {
+    // deterministic end to end (md5-ordered training sample, driver
+    // Lloyd, id tie-breaks) -> exact pins like SRP-LSH
+    assert(RecallCurve.pqRecall(spark, dir, m = 16, shortlist = 80,
+      exact = exact) == 0.856)
+    assert(RecallCurve.pqRecall(spark, dir, m = 8, shortlist = 80,
+      exact = exact) == 0.576)
+  }
+
+  test("IVF-PQ recall@5 at the contract point stays in the documented band") {
+    // Ivf.build's Lloyd means average in shuffle order -> narrow band
+    val r12 = RecallCurve.ivfPqRecall(spark, dir, kCells = 16, nProbe = 12,
+      exact = exact)
+    assert(math.abs(r12 - 0.84) <= 0.05, s"documented 0.84, got $r12")
+    val r8 = RecallCurve.ivfPqRecall(spark, dir, kCells = 16, nProbe = 8,
+      exact = exact)
+    assert(r12 >= r8, "recall must be monotone in nProbe")
+  }
+
   test("SemDeDup pair recall rises with multi-assign m as documented") {
     val idx = Ivf.build(
       RecallCurve.emb(spark, dir)
