@@ -372,6 +372,33 @@ object SparkEntry {
         col("quality"))
       .orderBy(col("doc_id"))
 
+  /** Codepoint-entropy quality signal (one native codegen pass per
+    * row, [[graft.functions.TextHashExpressions.CharEntropy]]): low
+    * entropy = repeated-char / template junk, high = base64-ish noise.
+    * The oracle replays it with DuckDB's per-char unnest + entropy()
+    * aggregate; both sides round to 4dp, and the gate compares the
+    * ROUNDED value so the flag can't straddle a float boundary the
+    * score doesn't.
+    */
+  private def qTextEntropy(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        round(graft.functions.TextHashExpressions.char_entropy(col("text")), 4)
+          .as("char_entropy"))
+      .withColumn("low_entropy", col("char_entropy") < 4.0)
+      .orderBy(col("doc_id"))
+
+  /** Deterministic corpus shuffle + sharding ([[Corpus.shuffleShards]]):
+    * the epoch-reshuffle permutation every training run consumes,
+    * seeded so the oracle replays it exactly — md5 rank, hash-prefix
+    * shard, per-shard position; one shard exchange, no global sort.
+    */
+  private def qCorpusShuffle(s: SparkSession, d: String): DataFrame =
+    graft.ops.Corpus.shuffleShards(t(s, d, "documents"), "doc_id",
+        nShards = 8, seed = 42L)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
   /** Linear quality classifier (fastText/CCNet shape, fixed documented
     * weights — TextAnalysis.QualityLr*): logistic score over the 4dp
     * stats features, keep-gate at 0.5. The oracle replays the exact
@@ -488,6 +515,44 @@ object SparkEntry {
     */
   private def qTextLogProb(s: SparkSession, d: String): DataFrame =
     TextAnalysis.unigramLogProb(t(s, d, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** CCNet head/middle/tail perplexity partition — exact-percentile
+    * cutoffs broadcast onto the scored stream (never a global ntile
+    * window); DuckDB's quantile_cont replays Spark's `percentile`
+    * interpolation on the identical 4dp scores.
+    */
+  private def qTextPplSplit(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.perplexitySplit(t(s, d, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("mean_logprob"), col("ppl_bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Planted-boilerplate lined fixture (mediaBlob pattern, like
+    * [[linedText]]): 8-token content lines plus a header on even docs
+    * and a footer on every doc — so doc-frequency boilerplate removal
+    * has real per-doc work with mixed outcomes, DuckDB-replayable.
+    */
+  private def boilerLinedText: Column = {
+    val toks = split(col("text"), "\\s+")
+    val content = transform(
+      sequence(lit(0), ceil(size(toks) / lit(8.0)).cast("int") - 1),
+      i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))
+    val header = when(pmod(col("doc_id"), lit(2)) === 0,
+        array(lit("copyright acme corp all rights reserved")))
+      .otherwise(array().cast("array<string>"))
+    array_join(
+      concat(header, content,
+        array(lit("subscribe to our newsletter today"))), "\n")
+  }
+
+  /** Doc-frequency boilerplate line removal: header (half the docs)
+    * and footer (all docs) cross the minDocs=10 bar and vanish;
+    * content lines survive unless genuinely shared by >= 10 docs.
+    */
+  private def qTextBoilerplateRm(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.removeBoilerplateLines(
+        t(s, d, "documents").select(col("doc_id"), boilerLinedText.as("text")),
+        "text", "doc_id", minDocs = 10)
       .orderBy(col("doc_id"))
 
   /** Heavy-hitter tokens via the one-pass frequent-items sketch,
@@ -688,6 +753,29 @@ object SparkEntry {
       .select(col("query_id"), col("corpus_id"), col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Attribute-filtered vector search: exact top-5 among label=3
+    * vectors only — the predicate reaches the parquet scan
+    * (plan-guarded), so the quadratic stage sees survivors only.
+    */
+  private def qSimFilteredTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.filteredTopK(emb, col("label") === 3,
+        emb.filter(col("vec_id") < 10), 5)
+      .select(col("query_id"), col("corpus_id"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Token-budget intake per source (the execution half of mixPlan):
+    * distributed prefix sum in md5 order, full DuckDB replay of the
+    * per-source cumulative counts and keep decisions.
+    */
+  private def qCorpusTokenBudget(s: SparkSession, d: String): DataFrame =
+    graft.ops.Corpus.takeTokenBudget(t(s, d, "documents"), "source",
+        "doc_id", "text",
+        budgets = Map("src0" -> 500L, "src1" -> 3000L),
+        defaultBudget = 800L)
+      .orderBy(col("doc_id"))
 
   /** Audit-sample bound for the embedding near-dup CONTRACT queries.
     *
@@ -1391,6 +1479,7 @@ object SparkEntry {
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_keep_best" -> qDedupKeepBest,
     "q_text_stats" -> qTextStats,
+    "q_text_entropy" -> qTextEntropy,
     "q_text_quality_lr" -> qTextQualityLr,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_langid" -> qTextLangId,
@@ -1401,12 +1490,15 @@ object SparkEntry {
     "q_split_pack" -> qSplitPack,
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
+    "q_text_ppl_split" -> qTextPplSplit,
+    "q_text_boilerplate_rm" -> qTextBoilerplateRm,
     "q_text_bigram" -> qTextBigram,
     "q_text_c4" -> qTextC4,
     "q_heavy" -> qHeavy,
     "q_text_repetition" -> qTextRepetition,
     "q_corpus_dsir" -> qCorpusDsir,
     "q_corpus_mix" -> qCorpusMix,
+    "q_corpus_shuffle" -> qCorpusShuffle,
     "q_corpus_decontaminate" -> qDecontaminate,
     "q_corpus_decontaminate_ngram" -> qDecontaminateNgram,
     "q_decon_bloom" -> qDeconBloom,
@@ -1416,6 +1508,8 @@ object SparkEntry {
     "q_quantiles" -> qQuantiles,
     "q_semdedup" -> qSemdedup,
     "q_sim_topk" -> qSimTopK,
+    "q_sim_filtered_topk" -> qSimFilteredTopK,
+    "q_corpus_token_budget" -> qCorpusTokenBudget,
     "q_corpus_curation" -> qCuration,
     "q_emb_near_dups" -> qEmbNearDups,
     "q_emb_near_dups_lsh" -> qEmbNearDupsLsh,
@@ -1533,6 +1627,22 @@ object SparkEntry {
         "FROM s a, s b WHERE a.doc_id < b.doc_id) WHERE jaccard >= 0.05 ORDER BY id_a, id_b"),
     "q_text_stats" ->
       s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS mean_word_len, round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio, round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains($stopList, x))) AS DOUBLE) / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 4) AS stopword_ratio, round((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END + CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 5 THEN 1.0 ELSE 0.0 END + CASE WHEN round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains($stopList, x))) AS DOUBLE) / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 4) > 0.0 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality FROM documents ORDER BY doc_id",
+    // per-char unnest + DuckDB's entropy() aggregate = same Shannon
+    // base-2 formula as the one-pass Spark expression; the LEFT JOIN
+    // keeps empty docs (entropy 0) that the group-by would drop
+    "q_text_entropy" ->
+      ("WITH e AS (SELECT doc_id, entropy(c) AS ent FROM " +
+        "(SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents) " +
+        "GROUP BY doc_id) " +
+        "SELECT d.doc_id, round(coalesce(e.ent, 0.0), 4) AS char_entropy, " +
+        "round(coalesce(e.ent, 0.0), 4) < 4.0 AS low_entropy " +
+        "FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id ORDER BY d.doc_id"),
+    "q_corpus_shuffle" ->
+      ("WITH h AS (SELECT doc_id, md5('shuf42:' || doc_id) AS rank FROM documents), " +
+        "s AS (SELECT doc_id, ('0x' || substr(rank, 1, 15))::BIGINT % 8 AS shard, rank FROM h) " +
+        "SELECT doc_id, shard, " +
+        "CAST(row_number() OVER (PARTITION BY shard ORDER BY rank, doc_id) AS BIGINT) AS pos " +
+        "FROM s ORDER BY shard, pos"),
     // linear quality classifier: the logit consumes the SAME rounded
     // 4dp features as q_text_stats, weights interpolated from the one
     // Scala source of truth (TextAnalysis.QualityLr*)
@@ -1599,6 +1709,35 @@ object SparkEntry {
         "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks) " +
         "SELECT doc_id, round(AVG(ln(tf / n)), 4) AS mean_logprob, COUNT(*) AS n_tokens " +
         "FROM toks JOIN freq USING (tok) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id"),
+    // CCNet terciles: quantile_cont = Spark's exact `percentile`
+    // (linear interpolation) over the SAME 4dp-rounded scores — the 1e-4
+    // score granularity makes the >= comparisons ulp-robust
+    "q_text_ppl_split" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+        "freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok), " +
+        "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks), " +
+        "lp AS (SELECT doc_id, round(AVG(ln(tf / n)), 4) AS mean_logprob " +
+        "FROM toks JOIN freq USING (tok) CROSS JOIN tot GROUP BY doc_id), " +
+        "q AS (SELECT quantile_cont(mean_logprob, 1.0/3) AS c_lo, quantile_cont(mean_logprob, 2.0/3) AS c_hi FROM lp) " +
+        "SELECT doc_id, mean_logprob, CASE WHEN mean_logprob >= c_hi THEN 'head' " +
+        "WHEN mean_logprob >= c_lo THEN 'middle' ELSE 'tail' END AS ppl_bucket " +
+        "FROM lp CROSS JOIN q ORDER BY doc_id"),
+    // boilerplate removal: fixture (header on even docs + 8-token
+    // content lines + footer on all) rebuilt inline; doc-frequency >= 10
+    // lines vanish by VALUE = the engine's by-index drop of every
+    // occurrence of a boilerplate hash
+    "q_text_boilerplate_rm" ->
+      ("WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+        "fx AS (SELECT doc_id, list_concat(list_concat(" +
+        "CASE WHEN doc_id % 2 = 0 THEN ['copyright acme corp all rights reserved'] ELSE [] END, " +
+        "[array_to_string(ws[(i*8+1):(i*8+8)], ' ') FOR i IN range(0, CAST(ceil(len(ws) / 8.0) AS INT))]), " +
+        "['subscribe to our newsletter today']) AS ls FROM w), " +
+        "lns AS (SELECT doc_id, unnest(ls) AS l FROM fx), " +
+        "b AS (SELECT list(l) AS bl FROM (SELECT l FROM lns GROUP BY l HAVING COUNT(DISTINCT doc_id) >= 10)), " +
+        "k AS (SELECT doc_id, ls, list_filter(ls, x -> NOT list_contains(b.bl, x)) AS ks FROM fx CROSS JOIN b) " +
+        "SELECT doc_id, array_to_string(ks, chr(10)) AS clean_text, " +
+        "CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(ks) AS BIGINT) AS n_kept " +
+        "FROM k ORDER BY doc_id"),
     // repetition: dup fraction = 1 - distinct/total per doc; n-grams via
     // list_transform over a range (short doc -> one whole-text gram)
     "q_text_repetition" ->
@@ -1685,6 +1824,22 @@ object SparkEntry {
       "WITH terms AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents), tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM terms GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word), n AS (SELECT COUNT(*) AS n_docs FROM documents) SELECT doc_id, word, tfidf, rank FROM (SELECT tf.doc_id, tf.word, round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf, ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) DESC, tf.word) AS rank FROM tf JOIN df USING (word) CROSS JOIN n) WHERE rank <= 3 ORDER BY doc_id, rank",
     "q_sim_topk" ->
       "SELECT query_id, corpus_id, rank FROM (SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank FROM embeddings c, embeddings p WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id) WHERE rank <= 5 ORDER BY query_id, rank",
+    // attribute-filtered search: same exact ranking, corpus restricted
+    // to the label=3 survivors
+    "q_sim_filtered_topk" ->
+      "SELECT query_id, corpus_id, rank FROM (SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank FROM embeddings c, embeddings p WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id AND c.label = 3) WHERE rank <= 5 ORDER BY query_id, rank",
+    // token-budget intake: per-source cumulative tokens in md5-of-id
+    // order (the engine's 256-bucket distributed prefix sum equals the
+    // oracle's per-source window because hex-prefix buckets ARE rank
+    // order); budgets literal-synced with the query
+    "q_corpus_token_budget" ->
+      ("WITH tk AS (SELECT doc_id, source, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS r FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, " +
+        "SUM(n_tokens) OVER (PARTITION BY source ORDER BY r, doc_id) AS cum_tokens FROM tk) " +
+        "SELECT doc_id, source, n_tokens, cum_tokens, " +
+        "cum_tokens <= (CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 3000 ELSE 800 END) AS kept " +
+        "FROM c ORDER BY doc_id"),
     "q_corpus_curation" ->
       ("WITH s AS (SELECT doc_id, text, " +
         "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['the','and','of','is','with'], x))) AS s_en, " +

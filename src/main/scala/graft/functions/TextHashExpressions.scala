@@ -405,6 +405,76 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** Shannon entropy (bits) of the codepoint distribution of `text` —
+    * the classic cheap quality/garbage signal: natural prose sits
+    * around 4–4.5 bits, template spam / repeated-char junk collapses
+    * toward 0, and base64/binary blobs push past 5.5. One map-side
+    * pass per row (ASCII counts in a flat 128-slot array, a spillover
+    * map only for non-ASCII codepoints); no shuffle anywhere.
+    * Empty/whitespace-free strings are total: entropy of "" is 0.
+    */
+  def charEntropy(u: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val s = u.toString
+    if (s.isEmpty) return 0.0
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Integer, Array[Long]] = null
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Array[Long]]()
+        val slot = other.computeIfAbsent(cp, _ => new Array[Long](1))
+        slot(0) += 1
+      }
+      n += 1
+      i += Character.charCount(cp)
+    }
+    val ln2 = java.lang.Math.log(2.0)
+    var h = 0.0
+    var c = 0
+    while (c < 128) {
+      val cnt = ascii(c)
+      if (cnt > 0) {
+        val p = cnt.toDouble / n
+        h -= p * (java.lang.Math.log(p) / ln2)
+      }
+      c += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) {
+        val p = it.next()(0).toDouble / n
+        h -= p * (java.lang.Math.log(p) / ln2)
+      }
+    }
+    h
+  }
+
+  /** char_entropy(text): double — see [[charEntropy]]. Codegen emits a
+    * call to the static helper so the surrounding stage stays inside
+    * whole-stage codegen (the filter/projection pipelines this feeds
+    * are the C4/Gopher-style quality gates, always in the hot scan).
+    */
+  case class CharEntropy(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "char_entropy"
+
+    override def nullSafeEval(a: Any): Any =
+      charEntropy(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x =>
+        s"${ev.value} = graft.functions.TextHashExpressions.charEntropy($x);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def char_entropy(text: Column): Column =
+    column(CharEntropy(expression(text)))
+
   def text_stats_counts(text: Column, families: Seq[Seq[String]]): Column =
     column(TextStatsCounts(expression(text), families))
 

@@ -85,6 +85,88 @@ object Corpus {
       .drop("__rn")
   }
 
+  /** Per-source token-budget intake: the EXECUTION half of dataset
+    * blending ([[mixPlan]] decides shares; this enforces them): take
+    * documents per source in deterministic md5-of-id order until the
+    * source's token budget is exhausted — "1B tokens of src X, 200M of
+    * src Y" as one declarative plan. A doc is kept iff its cumulative
+    * token count (inclusive) fits the budget; sources absent from
+    * `budgets` get `defaultBudget`.
+    *
+    * Scale shape — a DISTRIBUTED prefix sum, not a per-source window:
+    * `PARTITION BY source ORDER BY rank` would funnel every row of a
+    * source through ONE partition (the classic skew/scale-killer when
+    * one source is half the corpus). Instead the md5 rank's first two
+    * hex digits form 256 ORDERED range buckets per source (hex-string
+    * order = numeric prefix order), so: tiny per-(source, bucket)
+    * totals -> per-source running offsets over <= 256 rows -> local
+    * cumsum inside each (source, bucket) partition + offset. Shuffles
+    * carry (id, source, count) rows on a 256-way composite key; text
+    * never leaves the map side.
+    */
+  def takeTokenBudget(df: DataFrame, sourceCol: String, idCol: String,
+                      textCol: String, budgets: Map[String, Long],
+                      defaultBudget: Long): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "budgets must be non-negative")
+    val base = df.select(col(idCol), col(sourceCol),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("__rank", md5(col(idCol).cast("string")))
+      .withColumn("__bucket",
+        conv(substring(col("__rank"), 1, 2), 16, 10).cast("int"))
+    val offsets = base.groupBy(col(sourceCol), col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__bsum"))
+      .withColumn("__offset",
+        coalesce(sum(col("__bsum")).over(
+          Window.partitionBy(col(sourceCol)).orderBy(col("__bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(sourceCol), col("__bucket"), col("__offset"))
+    val wLocal = Window.partitionBy(col(sourceCol), col("__bucket"))
+      .orderBy(col("__rank"), col(idCol))
+    val budget = coalesce(
+      element_at(typedLit(budgets), col(sourceCol)), lit(defaultBudget))
+    base.join(broadcast(offsets), Seq(sourceCol, "__bucket"))
+      .withColumn("cum_tokens", col("__offset") +
+        sum(col("n_tokens")).over(wLocal.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("kept", col("cum_tokens") <= budget)
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        col("cum_tokens"), col("kept"))
+  }
+
+  /** Deterministic corpus shuffle + sharding: the "global shuffle"
+    * every training run needs, without a global sort. Each row gets a
+    * pseudo-random rank `md5("shuf<seed>:" || id)` (uniform, stable
+    * across runs/engines/cluster layouts — same no-RNG argument as
+    * [[assignSplit]]), a shard `hash-prefix mod nShards`, and a
+    * within-shard position by rank. Changing the seed is an epoch
+    * reshuffle: a completely different but equally deterministic
+    * permutation.
+    *
+    * Shuffle profile: ONE hash exchange on the shard key, then a
+    * per-shard sort for `row_number` — never a corpus-wide range sort
+    * (a global ORDER BY rank would range-partition and resort 100 TB
+    * for the same permutation semantics; shard-local positions plus
+    * the shard id ARE the permutation). Shards are uniform by md5
+    * construction, so no skew; pick nShards well above executor count
+    * at scale so each shard's sort fits in memory (shard = training
+    * data file, the usual layout).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    seed: Long): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val rank = md5(concat(lit(s"shuf$seed:"), col(idCol).cast("string")))
+    // 15 hex chars = 60 bits: exact in a long for any engine's
+    // hex-to-int path (16 chars could overflow the sign bit)
+    val shard = conv(substring(col("__rank"), 1, 15), 16, 10)
+      .cast("long") % nShards
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__rank"), col(idCol))
+    df.withColumn("__rank", rank)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__rank")
+  }
+
   /** PII scrub: replace emails then phone-number runs with typed
     * placeholder tokens. Patterns are RE2-compatible (no lookarounds)
     * so any engine reproduces them.

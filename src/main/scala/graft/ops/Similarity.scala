@@ -82,6 +82,24 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Attribute-filtered vector search (the vector-DB "metadata filter"
+    * capability): exact top-k over the subset of the corpus matching
+    * `pred`. PRE-filtering — the predicate is part of the corpus scan,
+    * so Catalyst pushes it into the parquet reader (plan-guarded:
+    * PushedFilters) and the quadratic stage only ever sees survivors;
+    * recall over the filtered set is exact BY CONSTRUCTION, unlike the
+    * post-filter-an-ANN-shortlist shape, which loses results when the
+    * filter decimates the shortlist. When the filtered subset is still
+    * huge, compose the same predicate with the bucketed paths instead
+    * ([[lshTopK]] / [[graft.ops.Ivf.search]] take the filtered frame
+    * as their corpus — candidate generation then indexes survivors
+    * only).
+    */
+  def filteredTopK(corpus: DataFrame, pred: Column, probes: DataFrame,
+                   k: Int, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    bruteForceTopK(corpus.filter(pred), probes, k, idCol, vecCol)
+
   /** SRP bit signature for one hash table — delegates to the codegen
     * SrpSignatures expression so every caller shares one definition of
     * the hyperplanes (corpus and probes must agree).

@@ -240,6 +240,83 @@ object TextAnalysis {
         size(col("__kept")).cast("long").as("n_kept"))
   }
 
+  /** CCNet-style perplexity partition (Wenzek et al. 2020 §4.3): rank
+    * every document by its LM score and split the corpus into
+    * head / middle / tail terciles — the standard "train on head+middle,
+    * drop tail" curation decision. Score = [[unigramLogProb]]'s mean
+    * log-prob (higher = more fluent = head).
+    *
+    * Scale shape: the cutoffs are ONE two-value percentile aggregate
+    * broadcast back onto the scored stream — never a global
+    * sort/ntile window (a corpus-wide single-partition window is the
+    * classic 100 TB scale-killer; CCNet itself uses percentile
+    * cutoffs, not ranks). Exact `percentile` keeps the oracle
+    * bit-replayable; at extreme scale swap in `percentile_approx`
+    * (same plan, sketch-merged cutoffs). Scores are 4dp-rounded
+    * BEFORE the percentile, so the >= comparisons compare values at
+    * 1e-4 granularity against cutoffs both engines interpolate from
+    * identical doubles — a last-ulp interpolation difference cannot
+    * flip a bucket.
+    */
+  def perplexitySplit(df: DataFrame, textCol: String,
+                      idCol: String): DataFrame = {
+    val scored = unigramLogProb(df, textCol, idCol)
+    val cuts = scored.agg(
+      percentile(col("mean_logprob"), lit(1.0 / 3)).as("__c_lo"),
+      percentile(col("mean_logprob"), lit(2.0 / 3)).as("__c_hi"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("ppl_bucket",
+        when(col("mean_logprob") >= col("__c_hi"), "head")
+          .when(col("mean_logprob") >= col("__c_lo"), "middle")
+          .otherwise("tail"))
+      .drop("__c_lo", "__c_hi")
+  }
+
+  /** Corpus-frequency boilerplate line removal (the RefinedWeb/CCNet
+    * cleanup step span-dedup does NOT cover): a line that appears in
+    * at least `minDocs` DISTINCT documents is boilerplate (headers,
+    * footers, cookie banners) and every occurrence is dropped; the
+    * remaining lines are reassembled in order. Differs from
+    * ExactSubstr span removal on both axes: the unit is a line (not a
+    * k-token window) and the trigger is document frequency (not
+    * occurrence count >1 — a line repeated inside ONE doc is
+    * repetition, not boilerplate).
+    *
+    * Shuffle profile: only (id, line-index, md5) triples shuffle —
+    * text never does. Doc frequency is a hash aggregate over 16-byte
+    * line hashes; the boilerplate set is small by construction
+    * (bounded by actual boilerplate, not corpus size) so the semi-join
+    * back onto the hash stream broadcasts under AQE; reassembly drops
+    * per-doc INDICES (a few ints) via an index-aware filter over the
+    * doc's own line array — per-line lambda cost on a ~lines-per-doc
+    * array, not the per-char/per-token explosion the span-remove
+    * rewrite had to kill.
+    */
+  def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                             minDocs: Int): DataFrame = {
+    require(minDocs > 1, "minDocs must be > 1 (1 would drop every line)")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__i", "__l")))
+      .select(col(idCol), col("__i"), md5(col("__l")).as("__h"))
+    val boiler = lines.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h"))
+    val dropIdx = lines.join(boiler, Seq("__h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__i")).as("__drop"))
+    val ls = split(col(textCol), "\n")
+    df.join(dropIdx, Seq(idCol), "left")
+      .select(col(idCol), ls.as("__ls"),
+        coalesce(col("__drop"), array().cast("array<int>")).as("__drop"))
+      .withColumn("__kept",
+        filter(col("__ls"), (_, i) => !array_contains(col("__drop"), i)))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"))
+  }
+
   /** Interpolated-bigram LM score (the CCNet/KenLM-style perplexity
     * quality filter, reduced to order 2): per doc, the mean over its
     * bigrams of ln(lambda * c(uv)/c(u) + (1-lambda) * c(v)/N), counts

@@ -283,4 +283,80 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastExchange"),
       s"target freq + one-row totals must broadcast:\n$p")
   }
+
+  test("filtered vector search pushes the attribute predicate into the scan") {
+    val p = plan("q_sim_filtered_topk")
+    assert(p.contains("EqualTo(label,3)"),
+      s"label filter must reach PushedFilters:\n$p")
+    assert(p.contains("vector_dot"), p)
+  }
+
+  test("token budget is a bucketed prefix sum — no whole-source window partition") {
+    val p = plan("q_corpus_token_budget")
+    // the row-level cumsum must partition on (source, bucket), never on
+    // source alone (the whole-source funnel); the source-only window is
+    // allowed ONLY over the tiny per-bucket aggregate
+    val rowWindows = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("n_tokens"))
+      .mkString("\n")
+    assert(rowWindows.contains("__bucket"),
+      s"row-level window must include the range bucket in its partition key:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"per-bucket offsets must broadcast back onto the stream:\n$p")
+  }
+
+  test("perplexity split broadcasts percentile cutoffs — no global ntile window") {
+    val p = plan("q_text_ppl_split")
+    assert(p.contains("BroadcastExchange"),
+      s"tercile cutoffs must broadcast onto the scored stream:\n$p")
+    assert(!p.contains("Window"),
+      s"bucketing must be comparison-based, never a corpus-wide rank window:\n$p")
+    // one-row global aggregates (corpus total, the two cutoffs) are the
+    // ONLY things allowed to funnel to a single partition — they must
+    // all sit above a map-side partial aggregate, so only tiny partial
+    // rows cross the wire
+    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    val partials = "partial_".r.findAllIn(p).length
+    assert(partials >= singles,
+      s"every SinglePartition funnel must be a partial/final scalar agg:\n$p")
+  }
+
+  test("boilerplate removal shuffles line hashes and indices, never text") {
+    val p = plan("q_text_boilerplate_rm")
+    val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shufflePart.contains("text#") && !shufflePart.contains("__l#") &&
+      !shufflePart.contains("__ls#"),
+      s"lines must not shuffle (hashes+indices only):\n$shufflePart")
+    assert(p.contains("partial_count"),
+      s"doc-frequency must map-side combine:\n$p")
+  }
+
+  test("char entropy rides the scan inside whole-stage codegen") {
+    val p = plan("q_text_entropy")
+    assert(p.contains("char_entropy"), p)
+    // native doGenCode — CodegenFallback here would break the whole
+    // stage's codegen span (AQE's pre-execution plan string doesn't
+    // print WholeStageCodegen markers, so assert the property itself)
+    assert(!graft.functions.TextHashExpressions
+        .CharEntropy(org.apache.spark.sql.catalyst.expressions.Literal("x"))
+        .isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback],
+      "CharEntropy must stay codegen-native")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    val rangeparts = "rangepartitioning".r.findAllIn(p).length
+    assert(exchanges == rangeparts && rangeparts >= 1,
+      s"entropy is map-side; only the ORDER BY may shuffle:\n$p")
+  }
+
+  test("corpus shuffle-shards: one shard hash exchange, never a global range sort") {
+    val p = SparkEntry.queries("q_corpus_shuffle")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the permutation itself hash-partitions on shard + local sort;
+    // the only range partitioning allowed is the entry's final ORDER BY
+    val hashparts = "hashpartitioning\\(shard".r.findAllIn(p).length
+    assert(hashparts >= 1, s"window must hash-partition on shard:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    val rangeparts = "rangepartitioning".r.findAllIn(p).length
+    assert(exchanges - rangeparts == 1,
+      s"exactly one shard exchange beyond the ORDER BY:\n$p")
+  }
 }

@@ -175,4 +175,84 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(w(0)._2 > w(1)._2 && w(1)._2 > w(2)._2,
       s"weights must order target > mixed > off-domain: ${w.toSeq}")
   }
+
+  test("takeTokenBudget: inclusive cutoff per source in md5 order, default budget") {
+    val docs = Seq(
+      (1L, "a", "w w w w"), (2L, "a", "w w w"), (3L, "a", "w w w w w"),
+      (4L, "b", "w w"), (5L, "b", "w w w w w w")).toDF("doc_id", "source", "text")
+    val out = Corpus.takeTokenBudget(docs, "source", "doc_id", "text",
+        budgets = Map("a" -> 8L), defaultBudget = 100L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "cum_tokens", "kept")
+      .as[(Long, Long, Long, Boolean)].collect()
+    // reference: per-source md5(id)-ordered prefix sums
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ref = Seq((1L, "a", 4L), (2L, "a", 3L), (3L, "a", 5L),
+        (4L, "b", 2L), (5L, "b", 6L))
+      .groupBy(_._2).flatMap { case (src, rows) =>
+        val ordered = rows.sortBy(r => (md5hex(r._1.toString), r._1))
+        val cums = ordered.scanLeft(0L)(_ + _._3).tail
+        ordered.zip(cums).map { case ((id, _, n), c) => id -> ((n, c)) }
+      }.toMap
+    out.foreach { case (id, n, c, _) =>
+      assert((n, c) == ref(id), s"doc $id: got ($n,$c) want ${ref(id)}")
+    }
+    // source a: budget 8 of 12 total -> at least one kept, at least one cut,
+    // and kept is exactly cum <= 8 (inclusive boundary)
+    val aKept = out.filter(r => ref(r._1)._2 == r._3 && Seq(1L, 2L, 3L).contains(r._1))
+    assert(aKept.forall(r => r._4 == (r._3 <= 8L)))
+    assert(aKept.exists(_._4) && aKept.exists(!_._4))
+    // source b: default budget 100 keeps everything
+    assert(out.filter(r => Seq(4L, 5L).contains(r._1)).forall(_._4))
+  }
+
+  test("takeTokenBudget: zero budget keeps nothing; determinism across runs") {
+    val docs = (0L until 50L).map(i => (i, s"s${i % 3}", "tok tok tok"))
+      .toDF("doc_id", "source", "text")
+    val none = Corpus.takeTokenBudget(docs, "source", "doc_id", "text",
+      Map.empty, defaultBudget = 0L)
+    assert(none.filter(col("kept")).count() == 0)
+    val a = Corpus.takeTokenBudget(docs, "source", "doc_id", "text",
+      Map("s0" -> 9L), 30L).orderBy("doc_id").collect()
+    val b = Corpus.takeTokenBudget(docs, "source", "doc_id", "text",
+      Map("s0" -> 9L), 30L).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("shuffleShards is a deterministic permutation with dense per-shard positions") {
+    val docs = (0L until 500L).toDF("doc_id")
+    val run1 = Corpus.shuffleShards(docs, "doc_id", nShards = 8, seed = 42L)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    // permutation: every id exactly once, shards within range
+    assert(run1.length == 500)
+    assert(run1.map(_._1).toSet == (0L until 500L).toSet)
+    assert(run1.forall(r => r._2 >= 0 && r._2 < 8))
+    // per-shard positions are dense 1..count (a shard is a training
+    // file; its positions must be gapless to be a readable order)
+    run1.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // md5 uniformity: no shard is empty or hogging at n=500, k=8
+    val sizes = run1.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.values.min > 20 && sizes.values.max < 130, sizes.toMap.toString)
+    // determinism: same seed -> identical assignment
+    val run2 = Corpus.shuffleShards(docs, "doc_id", 8, 42L)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(run2.sortBy(_._1).toSeq == run1.sortBy(_._1).toSeq)
+    // epoch reshuffle: a different seed is a different permutation
+    val epoch2 = Corpus.shuffleShards(docs, "doc_id", 8, 43L)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(epoch2.sortBy(_._1).toSeq != run1.sortBy(_._1).toSeq)
+    // the shuffle is unordered vs the id sequence: within a shard,
+    // ascending pos must NOT be ascending doc_id (that would mean the
+    // "shuffle" preserved insertion order)
+    val ordered = run1.groupBy(_._2).values.forall { rows =>
+      val ids = rows.sortBy(_._3).map(_._1).toSeq
+      ids == ids.sorted
+    }
+    assert(!ordered, "per-shard order must not degenerate to id order")
+  }
 }

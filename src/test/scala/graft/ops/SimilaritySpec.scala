@@ -42,6 +42,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(top(1)._2 == 1L, "perturbed copy should be 2nd")
   }
 
+  test("filteredTopK searches survivors only: the excluded twin cannot rank") {
+    val labeled = vecs.withColumn("label",
+      when($"vec_id" === 10L, 1).otherwise(3))
+    // exclude label=1 (the identical twin of probe 0): it must vanish
+    // from the ranking; the perturbed copy (id 1, label 3) becomes #1
+    val top = Similarity.filteredTopK(labeled, $"label" === 3,
+        labeled.filter($"vec_id" === 0), 3)
+      .orderBy("rank")
+      .select("corpus_id").as[Long].collect()
+    assert(!top.contains(10L), s"filtered-out twin leaked into $top")
+    assert(top.head == 1L, s"perturbed copy should lead after the filter: $top")
+    // parity with brute force over the pre-filtered frame
+    val manual = Similarity.bruteForceTopK(
+        labeled.filter($"label" === 3), labeled.filter($"vec_id" === 0), 3)
+      .orderBy("rank").select("corpus_id").as[Long].collect()
+    assert(top.toSeq == manual.toSeq)
+  }
+
   test("exactNearDupPairs finds the planted identical pair") {
     val pairs = Similarity.exactNearDupPairs(vecs, 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -250,4 +250,111 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2)._4 == 0.2, s"got ${out(2)}")
     assert(out(3) == ((4L, 1L, 0.0, 0.0, 0.0)), s"got ${out(3)}")
   }
+
+  test("perplexitySplit buckets by score terciles: head >= middle >= tail") {
+    // 9 docs with distinct unigram profiles: repeated common tokens
+    // score high, rare-token docs score low
+    val docs = (1 to 9).map { i =>
+      // doc i uses token "t<i>" i times: frequent tokens (high i) get
+      // higher corpus log-prob
+      (i.toLong, Seq.fill(i)(s"t$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.perplexitySplit(docs, "text", "doc_id")
+      .select("doc_id", "mean_logprob", "ppl_bucket")
+      .as[(Long, Double, String)].collect().sortBy(_._1)
+    assert(out.length == 9)
+    assert(out.map(_._3).toSet == Set("head", "middle", "tail"))
+    // bucket ordering respects score ordering
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+    // ~tercile sizes on 9 distinct scores
+    assert(byBucket.values.forall(v => v.length >= 2 && v.length <= 4),
+      byBucket.view.mapValues(_.length).toMap.toString)
+  }
+
+  test("removeBoilerplateLines drops >=minDocs lines everywhere, keeps rare ones") {
+    val docs = Seq(
+      (1L, "FOOTER\nunique alpha\nFOOTER"), // in-doc repeat still 1 distinct doc... footer shared below
+      (2L, "unique beta\nFOOTER"),
+      (3L, "unique gamma\nFOOTER\nshared line"),
+      (4L, "shared line\nunique delta")).toDF("doc_id", "text")
+    // FOOTER in docs 1,2,3 (3 distinct); "shared line" in 2 docs
+    val out = TextAnalysis.removeBoilerplateLines(docs, "text", "doc_id", minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_lines", "n_kept")
+      .as[(Long, String, Long, Long)].collect()
+    // every FOOTER occurrence dropped, including the duplicate in doc 1
+    assert(out(0) == ((1L, "unique alpha", 3L, 1L)), out(0).toString)
+    assert(out(1) == ((2L, "unique beta", 2L, 1L)), out(1).toString)
+    // "shared line" (df=2 < 3) survives
+    assert(out(2) == ((3L, "unique gamma\nshared line", 3L, 2L)), out(2).toString)
+    assert(out(3) == ((4L, "shared line\nunique delta", 2L, 2L)), out(3).toString)
+  }
+
+  test("removeBoilerplateLines: all-boilerplate doc empties; unshared doc untouched") {
+    val docs = Seq(
+      (1L, "B\nB"), (2L, "B"), (3L, "B"), // B in 3 docs
+      (4L, "only me")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(docs, "text", "doc_id", minDocs = 3)
+      .orderBy("doc_id").select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect()
+    assert(out(0) == ((1L, "", 0L)))
+    assert(out(3) == ((4L, "only me", 1L)))
+  }
+
+  test("charEntropy: known values, degenerate inputs, unicode") {
+    import graft.functions.TextHashExpressions.char_entropy
+    // a janino failure in the emitted static call must THROW here, not
+    // silently run interpreted (the doc claim is codegen-native)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try charEntropyKnownValues()
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  private def charEntropyKnownValues(): Unit = {
+    import graft.functions.TextHashExpressions.char_entropy
+    val df = Seq(
+      (1L, "aabbc"), // counts 2,2,1 -> 1.5219...
+      (2L, ""), // empty -> 0
+      (3L, "aaaaaa"), // single symbol -> 0
+      (4L, "abcd"), // uniform over 4 -> exactly 2 bits
+      (5L, "日日本"), // non-ASCII path: counts 2,1 over n=3
+      (6L, null.asInstanceOf[String])) // null -> null
+      .toDF("id", "t")
+    val out = df.select(col("id"), char_entropy(col("t")).as("h"))
+      .orderBy("id").as[(Long, Option[Double])].collect()
+    def h(counts: Long*): Double = {
+      val n = counts.sum.toDouble
+      -counts.map { c => val p = c / n; p * (math.log(p) / math.log(2)) }.sum
+    }
+    assert(math.abs(out(0)._2.get - h(2, 2, 1)) < 1e-12)
+    assert(out(1)._2.contains(0.0))
+    assert(out(2)._2.contains(0.0))
+    assert(math.abs(out(3)._2.get - 2.0) < 1e-12)
+    assert(math.abs(out(4)._2.get - h(2, 1)) < 1e-12)
+    assert(out(5)._2.isEmpty)
+  }
+
+  test("property: charEntropy matches a scala reference on random strings") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcXYZ 09.!é世" // mixed ascii + non-ascii
+    val docs = (0 until 50).map { i =>
+      (i.toLong, (0 until rnd.nextInt(80)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val got = docs.toDF("id", "t")
+      .select(col("id"), graft.functions.TextHashExpressions.char_entropy(col("t")))
+      .as[(Long, Double)].collect().toMap
+    docs.foreach { case (id, s) =>
+      val counts = s.toSeq.groupBy(identity).values.map(_.size.toLong).toSeq
+      val want =
+        if (s.isEmpty) 0.0
+        else {
+          val n = counts.sum.toDouble
+          -counts.map { c => val p = c / n; p * (math.log(p) / math.log(2)) }.sum
+        }
+      assert(math.abs(got(id) - want) < 1e-9, s"id=$id s='$s'")
+    }
+  }
 }
