@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, count, countDistinct, length, lit, pmod, sum}
+import org.apache.spark.sql.functions.{array_join, ceil, col, count, countDistinct, greatest, length, lit, pmod, sequence, size, slice, split, sum, transform}
 
 import graft.ops.Dedup
 
@@ -27,8 +27,8 @@ object DedupStress {
   /** Every op stage the runner knows. */
   val AllOps: Set[String] = Set("dedup_spans", "dedup_rm",
     "rm_then_minhash", "minhash_capped", "cluster_capped_pairs",
-    "simhash_candidates", "incremental_batches",
-    "incremental_ann_batches", "minhash_near_dups")
+    "simhash_candidates", "simhash_capped", "incremental_batches",
+    "incremental_ann_batches", "minhash_near_dups", "boilerplate_rm")
 
   /** Depth-first delete; closes the walk stream (Files.walk holds a
     * directory handle until closed — see its javadoc).
@@ -125,6 +125,23 @@ object DedupStress {
       try Dedup.clusterPairs(pairs)
         .select(countDistinct(col("cluster_id"))).first().getLong(0)
       finally pairs.unpersist()
+    }
+    // line-level boilerplate removal under adversarial duplication:
+    // shape each doc into 8-token lines, so the prepended 24-token
+    // template becomes 3 IDENTICAL lines shared by the whole 30%
+    // boilerplate population — the worst case for the "boilerplate set
+    // is small" argument (huge doc frequency, tiny distinct-line set;
+    // the dropIdx join must broadcast, never degenerate)
+    if (picked("boilerplate_rm")) parts += timed("boilerplate_rm") {
+      val toks = split(col("text"), "\\s+")
+      val lined = df.select(col("doc_id"), array_join(
+        transform(
+          sequence(lit(0),
+            greatest(ceil(size(toks) / lit(8.0)).cast("int") - 1, lit(0))),
+          i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")),
+        "\n").as("text"))
+      countWithText(graft.ops.TextAnalysis.removeBoilerplateLines(
+        lined, "text", "doc_id", minDocs = 10))
     }
     if (picked("simhash_candidates")) parts += timed("simhash_candidates") {
       Dedup.simhashCandidates(df, "text", "doc_id",
