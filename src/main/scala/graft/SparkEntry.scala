@@ -534,9 +534,7 @@ object SparkEntry {
     */
   private def boilerLinedText: Column = {
     val toks = split(col("text"), "\\s+")
-    val content = transform(
-      sequence(lit(0), ceil(size(toks) / lit(8.0)).cast("int") - 1),
-      i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))
+    val content = TextAnalysis.lineChunks(toks, 8)
     val header = when(pmod(col("doc_id"), lit(2)) === 0,
         array(lit("copyright acme corp all rights reserved")))
       .otherwise(array().cast("array<string>"))
@@ -585,10 +583,8 @@ object SparkEntry {
   private def linedText: Column = {
     val toks = split(col("text"), "\\s+")
     array_join(
-      transform(
-        sequence(lit(0), ceil(size(toks) / lit(8.0)).cast("int") - 1),
-        i => concat(
-          array_join(slice(toks, i * 8 + 1, lit(8)), " "),
+      transform(TextAnalysis.lineChunks(toks, 8),
+        (l, i) => concat(l,
           when(pmod(col("doc_id") + i, lit(3)) === 0, ".").otherwise(""))),
       "\n")
   }
@@ -1634,8 +1630,10 @@ object SparkEntry {
       ("WITH e AS (SELECT doc_id, entropy(c) AS ent FROM " +
         "(SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents) " +
         "GROUP BY doc_id) " +
-        "SELECT d.doc_id, round(coalesce(e.ent, 0.0), 4) AS char_entropy, " +
-        "round(coalesce(e.ent, 0.0), 4) < 4.0 AS low_entropy " +
+        // NULL text stays NULL (the Spark expression is null-safe);
+        // only genuinely EMPTY text coalesces to entropy 0
+        "SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL ELSE round(coalesce(e.ent, 0.0), 4) END AS char_entropy, " +
+        "CASE WHEN d.text IS NULL THEN NULL ELSE round(coalesce(e.ent, 0.0), 4) < 4.0 END AS low_entropy " +
         "FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id ORDER BY d.doc_id"),
     "q_corpus_shuffle" ->
       ("WITH h AS (SELECT doc_id, md5('shuf42:' || doc_id) AS rank FROM documents), " +
@@ -1733,7 +1731,10 @@ object SparkEntry {
         "[array_to_string(ws[(i*8+1):(i*8+8)], ' ') FOR i IN range(0, CAST(ceil(len(ws) / 8.0) AS INT))]), " +
         "['subscribe to our newsletter today']) AS ls FROM w), " +
         "lns AS (SELECT doc_id, unnest(ls) AS l FROM fx), " +
-        "b AS (SELECT list(l) AS bl FROM (SELECT l FROM lns GROUP BY l HAVING COUNT(DISTINCT doc_id) >= 10)), " +
+        // COALESCE: list() over ZERO boilerplate rows is NULL, and
+        // NOT list_contains(NULL, x) is NULL — an untyped-empty corpus
+        // would wrongly drop every line
+        "b AS (SELECT COALESCE(list(l), []::VARCHAR[]) AS bl FROM (SELECT l FROM lns GROUP BY l HAVING COUNT(DISTINCT doc_id) >= 10)), " +
         "k AS (SELECT doc_id, ls, list_filter(ls, x -> NOT list_contains(b.bl, x)) AS ks FROM fx CROSS JOIN b) " +
         "SELECT doc_id, array_to_string(ks, chr(10)) AS clean_text, " +
         "CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(ks) AS BIGINT) AS n_kept " +

@@ -223,6 +223,18 @@ object TextAnalysis {
     * rides a 100-TB scan for free; explode+collect would move every
     * line through an exchange just to reassemble it.
     */
+  /** Shape a token array into `width`-token line strings — the shared
+    * line-fixture primitive (SparkEntry's lined oracles, DedupStress's
+    * boilerplate stage). No emptiness guard needed: split() yields at
+    * least one element even for "", so the sequence bound is >= 0.
+    */
+  def lineChunks(toks: Column, width: Int): Column = {
+    require(width > 0, "line width must be positive")
+    transform(
+      sequence(lit(0), ceil(size(toks) / lit(width.toDouble)).cast("int") - 1),
+      i => array_join(slice(toks, i * width + 1, lit(width)), " "))
+  }
+
   def c4LineFilter(df: DataFrame, textCol: String, idCol: String,
                    minWords: Int = 5): DataFrame = {
     val keep: Column => Column = l =>

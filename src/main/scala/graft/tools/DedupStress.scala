@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{array_join, ceil, col, count, countDistinct, greatest, length, lit, pmod, sequence, size, slice, split, sum, transform}
+import org.apache.spark.sql.functions.{array_join, col, count, countDistinct, length, lit, pmod, split, sum}
 
 import graft.ops.Dedup
 
@@ -133,12 +133,8 @@ object DedupStress {
     // is small" argument (huge doc frequency, tiny distinct-line set;
     // the dropIdx join must broadcast, never degenerate)
     if (picked("boilerplate_rm")) parts += timed("boilerplate_rm") {
-      val toks = split(col("text"), "\\s+")
       val lined = df.select(col("doc_id"), array_join(
-        transform(
-          sequence(lit(0),
-            greatest(ceil(size(toks) / lit(8.0)).cast("int") - 1, lit(0))),
-          i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")),
+        graft.ops.TextAnalysis.lineChunks(split(col("text"), "\\s+"), 8),
         "\n").as("text"))
       countWithText(graft.ops.TextAnalysis.removeBoilerplateLines(
         lined, "text", "doc_id", minDocs = 10))

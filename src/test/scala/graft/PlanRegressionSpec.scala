@@ -348,8 +348,7 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("corpus shuffle-shards: one shard hash exchange, never a global range sort") {
-    val p = SparkEntry.queries("q_corpus_shuffle")(spark, sf)
-      .queryExecution.executedPlan.toString
+    val p = plan("q_corpus_shuffle")
     // the permutation itself hash-partitions on shard + local sort;
     // the only range partitioning allowed is the entry's final ORDER BY
     val hashparts = "hashpartitioning\\(shard".r.findAllIn(p).length
