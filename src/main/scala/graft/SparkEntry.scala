@@ -543,6 +543,40 @@ object SparkEntry {
         array(lit("subscribe to our newsletter today"))), "\n")
   }
 
+  /** Intra-doc line dedup on a planted-repeat fixture: each doc's
+    * lines plus its own first line re-appended and a doubled
+    * 'sponsored content' line — first occurrences survive, repeats
+    * drop, order preserved (exact DuckDB replay via an order-aware
+    * comprehension; DuckDB's list_distinct does not preserve order).
+    */
+  private def qTextLineDedup(s: SparkSession, d: String): DataFrame = {
+    val content = TextAnalysis.lineChunks(split(col("text"), "\\s+"), 8)
+    val fixture = array_join(
+      concat(content, array(element_at(content, 1)),
+        array(lit("sponsored content"), lit("sponsored content"))), "\n")
+    TextAnalysis.dedupLinesWithinDoc(
+        t(s, d, "documents").select(col("doc_id"), fixture.as("text")),
+        "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Suffix/prefix overlap pairs on a pagination fixture: each long
+    * doc split into two pages sharing an 8-token seam — every
+    * (2i, 2i+1) chain must surface, exactly replayed by the oracle.
+    */
+  private def qDedupOverlap(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 24)
+      .withColumn("h", floor(size(col("ws")) / 2).cast("int"))
+    val p1 = base.select((col("doc_id") * 2).as("page_id"),
+      array_join(slice(col("ws"), lit(1), col("h") + 8), " ").as("text"))
+    val p2 = base.select((col("doc_id") * 2 + 1).as("page_id"),
+      array_join(slice(col("ws"), col("h") + 1, size(col("ws"))), " ").as("text"))
+    Dedup.overlapPairs(p1.unionAll(p2), "text", "page_id", k = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Doc-frequency boilerplate line removal: header (half the docs)
     * and footer (all docs) cross the minDocs=10 bar and vanish;
     * content lines survive unless genuinely shared by >= 10 docs.
@@ -1488,6 +1522,8 @@ object SparkEntry {
     "q_text_logprob" -> qTextLogProb,
     "q_text_ppl_split" -> qTextPplSplit,
     "q_text_boilerplate_rm" -> qTextBoilerplateRm,
+    "q_text_line_dedup" -> qTextLineDedup,
+    "q_dedup_overlap" -> qDedupOverlap,
     "q_text_bigram" -> qTextBigram,
     "q_text_c4" -> qTextC4,
     "q_heavy" -> qHeavy,
@@ -1641,6 +1677,27 @@ object SparkEntry {
         "SELECT doc_id, shard, " +
         "CAST(row_number() OVER (PARTITION BY shard ORDER BY rank, doc_id) AS BIGINT) AS pos " +
         "FROM s ORDER BY shard, pos"),
+    // intra-doc line dedup: order-aware comprehension (keep ls[i] iff
+    // unseen in ls[1:i-1]) — NOT list_distinct, which drops order
+    "q_text_line_dedup" ->
+      ("WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+        "l AS (SELECT doc_id, [array_to_string(ws[(i*8+1):(i*8+8)], ' ') FOR i IN range(0, CAST(ceil(len(ws) / 8.0) AS INT))] AS cls FROM w), " +
+        "fx AS (SELECT doc_id, list_concat(list_concat(cls, [cls[1]]), ['sponsored content', 'sponsored content']) AS ls FROM l), " +
+        "k AS (SELECT doc_id, ls, [ls[i] FOR i IN range(1, len(ls)+1) IF NOT list_contains(ls[1:i-1], ls[i])] AS ks FROM fx) " +
+        "SELECT doc_id, array_to_string(ks, chr(10)) AS clean_text, " +
+        "CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(ks) AS BIGINT) AS n_kept " +
+        "FROM k ORDER BY doc_id"),
+    // pagination overlap: two pages per long doc sharing an 8-token
+    // seam; pairs via suffix = prefix boundary equality
+    "q_dedup_overlap" ->
+      ("WITH b AS (SELECT doc_id, ws FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents) WHERE len(ws) >= 24), " +
+        "m AS (SELECT doc_id, ws, CAST(floor(len(ws) / 2.0) AS INT) AS h FROM b), " +
+        "pg AS (SELECT doc_id*2 AS page_id, array_to_string(ws[1:h+8], ' ') AS text FROM m " +
+        "UNION ALL SELECT doc_id*2+1, array_to_string(ws[h+1:len(ws)], ' ') FROM m), " +
+        "t AS (SELECT page_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM pg), " +
+        "v AS (SELECT page_id, array_to_string(tk[1:8], ' ') AS pre, array_to_string(tk[-8:], ' ') AS suf FROM t WHERE len(tk) >= 8) " +
+        "SELECT a.page_id AS id_a, b2.page_id AS id_b FROM v a JOIN v b2 " +
+        "ON a.suf = b2.pre AND a.page_id <> b2.page_id ORDER BY id_a, id_b"),
     // linear quality classifier: the logit consumes the SAME rounded
     // 4dp features as q_text_stats, weights interpolated from the one
     // Scala source of truth (TextAnalysis.QualityLr*)

@@ -43,6 +43,41 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
+  /** Suffix/prefix overlap pairs — the pagination-stitch detector: doc
+    * B continues doc A when A's last k (normalized) tokens equal B's
+    * first k (split crawls, "next page" captures, chunked re-uploads).
+    * Neither whole-document hashing (texts differ) nor MinHash (low
+    * global Jaccard) catches this shape; window-level ExactSubstr
+    * would flag the k shared tokens but not WHICH docs chain. Returns
+    * (id_a, id_b) with id_a's suffix matching id_b's prefix; feed into
+    * [[clusterPairs]] to recover full page chains. Docs under k tokens
+    * have no anchor and are omitted.
+    *
+    * Shuffle profile: one equi-join on 16-byte boundary hashes — each
+    * doc contributes exactly ONE (id, prefix-md5, suffix-md5) row, so
+    * the join input is narrower than the corpus itself; text never
+    * shuffles. Degenerate all-same-boundary corpora (every doc opens
+    * with the same template) surface as hot join keys, which AQE
+    * splits; the output is then honestly quadratic because the overlap
+    * relation itself is.
+    */
+  def overlapPairs(df: DataFrame, textCol: String, idCol: String,
+                   k: Int): DataFrame = {
+    require(k > 0, "overlap window must be positive")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val v = df
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol),
+        md5(array_join(slice(col("__toks"), 1, k), " ")).as("__pre"),
+        md5(array_join(slice(col("__toks"), -k, k), " ")).as("__suf"))
+    v.select(col(idCol).as("id_a"), col("__suf"))
+      .join(v.select(col(idCol).as("id_b"), col("__pre")),
+        col("__suf") === col("__pre"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Exact duplicate-SPAN stats (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better", ExactSubstr): per
     * document, how many of its k-token sliding windows occur MORE THAN

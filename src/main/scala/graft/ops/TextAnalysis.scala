@@ -235,6 +235,24 @@ object TextAnalysis {
       i => array_join(slice(toks, i * width + 1, lit(width)), " "))
   }
 
+  /** Intra-document exact line dedup (the RefinedWeb/CCNet in-doc
+    * cleanup): keep the FIRST occurrence of each line, drop repeats
+    * within the same document — the in-doc complement of corpus-level
+    * [[removeBoilerplateLines]] (a line repeated inside one doc is
+    * repetition; a line repeated across many docs is boilerplate).
+    * Pure map-side `array_distinct` (documented first-occurrence
+    * order) — rides the scan, zero shuffle, trivially 100-TB-safe.
+    */
+  def dedupLinesWithinDoc(df: DataFrame, textCol: String,
+                          idCol: String): DataFrame = {
+    val ls = split(col(textCol), "\n")
+    df.select(col(idCol), ls.as("__ls"), array_distinct(ls).as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"))
+  }
+
   def c4LineFilter(df: DataFrame, textCol: String, idCol: String,
                    minWords: Int = 5): DataFrame = {
     val keep: Column => Column = l =>

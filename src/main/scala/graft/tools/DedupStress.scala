@@ -28,7 +28,8 @@ object DedupStress {
   val AllOps: Set[String] = Set("dedup_spans", "dedup_rm",
     "rm_then_minhash", "minhash_capped", "cluster_capped_pairs",
     "simhash_candidates", "simhash_capped", "incremental_batches",
-    "incremental_ann_batches", "minhash_near_dups", "boilerplate_rm")
+    "incremental_ann_batches", "minhash_near_dups", "boilerplate_rm",
+    "incremental_boiler_batches")
 
   /** Depth-first delete; closes the walk stream (Files.walk holds a
     * directory handle until closed — see its javadoc).
@@ -138,6 +139,32 @@ object DedupStress {
         "\n").as("text"))
       countWithText(graft.ops.TextAnalysis.removeBoilerplateLines(
         lined, "text", "doc_id", minDocs = 10))
+    }
+    // streaming form of the above: the (line-md5, id) sighting store
+    // accumulates the full corpus's line inventory; per-batch cost must
+    // stay ~flat even though the doc-frequency aggregate reads
+    // store + batch every time (hash-keyed rows only)
+    if (picked("incremental_boiler_batches")) parts += timed("incremental_boiler_batches") {
+      val lined = df.select(col("doc_id"), array_join(
+        graft.ops.TextAnalysis.lineChunks(split(col("text"), "\\s+"), 8),
+        "\n").as("text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_boilstress")
+      try {
+        val inc = new graft.streaming.IncrementalBoilerplate(spark,
+          dir.toString, minDocs = 10)
+        val nB = 5
+        var keptLines = 0L
+        for (i <- 0 until nB) {
+          val t0 = System.nanoTime()
+          val batch = lined.filter(pmod(col("doc_id"), lit(nB)) === i)
+          keptLines += inc.processBatch(batch, "text", "doc_id")
+            .agg(sum(col("n_kept"))).first().getLong(0)
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[stress]   boiler batch %d: %.2f s", Integer.valueOf(i),
+            java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9)))
+        }
+        keptLines
+      } finally deleteRecursively(dir)
     }
     if (picked("simhash_candidates")) parts += timed("simhash_candidates") {
       Dedup.simhashCandidates(df, "text", "doc_id",

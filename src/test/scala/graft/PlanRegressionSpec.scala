@@ -284,6 +284,21 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
       s"target freq + one-row totals must broadcast:\n$p")
   }
 
+  test("overlap pairs join boundary hashes only — text never shuffles") {
+    val p = plan("q_dedup_overlap")
+    val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shufflePart.contains("text#") && !shufflePart.contains("__toks#"),
+      s"only (id, boundary-md5) rows may shuffle:\n$shufflePart")
+  }
+
+  test("intra-doc line dedup rides the scan — only the ORDER BY exchanges") {
+    val p = plan("q_text_line_dedup")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    val rangeparts = "rangepartitioning".r.findAllIn(p).length
+    assert(exchanges == rangeparts && rangeparts >= 1,
+      s"array_distinct is map-side; nothing but the sort may shuffle:\n$p")
+  }
+
   test("filtered vector search pushes the attribute predicate into the scan") {
     val p = plan("q_sim_filtered_topk")
     assert(p.contains("EqualTo(label,3)"),

@@ -221,6 +221,29 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("property: bucketed prefix sum equals the per-source window cumsum") {
+    // the scale shape (256 hex-prefix range buckets + offsets) must be
+    // value-identical to the straightforward whole-source window —
+    // random doc/source/token shapes, including empty-ish and single-doc
+    // sources
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 300L).map { i =>
+      (i, s"s${rnd.nextInt(7)}", (0 until 1 + rnd.nextInt(9)).map(_ => "w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val got = Corpus.takeTokenBudget(docs, "source", "doc_id", "text",
+        Map.empty, defaultBudget = 1000L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val want = docs
+      .withColumn("n", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("c", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("doc_id"), col("c")).as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("shuffleShards is a deterministic permutation with dense per-shard positions") {
     val docs = (0L until 500L).toDF("doc_id")
     val run1 = Corpus.shuffleShards(docs, "doc_id", nShards = 8, seed = 42L)

@@ -31,6 +31,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(g(0).getAs[Long]("n_copies") == 2L)
   }
 
+  test("overlapPairs links suffix-to-prefix chains, directional, short docs omitted") {
+    val pages = Seq(
+      (1L, "p q r A B C"),      // suffix "a b c" (normalized)
+      (2L, "a b c x y z"),      // prefix "a b c" -> 1 chains into 2
+      (3L, "a b c u v w"),      // same prefix -> 1 chains into 3 too
+      (4L, "n o p q r s"),      // unrelated
+      (5L, "a b")).toDF("doc_id", "text") // < k tokens: no anchor
+    val pairs = Dedup.overlapPairs(pages, "text", "doc_id", k = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L)), pairs.toString)
+    // directional: nothing chains INTO doc 1, and 2-3 share a prefix
+    // but no suffix matches it
+    assert(!pairs.exists(_._2 == 1L))
+  }
+
+  test("overlapPairs: a doc whose prefix equals its own suffix never self-pairs") {
+    val d = Seq((7L, "a b c x a b c")).toDF("doc_id", "text")
+    assert(Dedup.overlapPairs(d, "text", "doc_id", k = 3).count() == 0)
+  }
+
   test("shingles produce n-k+1 k-grams") {
     val sh = Seq("a b c d").toDF("t")
       .select(Dedup.shingles(col("t"), 2).as("s"))

@@ -292,6 +292,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3) == ((4L, "shared line\nunique delta", 2L, 2L)), out(3).toString)
   }
 
+  test("dedupLinesWithinDoc keeps FIRST occurrences in order, per doc independently") {
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb\na"), // dups of a,b within the doc
+      (2L, "a\nx"), // 'a' repeated ACROSS docs must NOT be touched
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesWithinDoc(docs, "text", "doc_id")
+      .orderBy("doc_id").select("doc_id", "clean_text", "n_lines", "n_kept")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "a\nb\nc", 6L, 3L)), out(0).toString)
+    assert(out(1) == ((2L, "a\nx", 2L, 2L)), out(1).toString)
+    assert(out(2) == ((3L, "solo", 1L, 1L)), out(2).toString)
+  }
+
   test("removeBoilerplateLines: all-boilerplate doc empties; unshared doc untouched") {
     val docs = Seq(
       (1L, "B\nB"), (2L, "B"), (3L, "B"), // B in 3 docs
