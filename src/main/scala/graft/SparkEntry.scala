@@ -736,6 +736,89 @@ object SparkEntry {
       .select(col("vec_id")).orderBy(col("vec_id"))
   }
 
+  /** Unicode-normalization cleanup (q_text_normalize). The fixture is
+    * pure ASCII, so the query PLANTS the dirt deterministically (the
+    * mediaBlob/lined-fixture pattern): every 'a' becomes the
+    * decomposed pair a + U+0301 and odd docs get a trailing BEL — then
+    * runs the real pipeline step: NFC composition (custom codegen
+    * [[graft.functions.TextNormExpressions.NfcNormalize]], ASCII
+    * fast path) followed by C0-control stripping. The oracle replays
+    * with DuckDB's nfc_normalize + regexp_replace; norm_md5 hashes the
+    * normalized BYTES, so composition must agree codepoint-for-
+    * codepoint across engines, and the n_cp columns prove composition
+    * actually happened (each decomposed pair collapses to one
+    * codepoint).
+    */
+  private def qTextNormalize(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextNormExpressions.{nfc_normalize, strip_control}
+    t(s, d, "documents")
+      .withColumn("__dirty", concat(
+        regexp_replace(col("text"), "a", "a\u0301"),
+        when(pmod(col("doc_id"), lit(2)) === 1, lit("\u0007"))
+          .otherwise(lit(""))))
+      .withColumn("__norm", strip_control(nfc_normalize(col("__dirty"))))
+      .select(col("doc_id"),
+        md5(col("__norm")).as("norm_md5"),
+        (col("__dirty") =!= col("__norm")).as("changed"),
+        length(col("__dirty")).cast("long").as("n_cp_dirty"),
+        length(col("__norm")).cast("long").as("n_cp_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fuzzy (MinHash) decontamination against the stand-in eval set:
+    * drops every train doc with 5-shingle Jaccard >= 0.5 to any eval
+    * doc — the lightly-edited-benchmark leak the exact and 13-gram
+    * filters miss. Exact DuckDB all-pairs replay; the r=1 banding
+    * (20 slots) bounds the per-true-pair miss probability at
+    * (1-J)^20 <= 1e-6 at the threshold, and candidates are verified
+    * with EXACT Jaccard, so the survivor set is the truth set.
+    */
+  private def qDeconFuzzy(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val eval_ = docs.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("text"))
+    graft.ops.Corpus.decontaminateFuzzy(docs, eval_, "text", "text",
+        "doc_id", threshold = 0.5, k = 5, numHashes = 20)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  /** Contamination evidence report — the audit half the drop-only
+    * decontamination entries skip: per (train doc, eval doc) pair, the
+    * number of distinct shared 13-grams, eval members excluded from
+    * the train side. Exact gram-join replay in DuckDB.
+    */
+  private def qDeconReport(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    // a WIDER stand-in eval slice than the drop entries' %97: with
+    // ~20% of docs standing in for benchmarks, the planted near-dup
+    // pairs statistically guarantee a non-empty report at every SF
+    // (the %97 slice misses all of them at sf0.01)
+    val eval_ = docs.filter(pmod(col("doc_id"), lit(5)) === 3)
+      .select(col("doc_id"), col("text"))
+    graft.ops.Corpus.contaminationReport(docs, eval_, "text", "text",
+        "doc_id", "doc_id", n = 13)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** Marginal-diversity curve ([[Corpus.noveltyBySource]]): distinct
+    * 5-grams per source and how many each source contributes FIRST
+    * (sources in lexicographic order) — gram hashes shuffle, never
+    * gram text. Exact DuckDB replay of the same md5 attribution.
+    */
+  private def qCorpusNovelty(s: SparkSession, d: String): DataFrame =
+    graft.ops.Corpus.noveltyBySource(t(s, d, "documents"), "text",
+        "source", n = 5)
+      .orderBy(col("source"))
+
+  /** Equal-width length histogram ([[Profile.histogram]]): 16 buckets
+    * over documents.n_chars via exact BIGINT bucket arithmetic —
+    * bit-for-bit replayable (float width math would draw engine-
+    * dependent boundaries). One broadcast bounds row + one hash agg.
+    */
+  private def qProfHistogram(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profile.histogram(t(s, d, "documents"), "n_chars",
+        nBuckets = 16)
+      .orderBy(col("bucket"))
+
   /** Per-column profile over orders (null audit, exact cardinality,
     * ranges) — one aggregation pass, stack-unpivoted to a row per
     * column; exact DuckDB replay.
@@ -1535,6 +1618,11 @@ object SparkEntry {
     "q_corpus_decontaminate_ngram" -> qDecontaminateNgram,
     "q_decon_bloom" -> qDeconBloom,
     "q_decon_sem" -> qDeconSem,
+    "q_decon_fuzzy" -> qDeconFuzzy,
+    "q_decon_report" -> qDeconReport,
+    "q_text_normalize" -> qTextNormalize,
+    "q_corpus_novelty" -> qCorpusNovelty,
+    "q_prof_histogram" -> qProfHistogram,
     "q_profile" -> qProfile,
     "q_prof_hll" -> qProfHll,
     "q_quantiles" -> qQuantiles,
@@ -1846,6 +1934,54 @@ object SparkEntry {
       ("SELECT a.vec_id FROM embeddings a WHERE NOT EXISTS (SELECT 1 FROM embeddings e " +
         "WHERE e.vec_id % 97 = 0 AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
         "CAST(e.embedding AS DOUBLE[])) >= 0.4) ORDER BY vec_id"),
+    // fuzzy decontamination: exact all-pairs 5-shingle Jaccard replay
+    // (4dp-rounded, the JaccardSets convention) vs the eval subset
+    "q_decon_fuzzy" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks)-3)]) END AS sh FROM t), " +
+        "hit AS (SELECT DISTINCT a.doc_id FROM s a JOIN s e ON e.doc_id % 97 = 0 " +
+        "AND round(CAST(len(list_intersect(a.sh, e.sh)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.sh, e.sh))), 4) >= 0.5) " +
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id"),
+    // contamination evidence: distinct shared 13-grams per
+    // (train, eval) pair, eval members excluded from the train side
+    "q_decon_report" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i:i+12], ' ') FOR i IN range(1, len(toks)-11)]) END AS sh FROM t), " +
+        "tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 5 <> 3), " +
+        "ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s WHERE doc_id % 5 = 3) " +
+        "SELECT tr.doc_id AS train_id, ev.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams " +
+        "FROM tr JOIN ev USING (g) GROUP BY 1, 2 ORDER BY train_id, eval_id"),
+    // NFC normalization: DuckDB nfc_normalize + C0 strip replay over
+    // the deterministically dirtied fixture (decomposed accents + BEL)
+    "q_text_normalize" ->
+      ("WITH dirty AS (SELECT doc_id, replace(text, 'a', 'a' || chr(769)) || " +
+        "CASE WHEN doc_id % 2 = 1 THEN chr(7) ELSE '' END AS dt FROM documents), " +
+        "n AS (SELECT doc_id, dt, regexp_replace(nfc_normalize(dt), " +
+        "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS nt FROM dirty) " +
+        "SELECT doc_id, md5(nt) AS norm_md5, dt != nt AS changed, " +
+        "CAST(length(dt) AS BIGINT) AS n_cp_dirty, CAST(length(nt) AS BIGINT) AS n_cp_norm " +
+        "FROM n ORDER BY doc_id"),
+    // novelty curve: identical md5 gram attribution, first = min(source)
+    "q_corpus_novelty" ->
+      ("WITH t AS (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, source, CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks)-3)]) END AS sh FROM t), " +
+        "g AS (SELECT source, md5(unnest(sh)) AS h FROM s), " +
+        "per AS (SELECT source, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_grams FROM g GROUP BY source), " +
+        "firsts AS (SELECT h, min(source) AS source FROM g GROUP BY h), " +
+        "novel AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new_grams FROM firsts GROUP BY source) " +
+        "SELECT per.source, per.n_grams, COALESCE(novel.n_new_grams, CAST(0 AS BIGINT)) AS n_new_grams " +
+        "FROM per LEFT JOIN novel USING (source) ORDER BY source"),
+    // equal-width histogram: same exact BIGINT bucket arithmetic
+    // (DuckDB // = Spark div: both truncate, operands nonnegative)
+    "q_prof_histogram" ->
+      ("WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents) " +
+        "SELECT ((n_chars - lo) * 16) // (hi - lo + 1) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, min(n_chars) AS bucket_min, max(n_chars) AS bucket_max " +
+        "FROM documents, b GROUP BY 1 ORDER BY bucket"),
     // per-column profile: exact replay per audited column
     "q_profile" ->
       ("SELECT * FROM (" +

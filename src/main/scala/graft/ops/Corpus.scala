@@ -331,4 +331,105 @@ object Corpus {
       .select(col(idCol)).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Fuzzy (near-duplicate) decontamination: drop training docs whose
+    * word-`k`-shingle Jaccard similarity to ANY eval/benchmark doc is
+    * >= `threshold` — the overlap the exact-hash and 13-gram filters
+    * both miss when a benchmark item was lightly edited before leaking
+    * into the crawl (the MinHash-based decontamination pass of modern
+    * open-data pipelines, e.g. Dolma's benchmark overlap removal).
+    *
+    * Shape: minhash signatures on both sides (codegen
+    * [[graft.functions.TextHashExpressions.MinHashSignature]]),
+    * slot-value equi-join against the BROADCAST eval side (eval sets
+    * are small), exact-Jaccard verification of the candidates, then an
+    * anti-join back — so the train corpus contributes one map-shaped
+    * signature pass + a broadcast probe, and text never shuffles.
+    *
+    * Recall knob: candidates are docs sharing >= 1 of `numHashes`
+    * minhash slots with an eval doc (banding with r = 1). Miss
+    * probability for a true pair at Jaccard J is (1-J)^numHashes —
+    * at the defaults (J >= 0.5, 20 hashes) under 1e-6. r = 1 trades
+    * more exact verifications for that recall, which is the right
+    * trade ONLY because the verify side is the small eval set; the
+    * corpus-vs-corpus near-dup path ([[Dedup.minhashNearDups]]) keeps
+    * banded r >= 2.
+    */
+  def decontaminateFuzzy(train: DataFrame, eval_ : DataFrame,
+                         textCol: String, evalTextCol: String,
+                         idCol: String, threshold: Double = 0.5,
+                         k: Int = 5, numHashes: Int = 20): DataFrame = {
+    import graft.functions.TextHashExpressions.{jaccard_sets, minhash_signature}
+    val trainSh = train.select(col(idCol),
+      Dedup.shingles(col(textCol), k).as("__sh"))
+      .select(col(idCol), col("__sh"),
+        posexplode(minhash_signature(col("__sh"), numHashes)))
+      .select(col(idCol), col("__sh"), col("pos").as("__p"), col("col").as("__v"))
+    val evalSh = eval_.select(Dedup.shingles(col(evalTextCol), k).as("__esh"))
+      .distinct()
+      .select(col("__esh"),
+        posexplode(minhash_signature(col("__esh"), numHashes)))
+      .select(col("__esh"), col("pos").as("__p"), col("col").as("__v"))
+    val contaminated = trainSh
+      .join(broadcast(evalSh), Seq("__p", "__v"))
+      .filter(jaccard_sets(col("__sh"), col("__esh")) >= threshold)
+      .select(col(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Contamination evidence report — the audit half of n-gram
+    * decontamination: for every (train doc, eval doc) pair sharing at
+    * least one word `n`-gram, the number of distinct shared grams.
+    * Real pipelines run this BEFORE dropping anything: it attributes
+    * each hit to the benchmark item that caused it, separates
+    * one-gram coincidences from wholesale leaks, and gives reviewers
+    * something to eyeball. Train docs that are themselves eval
+    * members are excluded via `evalIds` (reporting a benchmark
+    * against itself is noise).
+    *
+    * Shape: per-doc distinct grams on both sides, gram equi-join with
+    * the eval side broadcast, then one (train, eval) count — grams
+    * shuffle as strings once; text never does.
+    */
+  def contaminationReport(train: DataFrame, eval_ : DataFrame,
+                          textCol: String, evalTextCol: String,
+                          idCol: String, evalIdCol: String,
+                          n: Int = 13): DataFrame = {
+    val evalGrams = eval_.select(col(evalIdCol).as("eval_id"),
+      explode(Dedup.shingles(col(evalTextCol), n)).as("__g"))
+    val evalIds = eval_.select(col(evalIdCol).as("__eid")).distinct()
+    train
+      .join(broadcast(evalIds), col(idCol) === col("__eid"), "left_anti")
+      .select(col(idCol).as("train_id"),
+        explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .join(broadcast(evalGrams), Seq("__g"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** N-gram novelty by source: rank sources in lexicographic order
+    * and attribute every distinct corpus gram to the FIRST source
+    * containing it; per source, report its distinct-gram count and
+    * how many grams it contributes that no earlier source has. The
+    * marginal-diversity curve data buyers actually look at — a source
+    * whose `n_new_grams` is a sliver of `n_grams` duplicates what the
+    * mix already covers and earns its tokens back as dedup losses.
+    *
+    * Shape: grams are md5-hashed BEFORE the shuffle (16-byte keys,
+    * never gram text), then two hash-key aggregations: min(source)
+    * per gram and per-(source, gram) distinct counts. No windows, no
+    * global sorts.
+    */
+  def noveltyBySource(df: DataFrame, textCol: String, sourceCol: String,
+                      n: Int = 5): DataFrame = {
+    val grams = df.select(col(sourceCol).as("source"),
+      explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .select(col("source"), md5(col("__g")).as("__h"))
+    val perSource = grams.distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy(col("__h")).agg(min(col("source")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_new_grams"))
+    perSource.join(novel, Seq("source"), "left")
+      .na.fill(0L, Seq("n_new_grams"))
+  }
 }

@@ -92,4 +92,33 @@ object Profile {
       .agg((exact ++ approx).head, (exact ++ approx).tail: _*)
       .select(col(groupCol) +: out: _*)
   }
+
+  /** Equal-width histogram of an integer-valued column — the length /
+    * token-count distribution view every corpus report leads with.
+    * Two-phase distributed shape: a one-row min/max aggregate
+    * broadcasts onto the stream (never an eager collect), bucket
+    * assignment is pure INTEGER arithmetic
+    * (`(v - lo) * nBuckets / (hi - lo + 1)` in BIGINT, so any engine
+    * replays it bit-for-bit — float log/width math draws engine-
+    * dependent boundaries), and the histogram itself is one hash
+    * aggregation on the bucket id. Empty buckets are absent by
+    * design (a 100-TB histogram materializes observed buckets only).
+    * Caller contract: (max - lo) * nBuckets must fit in a long —
+    * holds for any length/count-like column with sane bucket counts.
+    */
+  def histogram(df: DataFrame, valueCol: String,
+                nBuckets: Int = 16): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val v = col(valueCol).cast("long")
+    val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"))
+    df.select(v.as("__v"))
+      .crossJoin(broadcast(bounds))
+      // SQL `div` = exact BIGINT division (Column./ would be double)
+      .withColumn("bucket",
+        expr(s"((__v - __lo) * $nBuckets) div (__hi - __lo + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__v")).as("bucket_min"),
+        max(col("__v")).as("bucket_max"))
+  }
 }

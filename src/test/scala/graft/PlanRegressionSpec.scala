@@ -373,4 +373,43 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges - rangeparts == 1,
       s"exactly one shard exchange beyond the ORDER BY:\n$p")
   }
+
+  test("NFC normalization rides the scan — only the ORDER BY exchanges") {
+    val p = plan("q_text_normalize")
+    assert(p.contains("nfc_normalize"), p)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    val rangeparts = "rangepartitioning".r.findAllIn(p).length
+    assert(exchanges == rangeparts && rangeparts >= 1,
+      s"normalize + strip are map-side; nothing but the sort may shuffle:\n$p")
+  }
+
+  test("novelty curve shuffles gram hashes, never document text") {
+    val p = plan("q_corpus_novelty")
+    val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shufflePart.contains("text#"),
+      s"only (source, md5) rows may shuffle:\n$shufflePart")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"gram aggregations must partially aggregate map-side:\n$p")
+  }
+
+  test("histogram bounds broadcast onto the stream; bucket agg is partial") {
+    val p = plan("q_prof_histogram")
+    assert(p.contains("BroadcastExchange"),
+      s"the one-row min/max must broadcast, never collect:\n$p")
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("fuzzy decontamination probes broadcast slots — text never shuffles") {
+    val p = plan("q_decon_fuzzy")
+    // the (slot, value) candidate join must broadcast the eval side and
+    // carry the exact-Jaccard verify as its join condition (verify
+    // rides the probe — no separate pair materialization). The final
+    // id-only anti join is left to AQE (the contaminated set's size is
+    // a runtime fact; statically it estimates as train-sized).
+    assert(p.contains("BroadcastHashJoin [__p#"), p)
+    assert(p.contains("jaccard_sets"), p)
+    val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shufflePart.contains("text#"),
+      s"train text must stay map-side:\n$shufflePart")
+  }
 }

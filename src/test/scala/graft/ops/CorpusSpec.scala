@@ -278,4 +278,59 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(!ordered, "per-shard order must not degenerate to id order")
   }
+
+  test("decontaminateFuzzy drops exact and lightly-edited eval leaks only") {
+    val evalDoc = "the quick brown fox jumps over the lazy dog every day"
+    // near-dup: one word changed out of 11 -> 5-shingle Jaccard ~ 0.4?
+    // change the LAST word so 6 of 7 shingles survive (J = 6/8 = 0.75)
+    val nearDup = "the quick brown fox jumps over the lazy dog every night"
+    val clean = "completely unrelated text about spark physical plans here"
+    val train = Seq(
+      (1L, evalDoc), (2L, nearDup), (3L, clean),
+      (4L, "another separate document with its own words entirely"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(Tuple1(evalDoc)).toDF("text")
+    val kept = Corpus.decontaminateFuzzy(train, eval_, "text", "text",
+      "doc_id", threshold = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L), s"kept $kept")
+  }
+
+  test("decontaminateFuzzy keeps docs below the Jaccard threshold") {
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta"
+    // shares only one 5-shingle region -> J well under 0.5
+    val graze = "alpha beta gamma delta epsilon completely different tail words here now"
+    val train = Seq((1L, graze)).toDF("doc_id", "text")
+    val eval_ = Seq(Tuple1(evalDoc)).toDF("text")
+    val kept = Corpus.decontaminateFuzzy(train, eval_, "text", "text",
+      "doc_id", threshold = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("contaminationReport attributes shared grams and excludes eval members") {
+    val shared = (1 to 13).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (1L, shared + " trailing words here"), // shares 13-grams with eval 10
+      (2L, "no overlap with any benchmark document at all in this row"),
+      (10L, shared)) // IS the eval doc - must not be reported
+      .toDF("doc_id", "text")
+    val eval_ = Seq((10L, shared)).toDF("doc_id", "text")
+    val rows = Corpus.contaminationReport(train, eval_, "text", "text",
+      "doc_id", "doc_id", n = 13)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 contains "w1..w13" and "w2..w13 trailing" etc.; the eval
+    // doc (13 words) has exactly one 13-gram, so exactly 1 is shared
+    assert(rows == Set((1L, 10L, 1L)), s"got $rows")
+  }
+
+  test("noveltyBySource attributes each gram to the lexicographically first source") {
+    val df = Seq(
+      ("a_src", "one two three four five"),        // 1 shingle, new
+      ("b_src", "one two three four five"),        // same shingle: not new
+      ("b_src", "six seven eight nine ten eleven") // 2 shingles, both new
+    ).toDF("source", "text")
+    val out = Corpus.noveltyBySource(df, "text", "source", n = 5)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("a_src") == ((1L, 1L)))
+    assert(out("b_src") == ((3L, 2L)))
+  }
 }

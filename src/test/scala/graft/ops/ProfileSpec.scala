@@ -40,6 +40,33 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       s"guaranteed hitters missing from $cand")
   }
 
+  test("histogram buckets with exact integer arithmetic") {
+    // values 0..99, 10 buckets over width 100 -> bucket = v div 10
+    val df = (0L to 99L).toDF("v")
+    val rows = Profile.histogram(df, "v", nBuckets = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 10)
+    rows.zipWithIndex.foreach { case ((b, n, lo, hi), i) =>
+      assert(b == i && n == 10L && lo == i * 10L && hi == i * 10L + 9L,
+        s"bucket $i got ($b, $n, $lo, $hi)")
+    }
+  }
+
+  test("histogram max value lands in the last bucket, not one past it") {
+    val df = Seq(5L, 7L, 20L).toDF("v")
+    val rows = Profile.histogram(df, "v", nBuckets = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // width = 16, buckets: (5-5)*4/16=0, (7-5)*4/16=0, (20-5)*4/16=3
+    assert(rows.toSeq == Seq((0L, 2L, 5L, 7L), (3L, 1L, 20L, 20L)))
+  }
+
+  test("histogram degenerate constant column yields one bucket") {
+    val df = Seq(42L, 42L, 42L).toDF("v")
+    val rows = Profile.histogram(df, "v", nBuckets = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.toSeq == Seq((0L, 3L, 42L, 42L)))
+  }
+
   test("quantileContract: exact percentiles interpolate, sketch bound holds") {
     // 1..101 per group: p50 = 51 exactly, p95 = 96 exactly
     val df = (for (g <- Seq("x", "y"); v <- 1 to 101) yield (g, v)).toDF("g", "v")
