@@ -819,6 +819,56 @@ object SparkEntry {
         nBuckets = 16)
       .orderBy(col("bucket"))
 
+  /** Gram-level Bloom decontamination contract (q_decon_ngram_bloom):
+    * n_exact_kept replays the 13-gram drop in DuckDB; the sketch path
+    * must keep NO contaminated doc (gram Bloom has no false
+    * negatives) and over-drop within an fpp-scaled budget. fpp is
+    * 1e-6 because per-doc FP compounds across the doc's grams.
+    */
+  private def qDeconNgramBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val eval_ = docs.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("text"))
+    val exact = graft.ops.Corpus
+      .decontaminateNgram(docs, eval_, "text", "text", "doc_id", n = 13)
+      .select(col("doc_id")).withColumn("__e", lit(1))
+    val bloom = graft.ops.Corpus
+      .decontaminateNgramBloom(docs, eval_, "text", "text", "doc_id",
+        n = 13, fpp = 1e-6)
+      .select(col("doc_id")).withColumn("__b", lit(1))
+    val tot = docs.agg(count(lit(1)).cast("double").as("__n"))
+    exact.join(bloom, Seq("doc_id"), "full")
+      .crossJoin(broadcast(tot))
+      .agg(
+        sum(coalesce(col("__e"), lit(0))).cast("long").as("n_exact_kept"),
+        (sum(when(col("__e").isNull, 1).otherwise(0)) === 0).as("no_contam_kept"),
+        (sum(when(col("__b").isNull, 1).otherwise(0)).cast("double") <=
+          first(col("__n")) * 0.005 + 10.0).as("fp_ok"))
+  }
+
+  /** Zipf fit over the corpus vocabulary ([[TextAnalysis.zipfFit]]) —
+    * slope/R² of ln(freq) ~ ln(rank), the distribution-shape anomaly
+    * signal. Exact DuckDB replay: deterministic tie-ranking makes the
+    * regression inputs identical, both sides round 4dp.
+    */
+  private def qTextZipf(s: SparkSession, d: String): DataFrame =
+    graft.ops.TextAnalysis.zipfFit(t(s, d, "documents"), "text")
+
+  /** Embedding mean-pooling per label ([[Similarity.meanPool]] over
+    * the typed partial-aggregating VectorMeanAggregator): class
+    * centroids flattened to (label, dim_idx, mean_val) rows so the
+    * oracle compares scalars, not float arrays. The UDAF shuffles one
+    * (sums, count) buffer per label per task; the posexplode here is
+    * presentation of 10x64 result cells, not the aggregation path.
+    */
+  private def qEmbPool(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.meanPool(t(s, d, "embeddings"), "label",
+        "embedding", dim = 64)
+      .select(col("label"), posexplode(col("centroid")))
+      .select(col("label"),
+        (col("pos") + 1).cast("long").as("dim_idx"),
+        round(col("col"), 4).as("mean_val"))
+      .orderBy(col("label"), col("dim_idx"))
+
   /** Per-column profile over orders (null audit, exact cardinality,
     * ranges) — one aggregation pass, stack-unpivoted to a row per
     * column; exact DuckDB replay.
@@ -1620,6 +1670,9 @@ object SparkEntry {
     "q_decon_sem" -> qDeconSem,
     "q_decon_fuzzy" -> qDeconFuzzy,
     "q_decon_report" -> qDeconReport,
+    "q_decon_ngram_bloom" -> qDeconNgramBloom,
+    "q_text_zipf" -> qTextZipf,
+    "q_emb_pool" -> qEmbPool,
     "q_text_normalize" -> qTextNormalize,
     "q_corpus_novelty" -> qCorpusNovelty,
     "q_prof_histogram" -> qProfHistogram,
@@ -1954,6 +2007,29 @@ object SparkEntry {
         "ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s WHERE doc_id % 5 = 3) " +
         "SELECT tr.doc_id AS train_id, ev.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams " +
         "FROM tr JOIN ev USING (g) GROUP BY 1, 2 ORDER BY train_id, eval_id"),
+    // gram-level Bloom decontamination: exact 13-gram survivor count
+    // replays; no-false-negative and fp bounds TRUE by construction
+    "q_decon_ngram_bloom" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i:i+12], ' ') FOR i IN range(1, len(toks)-11)]) END AS sh FROM t), " +
+        "ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0), " +
+        "hit AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(sh) AS g FROM s) x JOIN ev USING (g)) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_kept, TRUE AS no_contam_kept, TRUE AS fp_ok " +
+        "FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM hit)"),
+    // Zipf fit: identical deterministic rank construction feeds the
+    // same closed-form regression aggregates, rounded 4dp
+    "q_text_zipf" ->
+      ("WITH f AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS f FROM " +
+        "(SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents) GROUP BY word), " +
+        "r AS (SELECT f, CAST(row_number() OVER (ORDER BY f DESC, word) AS DOUBLE) AS r FROM f) " +
+        "SELECT round(CASE WHEN var_pop(ln(r)) > 0 THEN covar_pop(ln(r), ln(f)) / var_pop(ln(r)) END, 4) AS zipf_slope, " +
+        "round(pow(corr(ln(r), ln(f)), 2), 4) AS r2_loglog, CAST(COUNT(*) AS BIGINT) AS n_vocab FROM r"),
+    // mean pooling: per-(label, dim) average of the double-cast floats
+    "q_emb_pool" ->
+      ("SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim_idx, " +
+        "round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean_val " +
+        "FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2 ORDER BY label, dim_idx"),
     // NFC normalization: DuckDB nfc_normalize + C0 strip replay over
     // the deterministically dirtied fixture (decomposed accents + BEL)
     "q_text_normalize" ->

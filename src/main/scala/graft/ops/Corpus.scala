@@ -332,6 +332,39 @@ object Corpus {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** N-gram decontamination with the eval grams as a Bloom sketch —
+    * for eval/blocklist sets whose GRAM inventory is too large to
+    * broadcast raw (a 10M-item benchmark suite easily carries 10^9
+    * distinct 13-grams; the raw broadcast set is tens of GB, the
+    * sketch is tens of MB). Same drop semantics as
+    * [[decontaminateNgram]]; the train side stays a map-side gram
+    * explode + constant-size probe, then an id-only distinct and
+    * anti-join — text never shuffles.
+    *
+    * `fpp` defaults two orders tighter than the doc-level sketch
+    * ([[decontaminateBloom]]): a doc is over-dropped if ANY of its
+    * grams false-positives, so the per-doc FP rate compounds to
+    * ~ grams-per-doc x fpp. At 1e-6 a 1000-gram doc still sits at
+    * 1e-3 over-drop probability; no false NEGATIVES ever (every truly
+    * contaminated doc is dropped).
+    */
+  def decontaminateNgramBloom(train: DataFrame, eval_ : DataFrame,
+                              textCol: String, evalTextCol: String,
+                              idCol: String, n: Int = 13,
+                              fpp: Double = 1e-6): DataFrame = {
+    val evalGrams = eval_
+      .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__g")).distinct()
+    val bf = evalGrams.stat.bloomFilter("__g",
+      math.max(evalGrams.count(), 1L), fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((g: String) => bc.value.mightContainString(g))
+    val contaminated = train
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .filter(might(col("__g")))
+      .select(col(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Fuzzy (near-duplicate) decontamination: drop training docs whose
     * word-`k`-shingle Jaccard similarity to ANY eval/benchmark doc is
     * >= `threshold` — the overlap the exact-hash and 13-gram filters

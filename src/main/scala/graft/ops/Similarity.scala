@@ -197,4 +197,23 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Element-wise mean pooling per group (chunk → doc embedding,
+    * member → cluster centroid) via the typed partial-aggregating
+    * [[graft.functions.VectorMeanAggregator]]: one (sums[dim], count)
+    * buffer per group per map task crosses the wire — the posexplode +
+    * groupBy(group, dim) formulation would shuffle dim rows per
+    * VECTOR. Returns (groupCol, centroid: array<double>).
+    */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String,
+               dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pool = new graft.functions.VectorMeanAggregator(dim).toColumn
+    df.select(col(groupCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(pool.name("centroid"))
+      .toDF(groupCol, "centroid")
+  }
 }

@@ -438,4 +438,37 @@ object TextAnalysis {
       }
       .drop("__nl", "__dl", "__nw", textCol)
   }
+
+  /** Zipf fit — corpus-health anomaly signal: least-squares slope and
+    * R² of ln(freq) ~ ln(rank) over the ranked vocabulary. Natural
+    * language sits near slope -1 (Zipf's law); template/generated
+    * spam flattens the head, boilerplate floods single ranks, OCR
+    * noise fattens the singleton tail — all of which move the slope
+    * or collapse the fit's R² long before a human reads a sample.
+    *
+    * Scale shape: one (token, count) shuffle (vocab-sized, not
+    * corpus-sized), then ONE window over the vocabulary for the rank
+    * (explicitly vocab-bounded: vocabularies top out in the tens of
+    * millions — a single-partition sort of (count, token) pairs —
+    * while the corpus is billions of DOCS; never rank the corpus this
+    * way), and a scalar regression aggregate. Ties rank
+    * deterministically by (freq desc, token asc) so any engine
+    * replays the fit bit-for-bit before rounding.
+    */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).cast("double").as("__f"))
+    val ranked = freq.withColumn("__r",
+      row_number().over(Window.orderBy(col("__f").desc, col("__tok")))
+        .cast("double"))
+    val lnR = log(col("__r"))
+    val lnF = log(col("__f"))
+    ranked.agg(
+      round(when(var_pop(lnR) > 0, covar_pop(lnR, lnF) / var_pop(lnR)), 4)
+        .as("zipf_slope"),
+      round(pow(corr(lnR, lnF), 2), 4).as("r2_loglog"),
+      count(lit(1)).as("n_vocab"))
+  }
 }

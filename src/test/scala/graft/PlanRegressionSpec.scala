@@ -399,6 +399,28 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("embedding mean-pool partially aggregates — no per-dim explode shuffle") {
+    val p = plan("q_emb_pool")
+    // the UDAF must partial-aggregate map-side (one buffer per label
+    // per task crosses the wire); the only Generate (posexplode) is
+    // presentation of the k x dim result AFTER aggregation
+    assert(p.contains("partial_vectormeanaggregator") ||
+      p.contains("partial_VectorMeanAggregator") ||
+      ("(?i)partial.*vectormean".r.findFirstIn(p).isDefined),
+      s"mean pool must show a partial aggregation stage:\n$p")
+    val genIdx = p.indexOf("Generate posexplode")
+    val aggIdx = p.lastIndexOf("Aggregate")
+    assert(genIdx >= 0 && genIdx < aggIdx,
+      s"posexplode must sit above the aggregation, not feed it:\n$p")
+  }
+
+  test("zipf fit shuffles (token, count) pairs, never document text") {
+    val p = plan("q_text_zipf")
+    val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shufflePart.contains("text#"),
+      s"only vocabulary rows may shuffle:\n$shufflePart")
+  }
+
   test("fuzzy decontamination probes broadcast slots — text never shuffles") {
     val p = plan("q_decon_fuzzy")
     // the (slot, value) candidate join must broadcast the eval side and

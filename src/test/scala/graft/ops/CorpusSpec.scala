@@ -322,6 +322,21 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == Set((1L, 10L, 1L)), s"got $rows")
   }
 
+  test("decontaminateNgramBloom never keeps a contaminated doc") {
+    val shared = (1 to 13).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (1L, shared + " extra tail"),  // shares a 13-gram -> must drop
+      (2L, "clean document with entirely distinct vocabulary tokens here okay"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(Tuple1(shared)).toDF("text")
+    val kept = Corpus.decontaminateNgramBloom(train, eval_, "text", "text",
+      "doc_id").select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(1L), "Bloom has no false negatives")
+    // at 1e-6 fpp on a 2-gram probe set, a false drop of doc 2 is
+    // effectively impossible; assert it to pin the over-drop behavior
+    assert(kept == Set(2L), s"kept $kept")
+  }
+
   test("noveltyBySource attributes each gram to the lexicographically first source") {
     val df = Seq(
       ("a_src", "one two three four five"),        // 1 shingle, new

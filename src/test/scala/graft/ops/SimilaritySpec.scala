@@ -156,4 +156,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.lshTopK(empty, single, 3).count() == 0)
     assert(Similarity.cosineNearDups(empty, 0.1).count() == 0)
   }
+
+  test("meanPool averages element-wise per group in double precision") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (0L, Array(3.0f, 2.0f, 1.0f)),
+      (1L, Array(10.0f, 0.0f, -4.0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.meanPool(df, "label", "embedding", dim = 3)
+      .as[(Long, Array[Double])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    assert(got(0L) == Seq(2.0, 2.0, 2.0))
+    assert(got(1L) == Seq(10.0, 0.0, -4.0))
+  }
+
+  test("meanPool is partition-invariant (partial aggregation merges)") {
+    val df = (1 to 100)
+      .map(i => ((i % 4).toLong, Array(i.toFloat, (i * 2).toFloat)))
+      .toDF("label", "embedding")
+    val a = Similarity.meanPool(df, "label", "embedding", dim = 2)
+      .as[(Long, Array[Double])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    val b = Similarity.meanPool(df.repartition(13), "label", "embedding", dim = 2)
+      .as[(Long, Array[Double])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    // integer-valued floats sum exactly in double: bit-equal means
+    assert(a == b)
+  }
 }

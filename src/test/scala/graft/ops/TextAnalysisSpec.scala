@@ -370,4 +370,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(got(id) - want) < 1e-9, s"id=$id s='$s'")
     }
   }
+
+  test("zipfFit recovers slope -1 and R2 1 on an exact Zipf corpus") {
+    // freqs 6/3/2 = 6/rank exactly: ln f = ln 6 - ln r, a perfect fit
+    val text = (Seq.fill(6)("aa") ++ Seq.fill(3)("bb") ++ Seq.fill(2)("cc"))
+      .mkString(" ")
+    val df = Seq(Tuple1(text)).toDF("text")
+    val Array((slope, r2, v)) = TextAnalysis.zipfFit(df, "text")
+      .as[(Double, Double, Long)].collect()
+    assert(slope == -1.0 && r2 == 1.0 && v == 3L, s"($slope, $r2, $v)")
+  }
+
+  test("zipfFit ranks ties deterministically and is partition-invariant") {
+    val docs = (1 to 40).map(i => (i.toLong, s"tok${i % 7} tok${i % 5} filler"))
+    val df = docs.toDF("id", "text")
+    val a = TextAnalysis.zipfFit(df, "text").as[(Double, Double, Long)].head()
+    val b = TextAnalysis.zipfFit(df.repartition(7), "text")
+      .as[(Double, Double, Long)].head()
+    assert(a == b)
+  }
 }
