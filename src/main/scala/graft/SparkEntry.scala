@@ -819,6 +819,48 @@ object SparkEntry {
         nBuckets = 16)
       .orderBy(col("bucket"))
 
+  /** Dedup-savings planning report ([[Dedup.dedupSavings]]): per
+    * duplicate-group size, groups / removable docs / removable chars
+    * under the min-id-keeper rule — exact DuckDB replay (min_by on
+    * both sides). The fixture's planted duplication is NEAR-dup only,
+    * so the query plants exact copies of every 10th doc (offset ids)
+    * to make the n_copies = 2 stratum non-empty at every SF.
+    */
+  private def qDedupSavings(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val planted = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    graft.ops.Dedup.dedupSavings(docs.union(planted), "text", "doc_id",
+        "n_chars")
+      .orderBy(col("n_copies"))
+  }
+
+  /** Tokenizer fertility per language ([[TextAnalysis.fertility]]):
+    * chars per BPE-ish token by the fixture's lang column — the
+    * multilingual token-budgeting table. Exact replay (same regex).
+    */
+  private def qTextFertility(s: SparkSession, d: String): DataFrame =
+    graft.ops.TextAnalysis.fertility(t(s, d, "documents"), "text", "lang")
+      .orderBy(col("lang"))
+
+  /** Span-level decontamination ([[Corpus.decontaminateSpans]]):
+    * excise eval-verbatim 13-token windows from train docs, keep the
+    * rest — the surgical complement of the drop-whole-doc filters.
+    * Train = docs outside the %5 stand-in eval slice (the slice wide
+    * enough that planted near-dup pairs guarantee real excisions at
+    * every SF). Exact DuckDB replay of window construction, coverage
+    * union, and ordered reassembly — same machinery as q_dedup_rm.
+    */
+  private def qDeconSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 3)
+    val eval_ = docs.filter(pmod(col("doc_id"), lit(5)) === 3).select(col("text"))
+    graft.ops.Corpus.decontaminateSpans(train, eval_, "text", "text",
+        "doc_id", k = 13)
+      .orderBy(col("doc_id"))
+  }
+
   /** Gram-level Bloom decontamination contract (q_decon_ngram_bloom):
     * n_exact_kept replays the 13-gram drop in DuckDB; the sketch path
     * must keep NO contaminated doc (gram Bloom has no false
@@ -1673,6 +1715,9 @@ object SparkEntry {
     "q_decon_ngram_bloom" -> qDeconNgramBloom,
     "q_text_zipf" -> qTextZipf,
     "q_emb_pool" -> qEmbPool,
+    "q_dedup_savings" -> qDedupSavings,
+    "q_text_fertility" -> qTextFertility,
+    "q_decon_spans" -> qDeconSpans,
     "q_text_normalize" -> qTextNormalize,
     "q_corpus_novelty" -> qCorpusNovelty,
     "q_prof_histogram" -> qProfHistogram,
@@ -2007,6 +2052,36 @@ object SparkEntry {
         "ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s WHERE doc_id % 5 = 3) " +
         "SELECT tr.doc_id AS train_id, ev.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams " +
         "FROM tr JOIN ev USING (g) GROUP BY 1, 2 ORDER BY train_id, eval_id"),
+    // span-level decontamination: q_dedup_rm's replay with the dup
+    // set swapped for the eval slice's window hashes
+    "q_decon_spans" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents WHERE doc_id % 5 <> 3), " +
+        "e AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents WHERE doc_id % 5 = 3), " +
+        "w AS (SELECT doc_id, i AS s, md5(array_to_string(ws[i:i+12], ' ')) AS h FROM t, LATERAL unnest(range(1, len(ws) - 11)) AS r(i) WHERE len(ws) >= 13), " +
+        "ev AS (SELECT DISTINCT md5(array_to_string(ws[i:i+12], ' ')) AS h FROM e, LATERAL unnest(range(1, len(ws) - 11)) AS r(i) WHERE len(ws) >= 13), " +
+        "cov AS (SELECT DISTINCT doc_id, s + o AS pos FROM w JOIN ev USING (h), LATERAL unnest(range(0, 13)) AS q(o)), " +
+        "tok AS (SELECT doc_id, i AS pos, ws[i] AS tk FROM t, LATERAL unnest(range(1, len(ws) + 1)) AS r(i)), " +
+        "kept AS (SELECT tok.doc_id, pos, tk FROM tok ANTI JOIN cov USING (doc_id, pos)), " +
+        "re AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text, COUNT(*) AS nk FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, COALESCE(re.clean_text, '') AS clean_text, CAST(len(t.ws) AS BIGINT) AS n_tokens, " +
+        "CAST(len(t.ws) - COALESCE(re.nk, 0) AS BIGINT) AS n_removed " +
+        "FROM t LEFT JOIN re USING (doc_id) ORDER BY t.doc_id"),
+    // dedup-savings report: identical min-id-keeper accounting
+    "q_dedup_savings" ->
+      ("WITH u AS (SELECT doc_id, text, n_chars FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text, n_chars FROM documents WHERE doc_id % 10 = 0), " +
+        "g AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_copies, " +
+        "SUM(n_chars) AS b, MIN_BY(n_chars, doc_id) AS kb FROM u GROUP BY 1) " +
+        "SELECT n_copies, CAST(COUNT(*) AS BIGINT) AS n_groups, " +
+        "CAST(SUM(n_copies - 1) AS BIGINT) AS n_removable_docs, " +
+        "CAST(SUM(b - kb) AS BIGINT) AS n_removable_chars " +
+        "FROM g GROUP BY n_copies ORDER BY n_copies"),
+    // fertility: same BPE-ish regex, per-doc ratio averaged per lang
+    "q_text_fertility" ->
+      ("SELECT lang, round(avg(CAST(length(text) AS DOUBLE) / " +
+        "greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')), 1)), 4) AS chars_per_token, " +
+        "CAST(SUM(greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')), 1)) AS BIGINT) AS n_tokens, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang ORDER BY lang"),
     // gram-level Bloom decontamination: exact 13-gram survivor count
     // replays; no-false-negative and fp bounds TRUE by construction
     "q_decon_ngram_bloom" ->

@@ -440,6 +440,50 @@ object Corpus {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Span-level decontamination — the surgical variant of the
+    * drop-whole-doc filters: EXCISE every k-token window of a train
+    * doc that appears verbatim anywhere in the eval set, keep the
+    * rest of the doc (the Lee et al. 2022 ExactSubstr machinery
+    * pointed across the train/eval boundary instead of within the
+    * corpus — what you want when a long doc quotes one benchmark item
+    * but the other 99% of it is good training signal).
+    *
+    * Shape: train windows travel as (id, md5); the eval window-hash
+    * set broadcasts (benchmarks are small); matched starts per doc
+    * feed the same native one-pass reassembly as
+    * [[Dedup.removeDuplicateSpans]]
+    * ([[graft.functions.SpanRemoveExpressions]]), so text never
+    * shuffles and no interpreted lambdas run. Docs under k tokens
+    * have no window and pass through untouched. Returns
+    * (id, clean_text, n_tokens, n_removed) over the normalized
+    * token stream, like the in-corpus remover.
+    */
+  def decontaminateSpans(train: DataFrame, eval_ : DataFrame,
+                         textCol: String, evalTextCol: String,
+                         idCol: String, k: Int = 13): DataFrame = {
+    require(k > 0, "window must be positive")
+    val toks = train.select(col(idCol),
+      split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+    val wins = Dedup.spanWindows(train, textCol, idCol, k)
+    val evalHashes = Dedup
+      .spanWindows(eval_.select(col(evalTextCol)).withColumn("__eid", lit(0L)),
+        evalTextCol, "__eid", k)
+      .select(col("__h")).distinct()
+    val starts = wins
+      .join(broadcast(evalHashes), Seq("__h"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("__start")).as("__starts"))
+    toks.join(starts, Seq(idCol), "left")
+      .withColumn("__rm",
+        graft.functions.SpanRemoveExpressions.span_remove_tokens(
+          col("__toks"),
+          coalesce(col("__starts"), array().cast("array<int>")), k))
+      .select(col(idCol),
+        coalesce(col("__rm").getField("clean_text"), lit(""))
+          .as("clean_text"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        col("__rm").getField("n_removed").cast("long").as("n_removed"))
+  }
+
   /** N-gram novelty by source: rank sources in lexicographic order
     * and attribute every distinct corpus gram to the FIRST source
     * containing it; per source, report its distinct-gram count and

@@ -43,6 +43,29 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
+  /** Dedup-savings report — the planning view run BEFORE committing to
+    * a dedup pass: per duplicate-group size, how many groups exist,
+    * how many docs a min-id-keeper dedup would remove, and how many
+    * chars of storage that frees (group total minus the keeper's
+    * size, keeper = the min-`idCol` member via min_by — the same
+    * keeper rule [[exactDedup]] applies, so the report predicts that
+    * operator exactly). Size-1 groups appear with zero savings so the
+    * output doubles as the full group-size histogram.
+    *
+    * Shuffle profile: one (16-byte hash, id, size) aggregation, then a
+    * tiny re-aggregation on the group size — text never shuffles.
+    */
+  def dedupSavings(df: DataFrame, textCol: String, idCol: String,
+                   sizeCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("__h"))
+      .agg(count(lit(1)).as("n_copies"),
+        sum(col(sizeCol)).as("__bytes"),
+        min_by(col(sizeCol), col(idCol)).as("__keep_bytes"))
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n_copies") - 1).as("n_removable_docs"),
+        sum(col("__bytes") - col("__keep_bytes")).as("n_removable_chars"))
+
   /** Suffix/prefix overlap pairs — the pagination-stitch detector: doc
     * B continues doc A when A's last k (normalized) tokens equal B's
     * first k (split crawls, "next page" captures, chunked re-uploads).
@@ -120,8 +143,8 @@ object Dedup {
     * where the count-then-semi-join shape stays skew-safe via partial
     * aggregation. Recompute is map-side-only CPU and scales flat.
     */
-  private def spanWindows(df: DataFrame, textCol: String, idCol: String,
-                          k: Int): DataFrame =
+  private[ops] def spanWindows(df: DataFrame, textCol: String, idCol: String,
+                               k: Int): DataFrame =
     df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
       .filter(size(col("__toks")) >= k)
       .select(col(idCol), col("__toks"),

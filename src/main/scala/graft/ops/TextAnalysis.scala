@@ -439,6 +439,25 @@ object TextAnalysis {
       .drop("__nl", "__dl", "__nw", textCol)
   }
 
+  /** Tokenizer fertility per language — chars per (BPE-ish) token,
+    * the multilingual budgeting metric: a language whose fertility is
+    * half the corpus mean costs twice the tokens per unit of text, so
+    * mix planning in TOKENS (the unit training consumes —
+    * [[Corpus.takeTokenBudget]]) diverges from planning in bytes
+    * exactly by this table. Map-side token counting rides the scan;
+    * one narrow (lang) aggregation.
+    */
+  def fertility(df: DataFrame, textCol: String, langCol: String): DataFrame =
+    df.select(col(langCol),
+        length(col(textCol)).cast("double").as("__chars"),
+        greatest(tokenCountBpe(col(textCol)), lit(1)).cast("double")
+          .as("__toks"))
+      .groupBy(col(langCol))
+      .agg(
+        round(avg(col("__chars") / col("__toks")), 4).as("chars_per_token"),
+        sum(col("__toks")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+
   /** Zipf fit — corpus-health anomaly signal: least-squares slope and
     * R² of ln(freq) ~ ln(rank) over the ranked vocabulary. Natural
     * language sits near slope -1 (Zipf's law); template/generated

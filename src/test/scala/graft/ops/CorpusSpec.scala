@@ -322,6 +322,23 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == Set((1L, 10L, 1L)), s"got $rows")
   }
 
+  test("decontaminateSpans excises eval-verbatim windows, keeps the rest") {
+    val leak = (1 to 4).map(i => s"e$i").mkString(" ") // 4-token eval span
+    val train = Seq(
+      (1L, s"own words first $leak own words after"),   // span excised
+      (2L, "completely clean document with other words"), // untouched
+      (3L, "tiny doc"))                                   // < k: untouched
+      .toDF("doc_id", "text")
+    val eval_ = Seq(Tuple1(leak)).toDF("text")
+    val out = Corpus.decontaminateSpans(train, eval_, "text", "text",
+      "doc_id", k = 4)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, "own words first own words after", 10L, 4L)),
+      s"got ${out(0)}")
+    assert(out(1) == ((2L, "completely clean document with other words", 6L, 0L)))
+    assert(out(2) == ((3L, "tiny doc", 2L, 0L)))
+  }
+
   test("decontaminateNgramBloom never keeps a contaminated doc") {
     val shared = (1 to 13).map(i => s"w$i").mkString(" ")
     val train = Seq(

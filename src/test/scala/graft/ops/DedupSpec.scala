@@ -502,4 +502,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2)._3 == 2L && out(2)._4 == 0.4, s"got ${out(2)}")
     assert(out(3) == ((4L, 3L, 0L, 0.0)), s"got ${out(3)}")
   }
+
+  test("dedupSavings accounts removable docs/chars under the min-id keeper") {
+    val df = Seq(
+      (1L, "aaa", 30L), (5L, "aaa", 31L), (9L, "aaa", 29L), // keeper 1 (30)
+      (2L, "bb", 20L), (7L, "bb", 25L),                     // keeper 2 (20)
+      (3L, "unique", 11L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.dedupSavings(df, "text", "doc_id", "n_chars")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // size 1: one group, nothing removable; size 2: the "bb" group
+    // frees 25 (total 45 - keeper 20); size 3: "aaa" frees 60 (90-30)
+    assert(out == Seq(
+      (1L, 1L, 0L, 0L),
+      (2L, 1L, 1L, 25L),
+      (3L, 1L, 2L, 60L)), s"got $out")
+  }
 }

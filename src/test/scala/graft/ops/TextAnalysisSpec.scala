@@ -389,4 +389,15 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .as[(Double, Double, Long)].head()
     assert(a == b)
   }
+
+  test("fertility averages per-doc chars-per-token within each language") {
+    val df = Seq(
+      (1L, "en", "ab cd"),    // 5 chars, 2 BPE tokens -> 2.5
+      (2L, "en", "abcdef"),   // 6 chars, 1 token -> 6.0
+      (3L, "xx", ""))         // 0 chars, clamped 1 token -> 0.0
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.fertility(df, "text", "lang")
+      .as[(String, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("en", 4.25, 3L, 2L), ("xx", 0.0, 1L, 1L)), s"got $out")
+  }
 }
