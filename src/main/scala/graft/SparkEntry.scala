@@ -844,6 +844,41 @@ object SparkEntry {
     graft.ops.TextAnalysis.fertility(t(s, d, "documents"), "text", "lang")
       .orderBy(col("lang"))
 
+  /** Winnowing fingerprints ([[Dedup.winnowFingerprints]], Schleimer
+    * et al. 2003): per doc, the count of selected fingerprints and
+    * how many are shared with at least one other doc — the planted
+    * near-dup pairs guarantee shared fingerprints (any verbatim
+    * overlap of w + k - 1 = 8 tokens shares one). Exact DuckDB
+    * replay of the sliding-min selection.
+    */
+  private def qDedupWinnow(s: SparkSession, d: String): DataFrame = {
+    val fps = graft.ops.Dedup.winnowFingerprints(t(s, d, "documents"),
+      "text", "doc_id", k = 5, w = 4)
+    val shared = fps.groupBy(col("__fp")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("__fp"), lit(1).as("__s"))
+    fps.join(broadcast(shared), Seq("__fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(coalesce(col("__s"), lit(0))).cast("long").as("n_shared_fps"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Loop collapse ([[Dedup.collapseLoops]]): the generated-text /
+    * OCR artifact cleaner, exercised by planting a 3-token phrase
+    * looped 3x onto every 7th doc — the repeats collapse to one
+    * occurrence, untouched docs pass through. Exact replay (lag-k
+    * window equality + coverage union + ordered reassembly).
+    */
+  private def qTextCollapseLoops(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").withColumn("text",
+      when(pmod(col("doc_id"), lit(7)) === 1,
+        concat(col("text"),
+          lit(" loopa loopb loopc loopa loopb loopc loopa loopb loopc")))
+        .otherwise(col("text")))
+    graft.ops.Dedup.collapseLoops(docs, "text", "doc_id", k = 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** Span-level decontamination ([[Corpus.decontaminateSpans]]):
     * excise eval-verbatim 13-token windows from train docs, keep the
     * rest — the surgical complement of the drop-whole-doc filters.
@@ -1718,6 +1753,8 @@ object SparkEntry {
     "q_dedup_savings" -> qDedupSavings,
     "q_text_fertility" -> qTextFertility,
     "q_decon_spans" -> qDeconSpans,
+    "q_dedup_winnow" -> qDedupWinnow,
+    "q_text_collapse_loops" -> qTextCollapseLoops,
     "q_text_normalize" -> qTextNormalize,
     "q_corpus_novelty" -> qCorpusNovelty,
     "q_prof_histogram" -> qProfHistogram,
@@ -2052,6 +2089,30 @@ object SparkEntry {
         "ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s WHERE doc_id % 5 = 3) " +
         "SELECT tr.doc_id AS train_id, ev.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams " +
         "FROM tr JOIN ev USING (g) GROUP BY 1, 2 ORDER BY train_id, eval_id"),
+    // winnowing: identical sliding-min fingerprint selection
+    "q_dedup_winnow" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+        "w AS (SELECT doc_id, i AS s, md5(array_to_string(ws[i:i+4], ' ')) AS h FROM t, LATERAL unnest(range(1, len(ws) - 3)) AS r(i) WHERE len(ws) >= 5), " +
+        "mw AS (SELECT doc_id, s, min(h) OVER (PARTITION BY doc_id ORDER BY s ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp, " +
+        "COUNT(*) OVER (PARTITION BY doc_id) AS m FROM w), " +
+        "fp AS (SELECT DISTINCT doc_id, fp FROM mw WHERE s <= m - 3), " +
+        "sh AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > 1) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps, " +
+        "CAST(SUM(CASE WHEN fp IN (SELECT fp FROM sh) THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fps " +
+        "FROM fp GROUP BY doc_id ORDER BY doc_id"),
+    // loop collapse: lag-k window equality + q_dedup_rm's reassembly
+    "q_text_collapse_loops" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 1 THEN text || ' loopa loopb loopc loopa loopb loopc loopa loopb loopc' ELSE text END AS text FROM documents), " +
+        "t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM d), " +
+        "w AS (SELECT doc_id, i AS s, md5(array_to_string(ws[i:i+2], ' ')) AS h FROM t, LATERAL unnest(range(1, len(ws) - 1)) AS r(i) WHERE len(ws) >= 3), " +
+        "rep AS (SELECT doc_id, s FROM (SELECT doc_id, s, h, lag(h, 3) OVER (PARTITION BY doc_id ORDER BY s) AS ph FROM w) WHERE h = ph), " +
+        "cov AS (SELECT DISTINCT doc_id, s + o AS pos FROM rep, LATERAL unnest(range(0, 3)) AS q(o)), " +
+        "tok AS (SELECT doc_id, i AS pos, ws[i] AS tk FROM t, LATERAL unnest(range(1, len(ws) + 1)) AS r(i)), " +
+        "kept AS (SELECT tok.doc_id, pos, tk FROM tok ANTI JOIN cov USING (doc_id, pos)), " +
+        "re AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text, COUNT(*) AS nk FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, COALESCE(re.clean_text, '') AS clean_text, CAST(len(t.ws) AS BIGINT) AS n_tokens, " +
+        "CAST(len(t.ws) - COALESCE(re.nk, 0) AS BIGINT) AS n_removed " +
+        "FROM t LEFT JOIN re USING (doc_id) ORDER BY t.doc_id"),
     // span-level decontamination: q_dedup_rm's replay with the dup
     // set swapped for the eval slice's window hashes
     "q_decon_spans" ->

@@ -216,6 +216,71 @@ object Dedup {
         col("__rm").getField("n_removed").cast("long").as("n_removed"))
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, "Winnowing: Local
+    * Algorithms for Document Fingerprinting" — the MOSS algorithm):
+    * per doc, the distinct minima of every `w` consecutive k-token
+    * window hashes. The guarantee: any verbatim overlap of at least
+    * w + k - 1 tokens between two docs shares at least one
+    * fingerprint, while the stored set is ~ 2/(w+1) of the window
+    * stream — the sub-linear-storage exact-overlap index between
+    * whole-doc hashing (misses partial overlap) and full ExactSubstr
+    * windows (stores every position).
+    *
+    * Shuffle profile: ONE hash exchange on the doc id feeds both the
+    * per-doc window count and the sliding min (same partitioning, one
+    * sort); fingerprints then travel as (id, 16-byte hash). Docs
+    * under k tokens have no window and are omitted.
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         k: Int, w: Int): DataFrame = {
+    require(k > 0 && w > 0, "window sizes must be positive")
+    val wins = spanWindows(df, textCol, idCol, k)
+    val byDoc = Window.partitionBy(col(idCol))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("__start"))
+      .rowsBetween(0, w - 1)
+    wins
+      .withColumn("__m", count(lit(1)).over(byDoc))
+      .withColumn("__fp", min(col("__h")).over(frame))
+      // only COMPLETE w-windows select fingerprints (the guarantee is
+      // stated over full windows; truncated tails would over-select)
+      .filter(col("__start") <= col("__m") - (w - 1))
+      .select(col(idCol), col("__fp")).distinct()
+  }
+
+  /** Collapse immediate phrase loops within a doc — the
+    * generated-text/OCR artifact cleaner: a k-token window whose hash
+    * equals the hash k positions earlier is a verbatim immediate
+    * repeat ("the cat the cat the cat" at k=2), and every such
+    * occurrence after the first is excised via the same native
+    * reassembly as [[removeDuplicateSpans]]. Unlike the corpus-wide
+    * ExactSubstr (cross-doc duplication) this is strictly intra-doc
+    * and purely map-side until the one reassembly join: the repeat
+    * test is a per-doc `lag(k)` over the window stream.
+    */
+  def collapseLoops(df: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, "phrase window must be positive")
+    val toks = df.select(col(idCol),
+      split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__start"))
+    val repeats = spanWindows(df, textCol, idCol, k)
+      .withColumn("__prev", lag(col("__h"), k).over(byDoc))
+      .filter(col("__h") === col("__prev"))
+      .select(col(idCol), col("__start"))
+    val starts = repeats.groupBy(col(idCol))
+      .agg(collect_list(col("__start")).as("__starts"))
+    toks.join(starts, Seq(idCol), "left")
+      .withColumn("__rm",
+        graft.functions.SpanRemoveExpressions.span_remove_tokens(
+          col("__toks"),
+          coalesce(col("__starts"), array().cast("array<int>")), k))
+      .select(col(idCol),
+        coalesce(col("__rm").getField("clean_text"), lit(""))
+          .as("clean_text"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        col("__rm").getField("n_removed").cast("long").as("n_removed"))
+  }
+
   // ---- shingles / n-grams ----
 
   /** Distinct word k-shingles of a text column (first-occurrence

@@ -29,7 +29,8 @@ object DedupStress {
     "rm_then_minhash", "minhash_capped", "cluster_capped_pairs",
     "simhash_candidates", "simhash_capped", "incremental_batches",
     "incremental_ann_batches", "minhash_near_dups", "boilerplate_rm",
-    "incremental_boiler_batches")
+    "incremental_boiler_batches", "decon_fuzzy", "rm_then_decon_fuzzy",
+    "decon_spans")
 
   /** Depth-first delete; closes the walk stream (Files.walk holds a
     * directory handle until closed — see its javadoc).
@@ -165,6 +166,48 @@ object DedupStress {
         }
         keptLines
       } finally deleteRecursively(dir)
+    }
+    // fuzzy decontamination under adversarial duplication: the eval
+    // slice inherits the corpus's 30% boilerplate, so template-min
+    // minhash slots put ~12% of each template's carriers on ONE
+    // (slot, value) key on BOTH sides — the candidate join is then
+    // train-carriers x eval-carriers per template per slot, the
+    // worst case for the "candidates ~ eval-sized" argument. Measured
+    // raw on purpose; the pipeline-order stage below is the answer.
+    if (picked("decon_fuzzy")) parts += timed("decon_fuzzy") {
+      val eval_ = df.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("text"))
+      graft.ops.Corpus.decontaminateFuzzy(df, eval_, "text", "text",
+        "doc_id", threshold = 0.5, k = 5, numHashes = 20).count()
+    }
+    // the 100-TB pipeline order (same story as rm_then_minhash):
+    // ExactSubstr removal strips the shared templates FIRST, so the
+    // fuzzy decon's slot join sees doc-specific minima only
+    if (picked("rm_then_decon_fuzzy")) parts += timed("rm_then_decon_fuzzy") {
+      val cleaned = Dedup.removeDuplicateSpans(df, "text", "doc_id", k = 8)
+        .filter(col("n_tokens") - col("n_removed") >= 20)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint()
+      try {
+        val eval_ = cleaned.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("text"))
+        graft.ops.Corpus.decontaminateFuzzy(cleaned, eval_, "text", "text",
+          "doc_id", threshold = 0.5, k = 5, numHashes = 20).count()
+      } finally cleaned.unpersist()
+    }
+    // span-level decontamination on the same adversarial shape: the
+    // eval slice's template windows cover ~30% of the corpus, so the
+    // covered-start volume is O(corpus), never pairwise — this stage
+    // is the evidence the excision path stays linear when the leak is
+    // NOT rare
+    if (picked("decon_spans")) parts += timed("decon_spans") {
+      val eval_ = df.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("text"))
+      val out = graft.ops.Corpus.decontaminateSpans(
+        df.filter(pmod(col("doc_id"), lit(97)) =!= 0), eval_,
+        "text", "text", "doc_id", k = 8)
+      out.select(count(lit(1)).as("n"), sum(length(col("clean_text"))))
+        .first().getLong(0)
     }
     if (picked("simhash_candidates")) parts += timed("simhash_candidates") {
       Dedup.simhashCandidates(df, "text", "doc_id",

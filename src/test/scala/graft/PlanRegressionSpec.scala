@@ -421,6 +421,22 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
       s"only vocabulary rows may shuffle:\n$shufflePart")
   }
 
+  test("winnowing selects fingerprints in one doc-keyed exchange") {
+    val p = plan("q_dedup_winnow")
+    val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shufflePart.contains("text#"),
+      s"only (id, hash) rows may shuffle:\n$shufflePart")
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty,
+      s"sliding min must partition by doc:\n$p")
+  }
+
+  test("loop collapse reassembles in one native pass") {
+    val p = plan("q_text_collapse_loops")
+    val passes = "span_remove_tokens".r.findAllIn(p).length
+    assert(passes == 1,
+      s"expected exactly 1 native reassembly pass, found $passes:\n$p")
+  }
+
   test("fuzzy decontamination probes broadcast slots — text never shuffles") {
     val p = plan("q_decon_fuzzy")
     // the (slot, value) candidate join must broadcast the eval side and

@@ -422,6 +422,40 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rm.forall(_._4 == 0L), s"nothing repeats corpus-wide: ${rm.toSeq}")
   }
 
+  test("adversarial: winnowing/loop-collapse are total on degenerate docs") {
+    // winnowing needs k+w-1 = 5 tokens: only doc 7 qualifies
+    val fps = Dedup.winnowFingerprints(degenerate, "text", "doc_id",
+      k = 3, w = 3).select("doc_id").as[Long].collect().toSet
+    assert(fps == Set(7L), s"got $fps")
+    // loop collapse passes every doc through (nothing loops, and
+    // below-k docs must survive byte-identically modulo normalization)
+    val lc = Dedup.collapseLoops(degenerate, "text", "doc_id", k = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(lc.length == 7 && lc.forall(_._4 == 0L), s"got ${lc.toSeq}")
+    // all-identical corpus: an all-loop doc collapses to its phrase
+    val loop = Seq((1L, Seq.fill(6)("ha").mkString(" "))).toDF("doc_id", "text")
+    val Array(r) = Dedup.collapseLoops(loop, "text", "doc_id", k = 1)
+      .as[(Long, String, Long, Long)].collect()
+    assert(r == ((1L, "ha", 6L, 5L)), s"got $r")
+  }
+
+  test("adversarial: span decontamination is total on degenerate inputs") {
+    val eval_ = Seq(Tuple1("x y z w")).toDF("text")
+    val out = graft.ops.Corpus.decontaminateSpans(degenerate, eval_,
+      "text", "text", "doc_id", k = 4)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out.length == 7, "no doc may be dropped")
+    // doc 7 contains the eval 4-gram at its head -> those 4 tokens go
+    assert(out(6) == ((7L, "v u t s", 8L, 4L)), s"got ${out(6)}")
+    assert(out.take(6).forall(_._4 == 0L))
+    // empty eval set: everything passes through untouched
+    val emptyEval = eval_.filter(col("text").isNull)
+    val none = graft.ops.Corpus.decontaminateSpans(degenerate, emptyEval,
+      "text", "text", "doc_id", k = 4)
+      .as[(Long, String, Long, Long)].collect()
+    assert(none.length == 7 && none.forall(_._4 == 0L))
+  }
+
   test("adversarial: minhash/simhash families are total on degenerate docs") {
     // empty and blank docs all shingle to the same whole-text [""] under
     // the short-doc rule -> they ARE mutual exact dups, as are the two
@@ -501,6 +535,52 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // doc 3: 5 windows of 8 tokens; "x y z w" appears at pos 1 and 5
     assert(out(2)._3 == 2L && out(2)._4 == 0.4, s"got ${out(2)}")
     assert(out(3) == ((4L, 3L, 0L, 0.0)), s"got ${out(3)}")
+  }
+
+  test("winnowing guarantees a shared fingerprint on w+k-1 token overlap") {
+    // k=2, w=2: any verbatim run of >= 3 tokens must share a fingerprint
+    val df = Seq(
+      (1L, "p q r s t u v"),
+      (2L, "x y p q r z w"), // shares "p q r" (3 tokens) with doc 1
+      (3L, "completely different words here"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "text", "doc_id", k = 2, w = 2)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "overlap run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // selection is sub-linear in the window stream: doc 1 has 6
+    // windows, 5 complete w-positions, and strictly fewer fingerprints
+    assert(fps(1L).size < 5, s"winnowing must thin the stream: ${fps(1L).size}")
+  }
+
+  test("winnowing omits docs too short for one complete window") {
+    val df = Seq((1L, "a b c"), (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    // k=3, w=3: needs >= k+w-1 = 5 tokens for a complete window
+    val ids = Dedup.winnowFingerprints(df, "text", "doc_id", k = 3, w = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L))
+  }
+
+  test("collapseLoops excises immediate phrase repeats, keeps the first") {
+    val df = Seq(
+      (1L, "x a b a b a b y"),  // period-2 loop -> collapse
+      (2L, "a b c a b c"),      // period-3 at k=2: NOT an immediate repeat
+      (3L, "steady text no loops at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.collapseLoops(df, "text", "doc_id", k = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, "x a b y", 8L, 4L)), s"got ${out(0)}")
+    assert(out(1) == ((2L, "a b c a b c", 6L, 0L)))
+    assert(out(2)._4 == 0L && out(2)._2 == "steady text no loops at all")
+  }
+
+  test("collapseLoops at k=1 collapses character-level token stutter") {
+    val df = Seq((1L, "a a a a"), (2L, "a b a b")).toDF("doc_id", "text")
+    val out = Dedup.collapseLoops(df, "text", "doc_id", k = 1)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, "a", 4L, 3L)))
+    assert(out(1) == ((2L, "a b a b", 4L, 0L))) // alternation is not a k=1 loop
   }
 
   test("dedupSavings accounts removable docs/chars under the min-id keeper") {
