@@ -844,6 +844,38 @@ object SparkEntry {
     graft.ops.TextAnalysis.fertility(t(s, d, "documents"), "text", "lang")
       .orderBy(col("lang"))
 
+  /** RAG retrieval end-to-end (q_rag_retrieve): chunk the corpus →
+    * hashing-trick embeddings ([[TextAnalysis.hashEmbedding]], no
+    * model call, integer-valued components) → exact cosine top-3
+    * chunks per query doc. The full retrieval pipeline a RAG user
+    * runs, composed from the engine's own operators; because the
+    * embedding arithmetic is integer sums, the DuckDB oracle replays
+    * the RANKING bit-for-bit — no recall contract needed. At scale
+    * the brute-force stage swaps for lshTopK/Ivf.search unchanged
+    * (same (id, embedding) contract).
+    */
+  private def qRagRetrieve(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val chunks = graft.ops.Corpus
+      .chunk(docs, "text", "doc_id", chunkSize = 8, overlap = 0)
+      .select((col("doc_id") * 10000 + col("chunk_id") + 1000000).as("vec_id"),
+        col("chunk_text"))
+    val cemb = graft.ops.TextAnalysis
+      .hashEmbedding(chunks, "chunk_text", "vec_id", dim = 32)
+    // FIXED probe set (the EmbAuditCap pattern): retrieval demand is a
+    // workload property, not a corpus property — a corpus-proportional
+    // probe slice grows the brute-force pair space quadratically with
+    // SF (measured 7.1x at 10x data); five pinned query docs exist at
+    // every SF, and the scale path for growing QUERY volume is
+    // lshTopK/Ivf.search over the same (id, embedding) contract
+    val queries = docs.filter(col("doc_id").isin(7L, 107L, 207L, 307L, 407L))
+      .select(col("doc_id").as("vec_id"), col("text"))
+    val qemb = graft.ops.TextAnalysis
+      .hashEmbedding(queries, "text", "vec_id", dim = 32)
+    graft.ops.Similarity.bruteForceTopK(cemb, qemb, k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Winnowing fingerprints ([[Dedup.winnowFingerprints]], Schleimer
     * et al. 2003): per doc, the count of selected fingerprints and
     * how many are shared with at least one other doc — the planted
@@ -1755,6 +1787,7 @@ object SparkEntry {
     "q_decon_spans" -> qDeconSpans,
     "q_dedup_winnow" -> qDedupWinnow,
     "q_text_collapse_loops" -> qTextCollapseLoops,
+    "q_rag_retrieve" -> qRagRetrieve,
     "q_text_normalize" -> qTextNormalize,
     "q_corpus_novelty" -> qCorpusNovelty,
     "q_prof_histogram" -> qProfHistogram,
@@ -2089,6 +2122,29 @@ object SparkEntry {
         "ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s WHERE doc_id % 5 = 3) " +
         "SELECT tr.doc_id AS train_id, ev.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams " +
         "FROM tr JOIN ev USING (g) GROUP BY 1, 2 ORDER BY train_id, eval_id"),
+    // RAG retrieval: chunking + hashing-trick embeddings + cosine
+    // ranking replayed exactly (integer-sum components -> exact dots)
+    "q_rag_retrieve" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "ch AS (SELECT doc_id*10000 + CAST(s // 8 AS BIGINT) + 1000000 AS cid, toks[s+1:s+8] AS ctoks " +
+        "FROM t, LATERAL (SELECT unnest(range(0, greatest(len(toks)-1, 0)+1, 8)) AS s) u), " +
+        "ce AS (SELECT cid, ('0x'||substr(md5(lower(tok)),1,4))::BIGINT % 32 AS d, " +
+        "SUM(CASE WHEN ('0x'||substr(md5(lower(tok)),5,1))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v " +
+        "FROM (SELECT cid, unnest(ctoks) AS tok FROM ch) GROUP BY 1, 2), " +
+        "cn AS (SELECT cid, sqrt(SUM(v*v)) AS n FROM ce GROUP BY cid), " +
+        "q AS (SELECT doc_id AS qid, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents WHERE doc_id IN (7, 107, 207, 307, 407))," +
+        "qe AS (SELECT qid, ('0x'||substr(md5(tok),1,4))::BIGINT % 32 AS d, " +
+        "SUM(CASE WHEN ('0x'||substr(md5(tok),5,1))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v " +
+        "FROM q GROUP BY 1, 2), " +
+        "qn AS (SELECT qid, sqrt(SUM(v*v)) AS n FROM qe GROUP BY qid), " +
+        "dp AS (SELECT qe.qid, ce.cid, SUM(qe.v * ce.v) AS dp FROM qe JOIN ce USING (d) GROUP BY 1, 2), " +
+        "allp AS (SELECT qn.qid, cn.cid, COALESCE(dp.dp, 0.0) AS dp, qn.n AS nq, cn.n AS nc " +
+        "FROM qn CROSS JOIN cn LEFT JOIN dp ON dp.qid = qn.qid AND dp.cid = cn.cid), " +
+        "sc AS (SELECT qid, cid, CASE WHEN nq * nc > 0 THEN dp / (nq * nc) ELSE 0.0 END AS cos FROM allp), " +
+        "rk AS (SELECT qid AS query_id, cid AS corpus_id, " +
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank, " +
+        "round(cos, 4) AS cosine FROM sc) " +
+        "SELECT query_id, corpus_id, rank, cosine FROM rk WHERE rank <= 3 ORDER BY query_id, rank"),
     // winnowing: identical sliding-min fingerprint selection
     "q_dedup_winnow" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), " +
@@ -2160,7 +2216,8 @@ object SparkEntry {
         "(SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents) GROUP BY word), " +
         "r AS (SELECT f, CAST(row_number() OVER (ORDER BY f DESC, word) AS DOUBLE) AS r FROM f) " +
         "SELECT round(CASE WHEN var_pop(ln(r)) > 0 THEN covar_pop(ln(r), ln(f)) / var_pop(ln(r)) END, 4) AS zipf_slope, " +
-        "round(pow(corr(ln(r), ln(f)), 2), 4) AS r2_loglog, CAST(COUNT(*) AS BIGINT) AS n_vocab FROM r"),
+        "round(CASE WHEN var_pop(ln(r)) > 0 AND var_pop(ln(f)) > 0 THEN pow(covar_pop(ln(r), ln(f)), 2) / (var_pop(ln(r)) * var_pop(ln(f))) END, 4) AS r2_loglog, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_vocab FROM r"),
     // mean pooling: per-(label, dim) average of the double-cast floats
     "q_emb_pool" ->
       ("SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim_idx, " +

@@ -32,6 +32,11 @@ class VectorMeanAggregator(dim: Int)
 
   override def reduce(b: (Array[Double], Long),
                       v: Array[Float]): (Array[Double], Long) = {
+    // null vectors are SKIPPED (avg-over-present semantics, matching
+    // SQL avg's null handling) rather than aborting the job; a
+    // wrong-WIDTH vector still fails loudly — silent truncation or
+    // padding would corrupt every mean in the group
+    if (v == null) return b
     require(v.length == dim, s"expected dim $dim, got ${v.length}")
     var i = 0
     while (i < dim) { b._1(i) += v(i); i += 1 }

@@ -347,6 +347,13 @@ object Corpus {
     * ~ grams-per-doc x fpp. At 1e-6 a 1000-gram doc still sits at
     * 1e-3 over-drop probability; no false NEGATIVES ever (every truly
     * contaminated doc is dropped).
+    *
+    * Sizing honesty: a Bloom sketch costs ~ln(1/fpp)/ln(2)^2 bits per
+    * gram — ~29 bits at 1e-6, so 10^9 eval grams is a ~3.6 GB
+    * broadcast vs ~100 GB of raw 13-gram strings (~28x, not
+    * unbounded). If the sketch itself would strain the driver, raise
+    * fpp (pay over-drops) or shard the eval set into several sketches
+    * probed in sequence.
     */
   def decontaminateNgramBloom(train: DataFrame, eval_ : DataFrame,
                               textCol: String, evalTextCol: String,
@@ -354,8 +361,13 @@ object Corpus {
                               fpp: Double = 1e-6): DataFrame = {
     val evalGrams = eval_
       .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__g")).distinct()
-    val bf = evalGrams.stat.bloomFilter("__g",
-      math.max(evalGrams.count(), 1L), fpp)
+      // persisted across the two actions below: sizing count + sketch
+      // build would otherwise each re-run the full explode + distinct
+      .persist()
+    val bf =
+      try evalGrams.stat.bloomFilter("__g",
+        math.max(evalGrams.count(), 1L), fpp)
+      finally evalGrams.unpersist()
     val bc = train.sparkSession.sparkContext.broadcast(bf)
     val might = udf((g: String) => bc.value.mightContainString(g))
     val contaminated = train
@@ -393,18 +405,28 @@ object Corpus {
                          idCol: String, threshold: Double = 0.5,
                          k: Int = 5, numHashes: Int = 20): DataFrame = {
     import graft.functions.TextHashExpressions.{jaccard_sets, minhash_signature}
+    // slot rows carry (id, slot, value) ONLY — keeping the shingle
+    // array alongside the posexplode would copy it into each of the
+    // numHashes output rows (a ~20x map-side byte amplification);
+    // candidate pairs are distinct (train id, eval id), so the exact
+    // verify runs once per pair, not once per matching slot
     val trainSh = train.select(col(idCol),
       Dedup.shingles(col(textCol), k).as("__sh"))
-      .select(col(idCol), col("__sh"),
-        posexplode(minhash_signature(col("__sh"), numHashes)))
-      .select(col(idCol), col("__sh"), col("pos").as("__p"), col("col").as("__v"))
-    val evalSh = eval_.select(Dedup.shingles(col(evalTextCol), k).as("__esh"))
-      .distinct()
-      .select(col("__esh"),
-        posexplode(minhash_signature(col("__esh"), numHashes)))
-      .select(col("__esh"), col("pos").as("__p"), col("col").as("__v"))
-    val contaminated = trainSh
-      .join(broadcast(evalSh), Seq("__p", "__v"))
+    val trainSlots = trainSh
+      .select(col(idCol), posexplode(minhash_signature(col("__sh"), numHashes)))
+      .select(col(idCol), col("pos").as("__p"), col("col").as("__v"))
+    val evalSh = eval_.select(col(evalTextCol).as("__etxt")).distinct()
+      .select(md5(col("__etxt")).as("__eid"),
+        Dedup.shingles(col("__etxt"), k).as("__esh"))
+    val evalSlots = evalSh
+      .select(col("__eid"), posexplode(minhash_signature(col("__esh"), numHashes)))
+      .select(col("__eid"), col("pos").as("__p"), col("col").as("__v"))
+    val candPairs = trainSlots
+      .join(broadcast(evalSlots), Seq("__p", "__v"))
+      .select(col(idCol), col("__eid")).distinct()
+    val contaminated = candPairs
+      .join(trainSh, Seq(idCol))
+      .join(broadcast(evalSh), Seq("__eid"))
       .filter(jaccard_sets(col("__sh"), col("__esh")) >= threshold)
       .select(col(idCol)).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
@@ -435,7 +457,12 @@ object Corpus {
       .join(broadcast(evalIds), col(idCol) === col("__eid"), "left_anti")
       .select(col(idCol).as("train_id"),
         explode(Dedup.shingles(col(textCol), n)).as("__g"))
-      .join(broadcast(evalGrams), Seq("__g"))
+      // no broadcast hint on the GRAM side: its volume scales with the
+      // eval set (13-gram strings, not ids), so the size-checked
+      // planner/AQE must keep the right to shuffle it — a forced
+      // broadcast would bypass autoBroadcastJoinThreshold and OOM the
+      // driver on a large benchmark suite
+      .join(evalGrams, Seq("__g"))
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
   }
@@ -469,19 +496,10 @@ object Corpus {
       .spanWindows(eval_.select(col(evalTextCol)).withColumn("__eid", lit(0L)),
         evalTextCol, "__eid", k)
       .select(col("__h")).distinct()
-    val starts = wins
+    val hitStarts = wins
       .join(broadcast(evalHashes), Seq("__h"), "left_semi")
-      .groupBy(col(idCol)).agg(collect_list(col("__start")).as("__starts"))
-    toks.join(starts, Seq(idCol), "left")
-      .withColumn("__rm",
-        graft.functions.SpanRemoveExpressions.span_remove_tokens(
-          col("__toks"),
-          coalesce(col("__starts"), array().cast("array<int>")), k))
-      .select(col(idCol),
-        coalesce(col("__rm").getField("clean_text"), lit(""))
-          .as("clean_text"),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        col("__rm").getField("n_removed").cast("long").as("n_removed"))
+      .select(col(idCol), col("__start"))
+    Dedup.exciseSpans(toks, hitStarts, idCol, k)
   }
 
   /** N-gram novelty by source: rank sources in lexicographic order

@@ -198,9 +198,21 @@ object Dedup {
     val dupStarts = wins
       .join(dupWindowHashes(wins), Seq("__h"), "left_semi")
       .select(col(idCol), col("__start"))
-    val starts = dupStarts.groupBy(col(idCol))
+    exciseSpans(toks, dupStarts, idCol, k)
+  }
+
+  /** Shared excision tail of the three span editors
+    * ([[removeDuplicateSpans]], [[collapseLoops]],
+    * [[Corpus.decontaminateSpans]]): collect each doc's removal
+    * starts, run the native one-pass reassembly, surface the
+    * (id, clean_text, n_tokens, n_removed) contract. `toks` is the
+    * (id, __toks) normalized-token projection; `removeStarts` is
+    * (id, __start) rows of 1-based k-window starts to excise.
+    */
+  private[ops] def exciseSpans(toks: DataFrame, removeStarts: DataFrame,
+                               idCol: String, k: Int): DataFrame = {
+    val starts = removeStarts.groupBy(col(idCol))
       .agg(collect_list(col("__start")).as("__starts"))
-    val n = size(col("__toks"))
     toks.join(starts, Seq(idCol), "left")
       .withColumn("__rm", graft.functions.SpanRemoveExpressions.span_remove_tokens(
         col("__toks"),
@@ -212,7 +224,7 @@ object Dedup {
         // n_tokens/n_removed stay NULL on both sides.
         coalesce(col("__rm").getField("clean_text"), lit(""))
           .as("clean_text"),
-        n.cast("long").as("n_tokens"),
+        size(col("__toks")).cast("long").as("n_tokens"),
         col("__rm").getField("n_removed").cast("long").as("n_removed"))
   }
 
@@ -267,18 +279,7 @@ object Dedup {
       .withColumn("__prev", lag(col("__h"), k).over(byDoc))
       .filter(col("__h") === col("__prev"))
       .select(col(idCol), col("__start"))
-    val starts = repeats.groupBy(col(idCol))
-      .agg(collect_list(col("__start")).as("__starts"))
-    toks.join(starts, Seq(idCol), "left")
-      .withColumn("__rm",
-        graft.functions.SpanRemoveExpressions.span_remove_tokens(
-          col("__toks"),
-          coalesce(col("__starts"), array().cast("array<int>")), k))
-      .select(col(idCol),
-        coalesce(col("__rm").getField("clean_text"), lit(""))
-          .as("clean_text"),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        col("__rm").getField("n_removed").cast("long").as("n_removed"))
+    exciseSpans(toks, repeats, idCol, k)
   }
 
   // ---- shingles / n-grams ----

@@ -210,7 +210,12 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val pool = new graft.functions.VectorMeanAggregator(dim).toColumn
-    df.select(col(groupCol).cast("long"), col(vecCol).cast("array<float>"))
+    // null group keys would crash the non-nullable Long encoder and a
+    // null vector carries no signal: both are dropped, mirroring SQL
+    // avg/groupBy null semantics (the aggregator additionally skips
+    // nulls defensively)
+    df.filter(col(groupCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(groupCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .groupByKey(_._1).mapValues(_._2)
       .agg(pool.name("centroid"))

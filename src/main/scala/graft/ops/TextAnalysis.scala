@@ -458,6 +458,41 @@ object TextAnalysis {
         sum(col("__toks")).cast("long").as("n_tokens"),
         count(lit(1)).as("n_docs"))
 
+  /** Feature-hashing text embedding (the "hashing trick", Weinberger
+    * et al. 2009): each lowercase token is hashed to a dimension
+    * (md5 prefix mod `dim`) with a hash-derived ±1 sign, and the doc's
+    * embedding is the signed bag-of-words sum — the deterministic,
+    * vocabulary-free dense representation that gives a corpus an
+    * embedding column WITHOUT a model call (and the classic baseline
+    * the model-embedding path is benchmarked against). Integer-valued
+    * components, so every downstream dot/norm is exact in double and
+    * any engine replays retrieval rankings bit-for-bit.
+    *
+    * Shuffle profile: tokens hash map-side; one (id, dim) aggregation
+    * whose rows are 12 bytes, then a per-id map assembly — text never
+    * shuffles, and the output array is `dim` doubles regardless of
+    * vocabulary size.
+    */
+  def hashEmbedding(df: DataFrame, textCol: String, idCol: String,
+                    dim: Int): DataFrame = {
+    require(dim > 0, "embedding dim must be positive")
+    val tok = explode(split(lower(trim(col(textCol))), "\\s+"))
+    val h = md5(col("__tok"))
+    val sums = df.select(col(idCol), tok.as("__tok"))
+      .select(col(idCol),
+        (conv(substring(h, 1, 4), 16, 10).cast("int") % dim).as("__d"),
+        when(conv(substring(h, 5, 1), 16, 10).cast("int") % 2 === 0, 1.0)
+          .otherwise(-1.0).as("__s"))
+      .groupBy(col(idCol), col("__d")).agg(sum(col("__s")).as("__v"))
+    sums.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__d"), col("__v"))))
+        .as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          d => coalesce(element_at(col("__m"), d), lit(0.0)))
+          .as("embedding"))
+  }
+
   /** Zipf fit — corpus-health anomaly signal: least-squares slope and
     * R² of ln(freq) ~ ln(rank) over the ranked vocabulary. Natural
     * language sits near slope -1 (Zipf's law); template/generated
@@ -471,8 +506,14 @@ object TextAnalysis {
     * millions — a single-partition sort of (count, token) pairs —
     * while the corpus is billions of DOCS; never rank the corpus this
     * way), and a scalar regression aggregate. Ties rank
-    * deterministically by (freq desc, token asc) so any engine
-    * replays the fit bit-for-bit before rounding.
+    * deterministically by (freq desc, token asc) so every engine
+    * feeds the regression identical (rank, freq) points; the closed-
+    * form aggregates then differ only by float summation order, which
+    * the 4dp rounding absorbs. Degenerate vocabularies are total:
+    * a single-rank vocabulary yields NULL slope, and an all-equal-
+    * frequency vocabulary yields slope 0 with NULL r2 (corr is
+    * undefined there — guarded to NULL on both engines rather than
+    * Spark NaN vs DuckDB NULL).
     */
   def zipfFit(df: DataFrame, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -487,7 +528,12 @@ object TextAnalysis {
     ranked.agg(
       round(when(var_pop(lnR) > 0, covar_pop(lnR, lnF) / var_pop(lnR)), 4)
         .as("zipf_slope"),
-      round(pow(corr(lnR, lnF), 2), 4).as("r2_loglog"),
+      // r2 as covar^2/(varR*varF) rather than corr()^2: ANSI-mode corr
+      // throws DIVIDE_BY_ZERO internally on a zero-variance input, and
+      // the explicit form puts both engines on the same float path
+      round(when(var_pop(lnR) > 0 && var_pop(lnF) > 0,
+        pow(covar_pop(lnR, lnF), 2) / (var_pop(lnR) * var_pop(lnF))), 4)
+        .as("r2_loglog"),
       count(lit(1)).as("n_vocab"))
   }
 }

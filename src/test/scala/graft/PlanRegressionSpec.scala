@@ -437,6 +437,18 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
       s"expected exactly 1 native reassembly pass, found $passes:\n$p")
   }
 
+  test("RAG retrieval embeds map-side and broadcasts the probe set") {
+    val p = plan("q_rag_retrieve")
+    // hashEmbedding shuffles (id, dim, sum) rows; the quadratic stage
+    // must see the probe embeddings as a broadcast, and the codegen
+    // dot product must carry the pair scoring
+    assert(p.contains("vector_dot"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shufflePart.contains("chunk_text#"),
+      s"chunk text must stay map-side:\n$shufflePart")
+  }
+
   test("fuzzy decontamination probes broadcast slots — text never shuffles") {
     val p = plan("q_decon_fuzzy")
     // the (slot, value) candidate join must broadcast the eval side and

@@ -169,6 +169,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) == Seq(10.0, 0.0, -4.0))
   }
 
+  test("meanPool drops null keys/vectors instead of aborting the job") {
+    val rows: Seq[(java.lang.Long, Array[Float])] = Seq(
+      (1L: java.lang.Long, Array(2.0f, 4.0f)),
+      (1L: java.lang.Long, null),              // null vector: skipped
+      (null, Array(9.0f, 9.0f)))               // null key: dropped
+    val df = rows.toDF("label", "embedding")
+    val got = Similarity.meanPool(df, "label", "embedding", dim = 2)
+      .as[(Long, Array[Double])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    assert(got == Map(1L -> Seq(2.0, 4.0)), s"got $got")
+  }
+
   test("meanPool is partition-invariant (partial aggregation merges)") {
     val df = (1 to 100)
       .map(i => ((i % 4).toLong, Array(i.toFloat, (i * 2).toFloat)))

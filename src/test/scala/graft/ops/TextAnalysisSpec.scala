@@ -381,6 +381,37 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(slope == -1.0 && r2 == 1.0 && v == 3L, s"($slope, $r2, $v)")
   }
 
+  test("hashEmbedding is a deterministic signed bag-of-words sum") {
+    val df = Seq((1L, "alpha alpha beta"), (2L, "ALPHA alpha beta"),
+      (3L, "")).toDF("id", "text")
+    val got = TextAnalysis.hashEmbedding(df, "text", "id", dim = 16)
+      .as[(Long, Array[Double])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    assert(got.values.forall(_.length == 16))
+    // case-insensitive: docs 1 and 2 embed identically
+    assert(got(1L) == got(2L))
+    // multiplicity counts: "alpha" contributes twice the unit of "beta"
+    assert(got(1L).map(math.abs).sum == 3.0, s"got ${got(1L)}")
+    // the empty token still hashes somewhere (total on empty text)
+    assert(got(3L).map(math.abs).sum == 1.0)
+    // partition invariance (integer sums are order-exact)
+    val re = TextAnalysis.hashEmbedding(df.repartition(5), "text", "id", 16)
+      .as[(Long, Array[Double])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    assert(re == got)
+  }
+
+  test("zipfFit is total on degenerate vocabularies (no NaN-vs-NULL drift)") {
+    // all frequencies equal: slope is 0 (flat), r2 undefined -> NULL
+    val flat = Seq(Tuple1("aa bb cc dd")).toDF("text")
+    val r1 = TextAnalysis.zipfFit(flat, "text")
+      .select("zipf_slope", "r2_loglog").collect()(0)
+    assert(r1.getDouble(0) == 0.0 && r1.isNullAt(1), s"got $r1")
+    // single-rank vocabulary: both undefined -> NULL
+    val one = Seq(Tuple1("zz zz zz")).toDF("text")
+    val r2 = TextAnalysis.zipfFit(one, "text")
+      .select("zipf_slope", "r2_loglog").collect()(0)
+    assert(r2.isNullAt(0) && r2.isNullAt(1), s"got $r2")
+  }
+
   test("zipfFit ranks ties deterministically and is partition-invariant") {
     val docs = (1 to 40).map(i => (i.toLong, s"tok${i % 7} tok${i % 5} filler"))
     val df = docs.toDF("id", "text")
