@@ -2029,7 +2029,7 @@ object SparkEntry {
         "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks), " +
         "lp AS (SELECT doc_id, round(AVG(ln(tf / n)), 4) AS mean_logprob " +
         "FROM toks JOIN freq USING (tok) CROSS JOIN tot GROUP BY doc_id), " +
-        "q AS (SELECT quantile_cont(mean_logprob, 1.0/3) AS c_lo, quantile_cont(mean_logprob, 2.0/3) AS c_hi FROM lp) " +
+        "q AS (SELECT round(quantile_cont(mean_logprob, 1.0/3), 4) AS c_lo, round(quantile_cont(mean_logprob, 2.0/3), 4) AS c_hi FROM lp) " +
         "SELECT doc_id, mean_logprob, CASE WHEN mean_logprob >= c_hi THEN 'head' " +
         "WHEN mean_logprob >= c_lo THEN 'middle' ELSE 'tail' END AS ppl_bucket " +
         "FROM lp CROSS JOIN q ORDER BY doc_id"),

@@ -291,9 +291,16 @@ object TextAnalysis {
   def perplexitySplit(df: DataFrame, textCol: String,
                       idCol: String): DataFrame = {
     val scored = unigramLogProb(df, textCol, idCol)
+    // cutoffs rounded to the scores' own 4dp precision: engines lerp
+    // percentiles differently in the last ulp (DuckDB's quantile_cont
+    // computes lo*(1-f)+hi*f, inexact even when lo == hi; Spark's
+    // lo+f*(hi-lo) is exact there), and a mass point sitting ON the
+    // cutoff flips wholesale on that ulp (measured: 108 docs at sf0.1).
+    // 4dp rounding is boundary-safe for terciles: the lerp fraction is
+    // 0, 1/3, or 2/3, so a raw cutoff never lands on a .00005 edge.
     val cuts = scored.agg(
-      percentile(col("mean_logprob"), lit(1.0 / 3)).as("__c_lo"),
-      percentile(col("mean_logprob"), lit(2.0 / 3)).as("__c_hi"))
+      round(percentile(col("mean_logprob"), lit(1.0 / 3)), 4).as("__c_lo"),
+      round(percentile(col("mean_logprob"), lit(2.0 / 3)), 4).as("__c_hi"))
     scored.crossJoin(broadcast(cuts))
       .withColumn("ppl_bucket",
         when(col("mean_logprob") >= col("__c_hi"), "head")
