@@ -876,6 +876,35 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RAG retrieval through the IVF SCALE path (q_rag_retrieve_ivf):
+    * the same chunk + hash-embedding pipeline as q_rag_retrieve, but
+    * candidates come from k-means inverted lists instead of the
+    * brute-force scan — the swap the exact entry's doc comment
+    * promises, proven under the standard aggregate recall@3 >= 0.8
+    * contract vs the exact ranking (the hash-embedding fixture is
+    * structure-poor, the hardest case for cell pruning; nProbe = 12
+    * of 16 cells is the honest operating point, same reasoning as
+    * q_sim_ivf_topk).
+    */
+  private def qRagIvf(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val chunks = graft.ops.Corpus
+      .chunk(docs, "text", "doc_id", chunkSize = 8, overlap = 0)
+      .select((col("doc_id") * 10000 + col("chunk_id") + 1000000).as("vec_id"),
+        col("chunk_text"))
+    val cemb = graft.ops.TextAnalysis
+      .hashEmbedding(chunks, "chunk_text", "vec_id", dim = 32)
+    val queries = docs.filter(col("doc_id").isin(7L, 107L, 207L, 307L, 407L))
+      .select(col("doc_id").as("vec_id"), col("text"))
+    val qemb = graft.ops.TextAnalysis
+      .hashEmbedding(queries, "text", "vec_id", dim = 32)
+    val idx = graft.ops.Ivf.build(cemb, k = 16, iters = 2)
+    annAggRecallContract(
+      graft.ops.Similarity.bruteForceTopK(cemb, qemb, 3),
+      graft.ops.Ivf.search(idx, qemb, topK = 3, nProbe = 12),
+      topK = 3, minRecall = 0.8)
+  }
+
   /** Winnowing fingerprints ([[Dedup.winnowFingerprints]], Schleimer
     * et al. 2003): per doc, the count of selected fingerprints and
     * how many are shared with at least one other doc — the planted
@@ -1788,6 +1817,7 @@ object SparkEntry {
     "q_dedup_winnow" -> qDedupWinnow,
     "q_text_collapse_loops" -> qTextCollapseLoops,
     "q_rag_retrieve" -> qRagRetrieve,
+    "q_rag_retrieve_ivf" -> qRagIvf,
     "q_text_normalize" -> qTextNormalize,
     "q_corpus_novelty" -> qCorpusNovelty,
     "q_prof_histogram" -> qProfHistogram,
@@ -2145,6 +2175,10 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank, " +
         "round(cos, 4) AS cosine FROM sc) " +
         "SELECT query_id, corpus_id, rank, cosine FROM rk WHERE rank <= 3 ORDER BY query_id, rank"),
+    // RAG IVF scale path: probe count replays; recall bound TRUE
+    "q_rag_retrieve_ivf" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, TRUE AS recall_ok " +
+        "FROM documents WHERE doc_id IN (7, 107, 207, 307, 407)"),
     // winnowing: identical sliding-min fingerprint selection
     "q_dedup_winnow" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), " +

@@ -449,6 +449,13 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
       s"chunk text must stay map-side:\n$shufflePart")
   }
 
+  test("RAG IVF path joins candidates on centroid_id — no cross join") {
+    val p = plan("q_rag_retrieve_ivf")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF candidates must ride the centroid equi-join:\n$p")
+    assert(p.contains("vector_dot"), p)
+  }
+
   test("fuzzy decontamination probes broadcast slots — text never shuffles") {
     val p = plan("q_decon_fuzzy")
     // the (slot, value) candidate join must broadcast the eval side and
