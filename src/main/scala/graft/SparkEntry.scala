@@ -498,6 +498,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe train/val/test split: exact-dup groups (min-id
+    * keeper per identical text) become the split unit, so no
+    * byte-identical pair straddles train and test — the eval-set
+    * contamination a per-doc md5 bucket cannot prevent. Exercises
+    * [[graft.ops.Corpus.splitByCluster]] with exact-dup groups as the
+    * cluster mapping (the same join shape near-dup clusters from
+    * Dedup.clusterPairs plug into).
+    */
+  private def qSplitLeakageSafe(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val groups = docs.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("cluster_id"))
+    val clusters = docs.select(col("doc_id").as("id"), md5(col("text")).as("__h"))
+      .join(groups, Seq("__h"))
+      .select(col("id"), col("cluster_id"))
+    graft.ops.Corpus.splitByCluster(docs, clusters, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** PII scrubbing over text with synthetically-appended contact info
     * (the corpus itself is clean), replacement semantics oracle-checked.
     */
@@ -1789,6 +1808,7 @@ object SparkEntry {
     "q_text_tfidf" -> qTextTfidf,
     "q_chunking" -> qChunking,
     "q_split_pack" -> qSplitPack,
+    "q_split_leakage_safe" -> qSplitLeakageSafe,
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
     "q_text_ppl_split" -> qTextPplSplit,
@@ -2542,6 +2562,12 @@ object SparkEntry {
         "SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, " +
         "shard, CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 4096 AS BIGINT) AS pack_id " +
         "FROM n ORDER BY doc_id"),
+    "q_split_leakage_safe" ->
+      ("WITH g AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS group_id FROM documents) " +
+        "SELECT doc_id, group_id, CASE " +
+        "WHEN CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 4) AS INT) % 100 < 80 THEN 'train' " +
+        "WHEN CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 4) AS INT) % 100 < 90 THEN 'val' " +
+        "ELSE 'test' END AS split FROM g ORDER BY doc_id"),
     "q_text_scrub" ->
       ("SELECT doc_id, regexp_replace(regexp_replace(" +
         "text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), " +

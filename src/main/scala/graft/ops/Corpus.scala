@@ -53,6 +53,44 @@ object Corpus {
       .otherwise("test")
   }
 
+  /** Leakage-safe split by duplicate CLUSTER: every member of a
+    * near-dup cluster receives the SAME deterministic split, so no
+    * (near-)identical pair straddles train/val/test — the eval-set
+    * contamination that per-doc bucketing ([[assignSplit]] on the id)
+    * cannot prevent: with 80/10/10 buckets, an exact-dup pair split
+    * independently lands in different splits ~34% of the time.
+    * `clusters` is (id, cluster_id) rows as produced by
+    * [[Dedup.clusterPairs]] (clustered ids only — any id->group
+    * mapping works, e.g. exact-dup groups keyed by min member id);
+    * docs absent from `clusters` are their own singleton group.
+    * Output: every input doc as (idCol, group_id, split).
+    *
+    * Scale shape: one equi-join on the id (the clusters side holds
+    * only CLUSTERED ids — small when duplication is rare, so AQE
+    * broadcasts it) then a map-side md5 bucket of group_id; the split
+    * adds no shuffle beyond that join. For exact-dup-only safety skip
+    * the join entirely: [[splitByContent]] hashes the text in the
+    * scan stage — zero shuffle.
+    */
+  def splitByCluster(docs: DataFrame, clusters: DataFrame, idCol: String,
+                     trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs.select(col(idCol))
+      .join(clusters.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col(idCol)))
+      .select(col(idCol), col("group_id"),
+        assignSplit(col("group_id"), trainPct, valPct).as("split"))
+
+  /** Exact-dup leakage-safe split with ZERO shuffle: the split key is
+    * the md5 of the text itself, so byte-identical docs always share
+    * a split; evaluated entirely in the scan stage. Output:
+    * (idCol, group_key, split) with group_key = md5(text).
+    */
+  def splitByContent(df: DataFrame, textCol: String, idCol: String,
+                     trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("group_key"),
+      assignSplit(md5(col(textCol)), trainPct, valPct).as("split"))
+
   /** Greedy-by-order sequence packing: documents are concatenated in
     * id order and cut at `budget`-token boundaries, so
     * pack_id = floor(exclusive-prefix-tokens / budget). Shard columns

@@ -40,6 +40,43 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(again == dist)
   }
 
+  test("splitByCluster never splits a cluster across train/val/test") {
+    // 200 docs in 50 clusters of 4 — every member must land in its
+    // cluster's split, and singletons (ids 1000-1019) get their own
+    val docs = (0L until 200L).toDF("doc_id")
+      .union((1000L until 1020L).toDF("doc_id"))
+    val clusters = (0L until 200L).map(i => (i, i / 4 * 4)).toDF("id", "cluster_id")
+    val out = Corpus.splitByCluster(docs, clusters, "doc_id")
+    assert(out.count() == 220)
+    val perCluster = out.groupBy("group_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .agg(max(col("n"))).as[Long].head()
+    assert(perCluster == 1L, "a cluster straddled splits")
+    // singleton group_id falls back to the doc's own id
+    val single = out.filter(col("doc_id") === 1005L)
+      .select("group_id").as[Long].head()
+    assert(single == 1005L)
+    // cluster split matches assignSplit of the cluster id (keeper rule)
+    val direct = (0L until 200L by 4).toDF("cid")
+      .select(col("cid"), Corpus.assignSplit(col("cid")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val got = out.filter(col("doc_id") < 200)
+      .select("group_id", "split").distinct().as[(Long, String)].collect().toMap
+    assert(got == direct)
+  }
+
+  test("splitByContent keeps byte-identical texts in one split, zero joins") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"),
+      (4L, "alpha beta"), (5L, "delta")).toDF("doc_id", "text")
+    val out = Corpus.splitByContent(docs, "text", "doc_id")
+    val dupSplits = out.filter(col("doc_id").isin(1L, 2L, 4L))
+      .select("split").distinct().count()
+    assert(dupSplits == 1L, "identical texts straddled splits")
+    // pure map-side: the optimized plan contains no join or exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
+
   test("packSequences cuts at budget boundaries per shard") {
     val rows = Seq(
       (1L, 0L, 100L), (2L, 0L, 100L), (3L, 0L, 100L), // cum-excl 0,100,200
