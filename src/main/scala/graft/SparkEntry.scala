@@ -943,6 +943,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Containment near-dups ([[Dedup.containmentNearDups]]): asymmetric
+    * short-in-long duplication, exercised by planting a 12-token
+    * excerpt (tokens 5-16) of every 11th doc as a new doc — each
+    * excerpt has Jaccard ~(excerpt/parent) to its parent but
+    * containment 1.0, and at >= 8 contiguous shared tokens the
+    * winnowing candidate stage is GUARANTEED to surface it. Exact
+    * DuckDB replay: winnow fingerprints -> candidates -> shingle
+    * containment, both directions.
+    */
+  private def qDedupContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val toks = split(trim(col("text")), "\\s+")
+    val excerpts = docs
+      .filter(pmod(col("doc_id"), lit(11)) === 3 && size(toks) >= 16)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        array_join(slice(toks, 5, 12), " ").as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(excerpts)
+    graft.ops.Dedup.containmentNearDups(corpus, "text", "doc_id",
+        threshold = 0.8)
+      .orderBy(col("id_in"), col("id_of"))
+  }
+
   /** Loop collapse ([[Dedup.collapseLoops]]): the generated-text /
     * OCR artifact cleaner, exercised by planting a 3-token phrase
     * looped 3x onto every 7th doc — the repeats collapse to one
@@ -1835,6 +1857,7 @@ object SparkEntry {
     "q_text_fertility" -> qTextFertility,
     "q_decon_spans" -> qDeconSpans,
     "q_dedup_winnow" -> qDedupWinnow,
+    "q_dedup_containment" -> qDedupContainment,
     "q_text_collapse_loops" -> qTextCollapseLoops,
     "q_rag_retrieve" -> qRagRetrieve,
     "q_rag_retrieve_ivf" -> qRagIvf,
@@ -2210,6 +2233,26 @@ object SparkEntry {
         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps, " +
         "CAST(SUM(CASE WHEN fp IN (SELECT fp FROM sh) THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fps " +
         "FROM fp GROUP BY doc_id ORDER BY doc_id"),
+    // containment: winnow-fp candidates (exact replay of q_dedup_winnow's
+    // selection over the excerpt-augmented corpus) -> shingle containment
+    "q_dedup_containment" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000 AS doc_id, array_to_string(string_split_regex(trim(text), '\\s+')[5:16], ' ') AS text " +
+        "FROM documents WHERE doc_id % 11 = 3 AND len(string_split_regex(trim(text), '\\s+')) >= 16), " +
+        "t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM d), " +
+        "w AS (SELECT doc_id, i AS s, md5(array_to_string(ws[i:i+4], ' ')) AS h FROM t, LATERAL unnest(range(1, len(ws) - 3)) AS r(i) WHERE len(ws) >= 5), " +
+        "mw AS (SELECT doc_id, s, min(h) OVER (PARTITION BY doc_id ORDER BY s ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp, " +
+        "COUNT(*) OVER (PARTITION BY doc_id) AS m FROM w), " +
+        "fp AS (SELECT DISTINCT doc_id, fp FROM mw WHERE s <= m - 3), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM fp a JOIN fp b ON a.fp = b.fp WHERE a.doc_id < b.doc_id), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] " +
+        "ELSE list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) END AS sh FROM t), " +
+        "v AS (SELECT id_a, id_b, CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter, len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id) " +
+        "SELECT id_in, id_of, containment FROM (" +
+        "SELECT id_a AS id_in, id_b AS id_of, round(inter / la, 4) AS containment FROM v " +
+        "UNION ALL SELECT id_b AS id_in, id_a AS id_of, round(inter / lb, 4) AS containment FROM v) " +
+        "WHERE containment >= 0.8 ORDER BY id_in, id_of"),
     // loop collapse: lag-k window equality + q_dedup_rm's reassembly
     "q_text_collapse_loops" ->
       ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 1 THEN text || ' loopa loopb loopc loopa loopb loopc loopa loopb loopc' ELSE text END AS text FROM documents), " +

@@ -259,6 +259,69 @@ object Dedup {
       .select(col(idCol), col("__fp")).distinct()
   }
 
+  /** Containment near-dup pairs — Broder 1997's ASYMMETRIC resemblance
+    * c(A in B) = |S(A) ∩ S(B)| / |S(A)| over k-shingle sets: the
+    * short-doc-embedded-in-long-doc duplication that symmetric Jaccard
+    * structurally misses (a 50-token quote inside a 5000-token page
+    * has Jaccard ~1% but containment ~100%, so MinHash-LSH never
+    * surfaces it at any sane threshold). Candidates come from shared
+    * winnowing fingerprints ([[winnowFingerprints]]): any verbatim
+    * overlap of winnowW + winnowK - 1 tokens shares a fingerprint
+    * (the Schleimer et al. guarantee), so a contained passage at least
+    * that long ALWAYS surfaces — a deterministic recall floor, not an
+    * LSH probability curve. Verification computes exact containment
+    * from the materialized shingle sets, both directions per
+    * candidate pair in one pass.
+    *
+    * Shuffle profile: the candidate join moves (fingerprint, id) rows
+    * — winnowing keeps ~2/(winnowW+1) of window positions, all 16-byte
+    * hashes; the verify stage hash-joins shingle sets onto candidates
+    * only. `maxFpDocs` is the hot-fingerprint guard rail (the
+    * minhashCandidates maxBucket pattern): fingerprints carried by
+    * more docs drop WHOLESALE, a deterministic candidate subset for
+    * boilerplate-heavy corpora.
+    *
+    * Output: (id_in, id_of, containment) rows with
+    * c(id_in in id_of) >= threshold — id_in is the contained side.
+    */
+  def containmentNearDups(df: DataFrame, textCol: String, idCol: String,
+                          threshold: Double, shingleK: Int = 3,
+                          winnowK: Int = 5, winnowW: Int = 4,
+                          maxFpDocs: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "containment threshold must be in (0, 1]")
+    require(maxFpDocs > 1, "maxFpDocs must allow at least one pair")
+    val fps = winnowFingerprints(df, textCol, idCol, winnowK, winnowW)
+    val kept =
+      if (maxFpDocs == Int.MaxValue) fps
+      else fps
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__fp"))))
+        .filter(col("__n") <= maxFpDocs)
+        .drop("__n")
+    val cands = kept.select(col("__fp"), col(idCol).as("id_a"))
+      .join(kept.select(col("__fp"), col(idCol).as("id_b")), Seq("__fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sets = shingleTable(df, textCol, idCol, shingleK)
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("shingle_set").as("__sa")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("shingle_set").as("__sb")), Seq("id_b"))
+      // shingle sets are distinct by construction, so the intersect
+      // cardinality is the true |S(A) ∩ S(B)|; double division is
+      // ANSI-safe (sets are non-empty: word_shingles yields >= 1)
+      .withColumn("__inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
+      .select(explode(array(
+        struct(col("id_a").as("id_in"), col("id_b").as("id_of"),
+          round(col("__inter") / size(col("__sa")), 4).as("containment")),
+        struct(col("id_b").as("id_in"), col("id_a").as("id_of"),
+          round(col("__inter") / size(col("__sb")), 4).as("containment"))))
+        .as("__r"))
+      .select(col("__r.id_in").as("id_in"), col("__r.id_of").as("id_of"),
+        col("__r.containment").as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Collapse immediate phrase loops within a doc — the
     * generated-text/OCR artifact cleaner: a k-token window whose hash
     * equals the hash k positions earlier is a verbatim immediate

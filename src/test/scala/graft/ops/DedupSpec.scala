@@ -554,6 +554,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(fps(1L).size < 5, s"winnowing must thin the stream: ${fps(1L).size}")
   }
 
+  test("containmentNearDups finds short-in-long pairs symmetric Jaccard misses") {
+    val long = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango")
+    val excerpt = "echo foxtrot golf hotel india juliet kilo lima" // tokens 5-12
+    val df = Seq((1L, long), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.containmentNearDups(df, "text", "doc_id",
+        threshold = 0.8, shingleK = 3, winnowK = 5, winnowW = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    // excerpt fully contained in long: containment(2 in 1) = 1.0, and
+    // the direction is asymmetric — (1 in 2) is ~excerpt/long, far
+    // below 0.8, so exactly one row
+    assert(out == Set((2L, 1L, 1.0)), out.toString)
+    // the same pair is invisible to symmetric Jaccard at any useful
+    // threshold: |A ∩ B| / |A ∪ B| = 6 shingles / 18 total
+    val jac = df.select(Dedup.jaccardFromSets(
+        Dedup.shingles(lit(long), 3), Dedup.shingles(lit(excerpt), 3)))
+      .as[Double].head()
+    assert(jac < 0.4, s"symmetric jaccard unexpectedly high: $jac")
+  }
+
+  test("containmentNearDups maxFpDocs drops hot fingerprints wholesale") {
+    // 6 docs all carrying one shared boilerplate run -> every pair is
+    // a candidate uncapped; capping at 3 removes the hot fingerprint
+    // and with it every candidate (deterministic subset, no sampling)
+    val boiler = "common header text used on every page of this site verbatim"
+    val df = (1L to 6L).map(i => (i, s"$boiler unique$i")).toDF("doc_id", "text")
+    val uncapped = Dedup.containmentNearDups(df, "text", "doc_id", 0.8)
+    assert(uncapped.count() > 0)
+    val capped = Dedup.containmentNearDups(df, "text", "doc_id", 0.8,
+      maxFpDocs = 3)
+    assert(capped.count() == 0)
+  }
+
   test("winnowing omits docs too short for one complete window") {
     val df = Seq((1L, "a b c"), (2L, "a b c d e f g h")).toDF("doc_id", "text")
     // k=3, w=3: needs >= k+w-1 = 5 tokens for a complete window
