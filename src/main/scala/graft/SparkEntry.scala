@@ -1108,6 +1108,19 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** k-NN label transfer ([[Similarity.knnClassify]]): the first 300
+    * vectors act as the labeled seed, every later vector gets the
+    * majority label of its 5 nearest seed neighbors. Exact DuckDB
+    * replay (rank -> vote -> deterministic tie-break); absolute-id
+    * caps keep the oracle's pair space sf-stable.
+    */
+  private def qSimKnnLabel(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.knnClassify(emb.filter(col("vec_id") < 300),
+        emb.filter(col("vec_id") >= 300), k = 5)
+      .orderBy(col("vec_id"))
+  }
+
   /** Token-budget intake per source (the execution half of mixPlan):
     * distributed prefix sum in md5 order, full DuckDB replay of the
     * per-source cumulative counts and keep decisions.
@@ -1870,6 +1883,7 @@ object SparkEntry {
     "q_semdedup" -> qSemdedup,
     "q_sim_topk" -> qSimTopK,
     "q_sim_filtered_topk" -> qSimFilteredTopK,
+    "q_sim_knn_label" -> qSimKnnLabel,
     "q_corpus_token_budget" -> qCorpusTokenBudget,
     "q_corpus_curation" -> qCuration,
     "q_emb_near_dups" -> qEmbNearDups,
@@ -2388,6 +2402,18 @@ object SparkEntry {
     // to the label=3 survivors
     "q_sim_filtered_topk" ->
       "SELECT query_id, corpus_id, rank FROM (SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank FROM embeddings c, embeddings p WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id AND c.label = 3) WHERE rank <= 5 ORDER BY query_id, rank",
+    // k-NN label transfer: exact neighbor rank -> majority vote with
+    // (votes DESC, label ASC) tie-break — deterministic on both sides
+    "q_sim_knn_label" ->
+      ("WITH nb AS (SELECT vec_id, lbl FROM (" +
+        "SELECT p.vec_id AS vec_id, c.label AS lbl, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank " +
+        "FROM embeddings c, embeddings p WHERE c.vec_id < 300 AND p.vec_id >= 300) WHERE rank <= 5), " +
+        "v AS (SELECT vec_id, lbl, COUNT(*) AS votes FROM nb GROUP BY vec_id, lbl) " +
+        "SELECT vec_id, pred_label, votes, vote_frac FROM (" +
+        "SELECT vec_id, lbl AS pred_label, votes, round(CAST(votes AS DOUBLE) / 5, 4) AS vote_frac, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY votes DESC, lbl) AS rn FROM v) " +
+        "WHERE rn = 1 ORDER BY vec_id"),
     // token-budget intake: per-source cumulative tokens in md5-of-id
     // order (the engine's 256-bucket distributed prefix sum equals the
     // oracle's per-source window because hex-prefix buckets ARE rank

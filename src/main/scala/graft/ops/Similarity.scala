@@ -198,6 +198,55 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** k-NN label transfer (weak labeling): predict each pool row's
+    * label as the majority label among its k nearest LABELED seed
+    * vectors by cosine — the curation step that fans a small
+    * human-labeled seed (quality tiers, topics, safety classes) out
+    * over an unlabeled corpus. Ties in the vote break to the smallest
+    * label; neighbor ranking ties break to the smallest seed id — the
+    * prediction is total and deterministic.
+    *
+    * Scale shape — the inverse of [[bruteForceTopK]]'s probe-broadcast:
+    * here the POOL is the big side, so it streams through one scan
+    * while the labeled seed broadcasts; each pool row's candidates are
+    * then colocated in its map task, the rank<=k filter becomes a
+    * partial WindowGroupLimit (bounded per-partition heap BEFORE the
+    * exchange), and only ~k (id, label, cosine) rows per pool row ever
+    * shuffle. The vote itself aggregates at most k rows per pool id.
+    * Seeds beyond broadcast size: pre-prune with [[lshTopK]] /
+    * [[graft.ops.Ivf]] and vote over those neighbors instead.
+    *
+    * Output: (idCol, pred_label, votes, vote_frac) per pool row.
+    */
+  def knnClassify(labeled: DataFrame, pool: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val s = labeled.select(col(idCol).as("__sid"), col(labelCol).as("__sl"),
+        col(vecCol).as("__sv"))
+      .withColumn("__sn", norm(col("__sv")))
+    val p = pool.select(col(idCol), col(vecCol).as("__pv"))
+      .withColumn("__pn", norm(col("__pv")))
+    val scored = p.crossJoin(broadcast(s))
+      .filter(col(idCol) =!= col("__sid"))
+      .withColumn("__cos",
+        safeCosine(dot(col("__pv"), col("__sv")), col("__pn"), col("__sn")))
+    val wRank = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc, col("__sid"))
+    val votes = scored
+      .withColumn("__rank", row_number().over(wRank))
+      .filter(col("__rank") <= k)
+      .groupBy(col(idCol), col("__sl"))
+      .agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy(col(idCol))
+      .orderBy(col("votes").desc, col("__sl"))
+    votes
+      .withColumn("__rn", row_number().over(wVote))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__sl").as("pred_label"), col("votes"),
+        round(col("votes").cast("double") / k, 4).as("vote_frac"))
+  }
+
   /** Element-wise mean pooling per group (chunk → doc embedding,
     * member → cluster centroid) via the typed partial-aggregating
     * [[graft.functions.VectorMeanAggregator]]: one (sums[dim], count)

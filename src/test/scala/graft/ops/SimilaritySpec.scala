@@ -113,6 +113,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(SemDedup.nearDupPairs(zeros, 0.1, k = 2, iters = 1).count() == 0)
   }
 
+  test("knnClassify transfers the majority seed label, deterministic ties") {
+    // two clean clusters on orthogonal axes: label 1 along e1, label 2
+    // along e2; pool points near an axis must adopt that axis's label
+    def v(x: Float, y: Float, z: Float) = Seq(x, y, z)
+    val seed = Seq(
+      (0L, 1, v(1f, 0f, 0f)), (1L, 1, v(0.9f, 0.1f, 0f)), (2L, 1, v(1f, 0.05f, 0f)),
+      (3L, 2, v(0f, 1f, 0f)), (4L, 2, v(0.1f, 0.9f, 0f)), (5L, 2, v(0f, 1f, 0.05f)))
+      .toDF("vec_id", "label", "embedding")
+    val pool = Seq(
+      (10L, v(0.95f, 0.02f, 0f)),  // clearly label 1
+      (11L, v(0.03f, 0.97f, 0f)))  // clearly label 2
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnClassify(seed, pool, k = 3)
+      .select("vec_id", "pred_label", "votes", "vote_frac")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._2).toSeq == Seq(10L -> 1, 11L -> 2), out.toSeq)
+    assert(out.forall(r => r._3 == 3L && r._4 == 1.0), out.toSeq)
+    // vote tie at k=2 (one neighbor per cluster): smallest label wins
+    val mid = Seq((20L, v(0.7f, 0.7f, 0f))).toDF("vec_id", "embedding")
+    val tied = Similarity.knnClassify(seed, mid, k = 2)
+      .select("pred_label", "votes").as[(Int, Long)].head()
+    assert(tied == ((1, 1L)), tied.toString)
+  }
+
+  test("knnClassify plan: seed broadcasts, rank is group-limited before the exchange") {
+    val seed = vecs.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val out = Similarity.knnClassify(seed, vecs.withColumn("vec_id", col("vec_id") + 100L), k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("adversarial: SemDedup on an all-identical corpus (one semantic cluster)") {
     // the documented degenerate case: every vector lands in one cluster,
     // so the intra-cluster stage IS the global quadratic — it must stay
