@@ -26,7 +26,8 @@ import graft.ops.Dedup
 object DedupStress {
   /** Every op stage the runner knows. */
   val AllOps: Set[String] = Set("dedup_spans", "dedup_rm",
-    "rm_then_minhash", "minhash_capped", "cluster_capped_pairs",
+    "rm_then_minhash", "minhash_capped", "containment_capped",
+    "cluster_capped_pairs",
     "simhash_candidates", "simhash_capped", "incremental_batches",
     "incremental_ann_batches", "minhash_near_dups", "boilerplate_rm",
     "incremental_boiler_batches", "decon_fuzzy", "rm_then_decon_fuzzy",
@@ -113,6 +114,17 @@ object DedupStress {
       Dedup.minhashNearDups(df, "text", "doc_id",
         threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4,
         maxBucket = 64).count()
+    }
+    // containment under adversarial duplication: the boilerplate
+    // template is a shared verbatim run in 30% of docs, so its
+    // winnowing fingerprints are population-hot — uncapped candidates
+    // would be Θ(population²), exactly minhash's hot-bucket shape; the
+    // maxFpDocs guard drops hot fingerprints whole, leaving the
+    // doc-specific fingerprint space (the short-in-long pairs the
+    // operator exists for) intact
+    if (picked("containment_capped")) parts += timed("containment_capped") {
+      Dedup.containmentNearDups(df, "text", "doc_id",
+        threshold = 0.8, maxFpDocs = 64).count()
     }
     // end-to-end near-dup GROUP resolution at stress scale: capped
     // banding's pair stream -> pointer-jumped min-label components ->
