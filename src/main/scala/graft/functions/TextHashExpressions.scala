@@ -236,6 +236,97 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** winnow_fingerprints(text, k, w): the per-document winnowing
+    * selection (Schleimer et al. 2003) in ONE native pass — distinct
+    * minima (first-occurrence order) of every `w` consecutive k-token
+    * window md5s over the normalized (lower, trim, \s+-split) token
+    * stream; empty array when the doc has no complete w-window.
+    *
+    * Expression-for-expression parity with the SQL formulation it
+    * replaces (md5(array_join(slice(split(lower(trim(text))))))) +
+    * sliding-min window + complete-window filter + distinct):
+    * normalization goes through UTF8String.toLowerCase/trim — the
+    * Lower/StringTrim code paths, so locale and space-only-trim
+    * semantics match exactly — the window digest is the same md5 hex
+    * of the UTF-8 bytes of the space-joined slice, and hex strings
+    * compare identically under String and UTF8String binary order.
+    *
+    * WHY an expression: fingerprint selection is doc-local, but the
+    * explode + (count window, sliding-min window) formulation forces a
+    * full sort EXCHANGE of the O(tokens) window stream — the only sort
+    * shuffle in the dedup family. This pass keeps selection inside the
+    * scan stage; only the selected ~2/(w+1) fingerprints ever become
+    * rows.
+    */
+  case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(k > 0 && w > 0, "window sizes must be positive")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "winnow_fingerprints"
+
+    override def nullSafeEval(a: Any): Any = {
+      // limit -1: Spark's StringSplit keeps trailing empty strings
+      // (visible when trim's space-only strip leaves a trailing tab)
+      val words = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toLowerCase.trim.toString.split("\\s+", -1)
+      val m = words.length - (k - 1) // complete k-windows
+      if (m < w) return new GenericArrayData(Array.empty[Any])
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hashes = new Array[String](m)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        md.reset()
+        val dig = md.digest(
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hex = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hex(b * 2) = Character.forDigit((dig(b) >> 4) & 0xf, 16)
+          hex(b * 2 + 1) = Character.forDigit(dig(b) & 0xf, 16)
+          b += 1
+        }
+        hashes(i) = new String(hex)
+        i += 1
+      }
+      // distinct sliding minima over complete w-windows of the hash
+      // stream, first-occurrence order (w is small: the O(m*w) rescan
+      // beats deque bookkeeping at these widths)
+      val out = new java.util.LinkedHashSet[String]()
+      i = 0
+      while (i <= m - w) {
+        var mn = hashes(i)
+        var j = 1
+        while (j < w) {
+          val h = hashes(i + j)
+          if (h.compareTo(mn) < 0) mn = h
+          j += 1
+        }
+        out.add(mn)
+        i += 1
+      }
+      val arr = new Array[Any](out.size)
+      val it = out.iterator()
+      i = 0
+      while (it.hasNext) {
+        arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+        i += 1
+      }
+      new GenericArrayData(arr)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** jaccard_sets(a, b): |A ∩ B| / |A ∪ B| of two string arrays
     * (duplicate elements on either side are ignored — true set
     * semantics), rounded to 4dp (HALF_UP, matching Spark round);
@@ -489,6 +580,9 @@ object TextHashExpressions {
 
   def word_shingles(text: Column, k: Int): Column =
     column(WordShingles(expression(text), k))
+
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    column(WinnowFingerprints(expression(text), k, w))
 
   def simhash64(tokens: Column): Column =
     column(SimHash64(expression(tokens)))

@@ -238,25 +238,24 @@ object Dedup {
     * whole-doc hashing (misses partial overlap) and full ExactSubstr
     * windows (stores every position).
     *
-    * Shuffle profile: ONE hash exchange on the doc id feeds both the
-    * per-doc window count and the sliding min (same partitioning, one
-    * sort); fingerprints then travel as (id, 16-byte hash). Docs
-    * under k tokens have no window and are omitted.
+    * Shuffle profile: NONE — fingerprint selection is doc-local, so
+    * the whole pass (tokenize, window md5s, sliding min over complete
+    * w-windows, per-doc distinct) runs inside the scan stage via the
+    * one-pass [[graft.functions.TextHashExpressions.WinnowFingerprints]]
+    * expression, and only the selected ~2/(w+1) fingerprints become
+    * rows. The first formulation exploded the O(tokens) window stream
+    * and selected with a count + sliding-min window pair — a full
+    * sort exchange of the window stream per call, the only sort
+    * shuffle in the dedup family, and the measured bound on
+    * [[containmentNearDups]] at stress scale. Docs without a complete
+    * w-window (under w + k - 1 tokens) are omitted, as before.
     */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
                          k: Int, w: Int): DataFrame = {
     require(k > 0 && w > 0, "window sizes must be positive")
-    val wins = spanWindows(df, textCol, idCol, k)
-    val byDoc = Window.partitionBy(col(idCol))
-    val frame = Window.partitionBy(col(idCol)).orderBy(col("__start"))
-      .rowsBetween(0, w - 1)
-    wins
-      .withColumn("__m", count(lit(1)).over(byDoc))
-      .withColumn("__fp", min(col("__h")).over(frame))
-      // only COMPLETE w-windows select fingerprints (the guarantee is
-      // stated over full windows; truncated tails would over-select)
-      .filter(col("__start") <= col("__m") - (w - 1))
-      .select(col(idCol), col("__fp")).distinct()
+    df.select(col(idCol),
+      explode(graft.functions.TextHashExpressions.winnow_fingerprints(
+        col(textCol), k, w)).as("__fp"))
   }
 
   /** Containment near-dup pairs — Broder 1997's ASYMMETRIC resemblance

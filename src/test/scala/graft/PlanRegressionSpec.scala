@@ -76,6 +76,14 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange"), s"k-means E-step must not shuffle:\n$p")
   }
 
+  test("winnowing fingerprint selection is scan-stage only (zero exchanges)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.ops.Dedup.winnowFingerprints(docs, "text", "doc_id", 5, 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"winnow selection is doc-local and must not shuffle:\n$p")
+  }
+
   test("quality LR rides the scan: one native stats pass, zero exchanges") {
     // the operator itself (the q entry adds only the deterministic
     // output sort, whose range Exchange is presentation, not compute)
@@ -421,13 +429,16 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
       s"only vocabulary rows may shuffle:\n$shufflePart")
   }
 
-  test("winnowing selects fingerprints in one doc-keyed exchange") {
+  test("winnow query shuffles only (id, hash) aggregation rows, never text") {
+    // selection itself is scan-stage (see the zero-exchange guard);
+    // the query's remaining exchanges are the shared-fp count and the
+    // per-doc rollup — id/hash-width rows only
     val p = plan("q_dedup_winnow")
     val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!shufflePart.contains("text#"),
       s"only (id, hash) rows may shuffle:\n$shufflePart")
     assert("hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty,
-      s"sliding min must partition by doc:\n$p")
+      s"per-doc rollup must partition by doc:\n$p")
   }
 
   test("loop collapse reassembles in one native pass") {

@@ -587,6 +587,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(capped.count() == 0)
   }
 
+  test("property: one-pass winnowing matches the explode+window formulation") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.expressions.{Window => W}
+    // random docs over a tiny vocab (forces repeated windows), plus
+    // whitespace/case edges the normalization must survive
+    val word = Gen.oneOf("aa", "Bb", "cc", "dd", "e", "ff\tg")
+    val doc = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val docs = (1 to 150).map { i =>
+      (i.toLong, doc(Gen.Parameters.default.withSize(30),
+        org.scalacheck.rng.Seed(i.toLong)).getOrElse(""))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((k, w) <- Seq((2, 2), (5, 4), (1, 1))) {
+      val fast = Dedup.winnowFingerprints(df, "text", "doc_id", k, w)
+        .as[(Long, String)].collect().toSet
+      // the pre-rewrite formulation, verbatim
+      val wins = df
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("__toks"))
+        .filter(size(col("__toks")) >= k)
+        .select(col("doc_id"), col("__toks"),
+          explode(sequence(lit(1), size(col("__toks")) - (k - 1))).as("__start"))
+        .select(col("doc_id"), col("__start"),
+          md5(array_join(slice(col("__toks"), col("__start"), lit(k)), " ")).as("__h"))
+      val slow = wins
+        .withColumn("__m", count(lit(1)).over(W.partitionBy(col("doc_id"))))
+        .withColumn("__fp", min(col("__h")).over(
+          W.partitionBy(col("doc_id")).orderBy(col("__start")).rowsBetween(0, w - 1)))
+        .filter(col("__start") <= col("__m") - (w - 1))
+        .select(col("doc_id"), col("__fp")).distinct()
+        .as[(Long, String)].collect().toSet
+      assert(fast == slow, s"parity broke at k=$k w=$w: " +
+        s"only-fast=${(fast -- slow).take(3)} only-slow=${(slow -- fast).take(3)}")
+    }
+  }
+
   test("winnowing omits docs too short for one complete window") {
     val df = Seq((1L, "a b c"), (2L, "a b c d e f g h")).toDF("doc_id", "text")
     // k=3, w=3: needs >= k+w-1 = 5 tokens for a complete window
