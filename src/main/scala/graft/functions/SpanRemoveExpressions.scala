@@ -65,6 +65,37 @@ object SpanRemoveCore {
     val clean = UTF8String.concatWs(SPACE, java.util.Arrays.copyOf(kept, nKept): _*)
     new GenericInternalRow(Array[Any](clean, n - nKept))
   }
+
+  /** Immediate-repeat starts: 1-based window starts i (i > k) where
+    * tokens[i..i+k-1] equals tokens[i-k..i-1]. Static forwarder shared
+    * by eval and generated code.
+    */
+  def loopStarts(toksA: ArrayData, k: Int): ArrayData = {
+    val n = toksA.numElements()
+    val m = n - (k - 1) // complete k-windows
+    if (m <= k) return org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array.empty[Int])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = toksA.getUTF8String(i); i += 1 }
+    val out = new java.util.ArrayList[Integer]()
+    var s = k + 1 // first start with a full window k earlier
+    while (s <= m) {
+      var j = 0
+      var eq = true
+      while (eq && j < k) {
+        // 0-based: window at s covers toks[s-1 .. s+k-2]
+        if (!toks(s - 1 + j).equals(toks(s - 1 - k + j))) eq = false
+        j += 1
+      }
+      if (eq) out.add(s)
+      s += 1
+    }
+    val arr = new Array[Int](out.size())
+    i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
 }
 
 object SpanRemoveExpressions {
@@ -98,4 +129,35 @@ object SpanRemoveExpressions {
 
   def span_remove_tokens(toks: Column, starts: Column, k: Int): Column =
     column(SpanRemoveTokens(expression(toks), expression(starts), k))
+
+  /** loop_repeat_starts(tokens: array<string>, k) -> array<int>: the
+    * 1-based starts i whose k-token window verbatim-equals the window
+    * k positions earlier — every immediate phrase repeat after the
+    * first ("the cat the cat the cat" at k=2 yields starts 3, 5).
+    * Detection is doc-local, so pairing this with
+    * [[span_remove_tokens]] makes loop collapse one map-side pass:
+    * the window-stream explode + per-doc lag window (a doc-keyed sort
+    * exchange) and the starts-reassembly join both disappear. Compares
+    * token slices directly — the exact semantics the lag-of-md5
+    * formulation approximates.
+    */
+  case class LoopRepeatStarts(child: Expression, k: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(k > 0, "phrase window must be positive")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "loop_repeat_starts"
+
+    override protected def nullSafeEval(t: Any): Any =
+      SpanRemoveCore.loopStarts(t.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.SpanRemoveCore.loopStarts($t, $k);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def loop_repeat_starts(toks: Column, k: Int): Column =
+    column(LoopRepeatStarts(expression(toks), k))
 }

@@ -327,21 +327,31 @@ object Dedup {
     * repeat ("the cat the cat the cat" at k=2), and every such
     * occurrence after the first is excised via the same native
     * reassembly as [[removeDuplicateSpans]]. Unlike the corpus-wide
-    * ExactSubstr (cross-doc duplication) this is strictly intra-doc
-    * and purely map-side until the one reassembly join: the repeat
-    * test is a per-doc `lag(k)` over the window stream.
+    * ExactSubstr (cross-doc duplication) this is strictly intra-doc,
+    * so the WHOLE operator is one map-side pass: repeat starts come
+    * from the one-row [[graft.functions.SpanRemoveExpressions
+    * .LoopRepeatStarts]] expression (verbatim slice equality — the
+    * exact semantics the earlier per-doc `lag(k)`-of-md5 window
+    * approximated) feeding [[graft.functions.SpanRemoveExpressions
+    * .SpanRemoveTokens]] directly. Zero exchanges (plan-guarded): the
+    * first formulation exploded the window stream, paid a doc-keyed
+    * sort exchange for the lag, and joined the starts back for
+    * reassembly.
     */
   def collapseLoops(df: DataFrame, textCol: String, idCol: String,
                     k: Int): DataFrame = {
     require(k > 0, "phrase window must be positive")
-    val toks = df.select(col(idCol),
-      split(lower(trim(col(textCol))), "\\s+").as("__toks"))
-    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__start"))
-    val repeats = spanWindows(df, textCol, idCol, k)
-      .withColumn("__prev", lag(col("__h"), k).over(byDoc))
-      .filter(col("__h") === col("__prev"))
-      .select(col(idCol), col("__start"))
-    exciseSpans(toks, repeats, idCol, k)
+    val fns = graft.functions.SpanRemoveExpressions
+    df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .withColumn("__rm", fns.span_remove_tokens(col("__toks"),
+        fns.loop_repeat_starts(col("__toks"), k), k))
+      .select(col(idCol),
+        // NULL text -> NULL __toks -> NULL struct; surface "" like
+        // exciseSpans (oracle COALESCE(clean_text, '')), counts NULL
+        coalesce(col("__rm").getField("clean_text"), lit(""))
+          .as("clean_text"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        col("__rm").getField("n_removed").cast("long").as("n_removed"))
   }
 
   // ---- shingles / n-grams ----

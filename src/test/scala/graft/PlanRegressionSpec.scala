@@ -76,6 +76,14 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange"), s"k-means E-step must not shuffle:\n$p")
   }
 
+  test("loop collapse is one map-side pass (zero exchanges)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.ops.Dedup.collapseLoops(docs, "text", "doc_id", 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"intra-doc loop collapse must not shuffle:\n$p")
+  }
+
   test("winnowing fingerprint selection is scan-stage only (zero exchanges)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = graft.ops.Dedup.winnowFingerprints(docs, "text", "doc_id", 5, 4)
