@@ -652,6 +652,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1) == ((2L, "a b a b", 4L, 0L))) // alternation is not a k=1 loop
   }
 
+  test("property: map-side loop collapse matches the lag-window formulation") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.expressions.{Window => W}
+    // tiny vocab -> frequent accidental repeats; include a stutter doc
+    val word = Gen.oneOf("x", "y", "zz", "x")
+    val doc = Gen.chooseNum(0, 24).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val docs = ((1 to 120).map { i =>
+      (i.toLong, doc(Gen.Parameters.default.withSize(24),
+        org.scalacheck.rng.Seed(i.toLong * 7)).getOrElse(""))
+    } :+ (999L, "a b a b a b a b c")).toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3)) {
+      val fast = Dedup.collapseLoops(docs, "text", "doc_id", k)
+        .as[(Long, String, Option[Long], Option[Long])].collect().toSet
+      // the pre-rewrite formulation: window-stream lag(k) + exciseSpans
+      val toks = docs.select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("__toks"))
+      val wins = docs
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("__toks"))
+        .filter(size(col("__toks")) >= k)
+        .select(col("doc_id"), col("__toks"),
+          explode(sequence(lit(1), size(col("__toks")) - (k - 1))).as("__start"))
+        .select(col("doc_id"), col("__start"),
+          md5(array_join(slice(col("__toks"), col("__start"), lit(k)), " ")).as("__h"))
+      val byDoc = W.partitionBy(col("doc_id")).orderBy(col("__start"))
+      val repeats = wins
+        .withColumn("__prev", lag(col("__h"), k).over(byDoc))
+        .filter(col("__h") === col("__prev"))
+        .select(col("doc_id"), col("__start"))
+      val slow = Dedup.exciseSpans(toks, repeats, "doc_id", k)
+        .as[(Long, String, Option[Long], Option[Long])].collect().toSet
+      assert(fast == slow, s"parity broke at k=$k: " +
+        s"only-fast=${(fast -- slow).take(2)} only-slow=${(slow -- fast).take(2)}")
+    }
+  }
+
   test("dedupSavings accounts removable docs/chars under the min-id keeper") {
     val df = Seq(
       (1L, "aaa", 30L), (5L, "aaa", 31L), (9L, "aaa", 29L), // keeper 1 (30)
