@@ -290,13 +290,32 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       "containment threshold must be in (0, 1]")
     require(maxFpDocs > 1, "maxFpDocs must allow at least one pair")
+    // the selection pass is the operator's dominant CPU (an md5 per
+    // token position inside the one-pass expression) and BOTH candidate
+    // join sides consume it, with no exchange left for Spark to reuse
+    // since selection went scan-stage — so stage the (id, fp) rows once
+    // (local checkpoint, memory-and-disk, ~2/(w+1) of the window stream
+    // in hash-width rows) instead of re-running the corpus scan per
+    // side. Measured on the dup-heavy stress fixtures: at sf10 this is
+    // the fastest variant (28.0 s vs 32.4 s for the count-window cap,
+    // whose sort exchange AQE happens to reuse for the join, and
+    // 30.3 s uncheckpointed); at sf3 the ~5 s materialization overhead
+    // makes it slower (16.3 vs 11.3 s) — the checkpoint is the
+    // scale-path choice because it guarantees ONE selection pass
+    // regardless of exchange-reuse luck, and the gap grows with data.
     val fps = winnowFingerprints(df, textCol, idCol, winnowK, winnowW)
+      .localCheckpoint()
     val kept =
       if (maxFpDocs == Int.MaxValue) fps
-      else fps
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__fp"))))
-        .filter(col("__n") <= maxFpDocs)
-        .drop("__n")
+      else {
+        // hot-fingerprint set is SMALL by construction (<= total
+        // fps / maxFpDocs, realistically just the boilerplate
+        // carriers), so a partial-agg count + broadcast ANTI join caps
+        // without the count-window's sort exchange over the stream
+        val hot = fps.groupBy(col("__fp")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxFpDocs).select(col("__fp"))
+        fps.join(broadcast(hot), Seq("__fp"), "left_anti")
+      }
     val cands = kept.select(col("__fp"), col(idCol).as("id_a"))
       .join(kept.select(col("__fp"), col(idCol).as("id_b")), Seq("__fp"))
       .filter(col("id_a") < col("id_b"))
