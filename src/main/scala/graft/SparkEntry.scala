@@ -498,6 +498,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic weighted Bernoulli sampling
+    * ([[graft.ops.Corpus.sampleWeighted]]): soft quality filtering
+    * with a length-derived weight — kept iff the doc's md5-uniform
+    * draw lands under min(n_chars/1000, 1). Exact replay: both sides
+    * compute the identical draw and threshold doubles.
+    */
+  private def qSampleWeighted(s: SparkSession, d: String): DataFrame =
+    graft.ops.Corpus.sampleWeighted(
+        t(s, d, "documents").select(col("doc_id"),
+          (col("n_chars").cast("double") / 1000.0).as("w")),
+        "doc_id", "w")
+      .select(col("doc_id"), round(col("w"), 4).as("w"), col("kept"))
+      .orderBy(col("doc_id"))
+
   /** Leakage-safe train/val/test split: exact-dup groups (min-id
     * keeper per identical text) become the split unit, so no
     * byte-identical pair straddles train and test — the eval-set
@@ -1844,6 +1858,7 @@ object SparkEntry {
     "q_chunking" -> qChunking,
     "q_split_pack" -> qSplitPack,
     "q_split_leakage_safe" -> qSplitLeakageSafe,
+    "q_sample_weighted" -> qSampleWeighted,
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
     "q_text_ppl_split" -> qTextPplSplit,
@@ -2631,6 +2646,11 @@ object SparkEntry {
         "SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, " +
         "shard, CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 4096 AS BIGINT) AS pack_id " +
         "FROM n ORDER BY doc_id"),
+    "q_sample_weighted" ->
+      ("SELECT doc_id, round(CAST(n_chars AS DOUBLE) / 1000.0, 4) AS w, " +
+        "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0) " +
+        "< greatest(least(CAST(n_chars AS DOUBLE) / 1000.0, 1.0), 0.0) AS kept " +
+        "FROM documents ORDER BY doc_id"),
     "q_split_leakage_safe" ->
       ("WITH g AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS group_id FROM documents) " +
         "SELECT doc_id, group_id, CASE " +

@@ -53,6 +53,26 @@ object Corpus {
       .otherwise("test")
   }
 
+  /** Deterministic WEIGHTED Bernoulli sampling — soft quality
+    * filtering (the CCNet/RefinedWeb shape: rather than a hard
+    * quality cutoff, keep each doc with probability `weightCol` in
+    * [0, 1], so borderline docs survive at reduced rate and the
+    * corpus keeps diversity): doc kept iff its md5-uniform draw
+    * u(id) < weight. No RNG — u(id) is the first 8 hex digits of
+    * md5(id) scaled to [0, 1), so the decision is a pure function of
+    * the id, reproducible across runs, engines, and cluster layouts,
+    * and INDEPENDENT of the weight column (reweighting a doc moves
+    * only its own threshold, never another doc's draw). Zero
+    * shuffles: the draw and the comparison evaluate in the scan
+    * stage. Weights outside [0, 1] are clamped (w <= 0 never keeps,
+    * w >= 1 always keeps).
+    */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0d
+    df.withColumn("kept", u < greatest(least(col(weightCol), lit(1.0)), lit(0.0)))
+  }
+
   /** Leakage-safe split by duplicate CLUSTER: every member of a
     * near-dup cluster receives the SAME deterministic split, so no
     * (near-)identical pair straddles train/val/test — the eval-set

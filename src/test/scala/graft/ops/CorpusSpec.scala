@@ -40,6 +40,29 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(again == dist)
   }
 
+  test("sampleWeighted: deterministic draw, rate tracks weight, clamps at 0/1") {
+    val ids = (0L until 2000L).map(i => (i, 0.3)).toDF("id", "w")
+    val kept = Corpus.sampleWeighted(ids, "id", "w")
+      .filter(col("kept")).count()
+    // E[kept] = 600, sd ~ 20.5 — 5 sd bounds
+    assert(kept > 500 && kept < 700, s"rate off: $kept/2000 at w=0.3")
+    val again = Corpus.sampleWeighted(ids, "id", "w")
+      .filter(col("kept")).count()
+    assert(again == kept, "draw must be a pure function of the id")
+    val edges = Seq((1L, -0.5), (2L, 0.0), (3L, 1.0), (4L, 7.0)).toDF("id", "w")
+    val got = Corpus.sampleWeighted(edges, "id", "w")
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(!got(1L) && !got(2L) && got(3L) && got(4L),
+      s"clamp semantics: $got")
+    // reweighting one doc never flips another doc's decision
+    val re = ids.withColumn("w", when(col("id") === 7L, 0.99).otherwise(col("w")))
+    val diff = Corpus.sampleWeighted(re, "id", "w")
+      .join(Corpus.sampleWeighted(ids, "id", "w")
+        .withColumnRenamed("kept", "kept0"), Seq("id", "w"), "inner")
+      .filter(col("kept") =!= col("kept0")).count()
+    assert(diff == 0L)
+  }
+
   test("splitByCluster never splits a cluster across train/val/test") {
     // 200 docs in 50 clusters of 4 — every member must land in its
     // cluster's split, and singletons (ids 1000-1019) get their own
