@@ -957,27 +957,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Containment near-dups ([[Dedup.containmentNearDups]]): asymmetric
-    * short-in-long duplication, exercised by planting a 12-token
-    * excerpt (tokens 5-16) of every 11th doc as a new doc — each
-    * excerpt has Jaccard ~(excerpt/parent) to its parent but
-    * containment 1.0, and at >= 8 contiguous shared tokens the
-    * winnowing candidate stage is GUARANTEED to surface it. Exact
-    * DuckDB replay: winnow fingerprints -> candidates -> shingle
-    * containment, both directions.
+  /** The planted-excerpt corpus both containment queries run on:
+    * documents plus, for every 11th doc, a 12-token excerpt (tokens
+    * 5-16) as a new doc — each excerpt has Jaccard ~(excerpt/parent)
+    * to its parent but containment 1.0, and at >= 8 contiguous shared
+    * tokens the winnowing candidate stage is GUARANTEED to surface it.
     */
-  private def qDedupContainment(s: SparkSession, d: String): DataFrame = {
+  private def excerptCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val toks = split(trim(col("text")), "\\s+")
     val excerpts = docs
       .filter(pmod(col("doc_id"), lit(11)) === 3 && size(toks) >= 16)
       .select((col("doc_id") + 100000L).as("doc_id"),
         array_join(slice(toks, 5, 12), " ").as("text"))
-    val corpus = docs.select(col("doc_id"), col("text")).unionByName(excerpts)
-    graft.ops.Dedup.containmentNearDups(corpus, "text", "doc_id",
+    docs.select(col("doc_id"), col("text")).unionByName(excerpts)
+  }
+
+  /** Containment near-dups ([[Dedup.containmentNearDups]]): asymmetric
+    * short-in-long duplication over the planted-excerpt corpus. Exact
+    * DuckDB replay: winnow fingerprints -> candidates -> shingle
+    * containment, both directions.
+    */
+  private def qDedupContainment(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.containmentNearDups(excerptCorpus(s, d), "text", "doc_id",
         threshold = 0.8)
       .orderBy(col("id_in"), col("id_of"))
-  }
+
+  /** Containment dedup action ([[Dedup.dropContained]]): the planted
+    * excerpts (and any naturally contained docs) drop, originals
+    * survive, mutual containment keeps the min id. Exact replay of the
+    * same pair CTE plus the keeper rule.
+    */
+  private def qDedupDropContained(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.dropContained(excerptCorpus(s, d), "text", "doc_id",
+        threshold = 0.8)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
 
   /** Loop collapse ([[Dedup.collapseLoops]]): the generated-text /
     * OCR artifact cleaner, exercised by planting a 3-token phrase
@@ -1886,6 +1901,7 @@ object SparkEntry {
     "q_decon_spans" -> qDeconSpans,
     "q_dedup_winnow" -> qDedupWinnow,
     "q_dedup_containment" -> qDedupContainment,
+    "q_dedup_drop_contained" -> qDedupDropContained,
     "q_text_collapse_loops" -> qTextCollapseLoops,
     "q_rag_retrieve" -> qRagRetrieve,
     "q_rag_retrieve_ivf" -> qRagIvf,
@@ -1932,6 +1948,31 @@ object SparkEntry {
   )
 
   private val stopList = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by']"
+
+  /** Shared CTE chain for the two containment oracles: the planted-
+    * excerpt corpus (mirrors [[excerptCorpus]]), winnow fingerprint
+    * selection (k=5, w=4 — the q_dedup_winnow replay), fingerprint-
+    * shared candidates, 3-shingle sets, and `pr` = both-direction
+    * containment pairs at the 0.8 threshold.
+    */
+  private val ContainmentPairsCte: String =
+    "WITH d AS (SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 100000 AS doc_id, array_to_string(string_split_regex(trim(text), '\\s+')[5:16], ' ') AS text " +
+      "FROM documents WHERE doc_id % 11 = 3 AND len(string_split_regex(trim(text), '\\s+')) >= 16), " +
+      "t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM d), " +
+      "w AS (SELECT doc_id, i AS s, md5(array_to_string(ws[i:i+4], ' ')) AS h FROM t, LATERAL unnest(range(1, len(ws) - 3)) AS r(i) WHERE len(ws) >= 5), " +
+      "mw AS (SELECT doc_id, s, min(h) OVER (PARTITION BY doc_id ORDER BY s ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp, " +
+      "COUNT(*) OVER (PARTITION BY doc_id) AS m FROM w), " +
+      "fp AS (SELECT DISTINCT doc_id, fp FROM mw WHERE s <= m - 3), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM fp a JOIN fp b ON a.fp = b.fp WHERE a.doc_id < b.doc_id), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] " +
+      "ELSE list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) END AS sh FROM t), " +
+      "v AS (SELECT id_a, id_b, CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter, len(a.sh) AS la, len(b.sh) AS lb " +
+      "FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id), " +
+      "pr AS (SELECT id_in, id_of, containment FROM (" +
+      "SELECT id_a AS id_in, id_b AS id_of, round(inter / la, 4) AS containment FROM v " +
+      "UNION ALL SELECT id_b AS id_in, id_a AS id_of, round(inter / lb, 4) AS containment FROM v) " +
+      "WHERE containment >= 0.8)"
 
   def oracleSql: Map[String, String] = Map(
     "q_a1_count_distinct" ->
@@ -2265,23 +2306,12 @@ object SparkEntry {
     // containment: winnow-fp candidates (exact replay of q_dedup_winnow's
     // selection over the excerpt-augmented corpus) -> shingle containment
     "q_dedup_containment" ->
-      ("WITH d AS (SELECT doc_id, text FROM documents UNION ALL " +
-        "SELECT doc_id + 100000 AS doc_id, array_to_string(string_split_regex(trim(text), '\\s+')[5:16], ' ') AS text " +
-        "FROM documents WHERE doc_id % 11 = 3 AND len(string_split_regex(trim(text), '\\s+')) >= 16), " +
-        "t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM d), " +
-        "w AS (SELECT doc_id, i AS s, md5(array_to_string(ws[i:i+4], ' ')) AS h FROM t, LATERAL unnest(range(1, len(ws) - 3)) AS r(i) WHERE len(ws) >= 5), " +
-        "mw AS (SELECT doc_id, s, min(h) OVER (PARTITION BY doc_id ORDER BY s ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp, " +
-        "COUNT(*) OVER (PARTITION BY doc_id) AS m FROM w), " +
-        "fp AS (SELECT DISTINCT doc_id, fp FROM mw WHERE s <= m - 3), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM fp a JOIN fp b ON a.fp = b.fp WHERE a.doc_id < b.doc_id), " +
-        "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] " +
-        "ELSE list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) END AS sh FROM t), " +
-        "v AS (SELECT id_a, id_b, CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter, len(a.sh) AS la, len(b.sh) AS lb " +
-        "FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id) " +
-        "SELECT id_in, id_of, containment FROM (" +
-        "SELECT id_a AS id_in, id_b AS id_of, round(inter / la, 4) AS containment FROM v " +
-        "UNION ALL SELECT id_b AS id_in, id_a AS id_of, round(inter / lb, 4) AS containment FROM v) " +
-        "WHERE containment >= 0.8 ORDER BY id_in, id_of"),
+      s"$ContainmentPairsCte SELECT id_in, id_of, containment FROM pr ORDER BY id_in, id_of",
+    // action half: drop contained docs; mutual containment keeps min id
+    "q_dedup_drop_contained" ->
+      (s"$ContainmentPairsCte SELECT doc_id FROM d WHERE doc_id NOT IN (" +
+        "SELECT p.id_in FROM pr p LEFT JOIN pr r ON p.id_in = r.id_of AND p.id_of = r.id_in " +
+        "WHERE r.id_in IS NULL OR p.id_in > p.id_of) ORDER BY doc_id"),
     // loop collapse: lag-k window equality + q_dedup_rm's reassembly
     "q_text_collapse_loops" ->
       ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 1 THEN text || ' loopa loopb loopc loopa loopb loopc loopa loopb loopc' ELSE text END AS text FROM documents), " +

@@ -340,6 +340,36 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** The ACTION half of containment dedup ([[containmentNearDups]] is
+    * the detector): drop every doc whose shingle set is contained
+    * (>= threshold) in ANY other doc — the keep-longest rule for
+    * excerpt/quote/pagination duplication (a containment chain
+    * A ⊂ B ⊂ C keeps only the maximal C). Mutual containment
+    * (exact or near-exact dups score >= threshold in BOTH directions)
+    * keeps the smaller id, so the outcome is total and deterministic
+    * and never drops both copies. Non-mutual containment is the
+    * normal case: the short excerpt drops, the long original stays.
+    *
+    * Shuffle profile: the detector's (plus one self-join of the pair
+    * list — id-width rows — and one anti-join back onto the corpus).
+    */
+  def dropContained(df: DataFrame, textCol: String, idCol: String,
+                    threshold: Double, shingleK: Int = 3,
+                    winnowK: Int = 5, winnowW: Int = 4,
+                    maxFpDocs: Int = Int.MaxValue): DataFrame = {
+    val p = containmentNearDups(df, textCol, idCol, threshold, shingleK,
+      winnowK, winnowW, maxFpDocs)
+    val rev = p.select(col("id_in").as("__r_of"), col("id_of").as("__r_in"))
+    val drops = p
+      .join(rev, col("id_in") === col("__r_in") && col("id_of") === col("__r_of"),
+        "left")
+      // one-directional containment always drops the contained side;
+      // mutual containment drops only the larger id (keeper = min id)
+      .filter(col("__r_in").isNull || col("id_in") > col("id_of"))
+      .select(col("id_in").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Collapse immediate phrase loops within a doc — the
     * generated-text/OCR artifact cleaner: a k-token window whose hash
     * equals the hash k positions earlier is a verbatim immediate

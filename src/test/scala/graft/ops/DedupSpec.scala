@@ -574,6 +574,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(jac < 0.4, s"symmetric jaccard unexpectedly high: $jac")
   }
 
+  test("dropContained keeps the maximal doc; mutual containment keeps min id") {
+    val long = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango")
+    val excerpt = "echo foxtrot golf hotel india juliet kilo lima"
+    val df = Seq(
+      (1L, long), (2L, excerpt),  // 2 contained in 1 -> 2 drops
+      (5L, other), (6L, other),   // mutual (exact dup) -> 6 drops, 5 stays
+      (9L, "totally unrelated standalone words without any overlap partner"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropContained(df, "text", "doc_id", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L, 9L), kept.toString)
+  }
+
   test("containmentNearDups maxFpDocs drops hot fingerprints wholesale") {
     // 6 docs all carrying one shared boilerplate run -> every pair is
     // a candidate uncapped; capping at 3 removes the hot fingerprint
