@@ -498,6 +498,15 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Ordered funnel reach ([[graft.ops.Funnel.funnelReach]]): how many
+    * users view, then click strictly later, then purchase strictly
+    * later still, all within 2 days of their first view. Exact
+    * replay: per-step earliest-qualifying-time CTEs.
+    */
+  private def qFunnel(s: SparkSession, d: String): DataFrame =
+    graft.ops.Funnel.funnelReach(ev(s, d), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), horizonSeconds = Some(172800L))
+
   /** Deterministic weighted Bernoulli sampling
     * ([[graft.ops.Corpus.sampleWeighted]]): soft quality filtering
     * with a length-derived weight — kept iff the doc's md5-uniform
@@ -1874,6 +1883,7 @@ object SparkEntry {
     "q_split_pack" -> qSplitPack,
     "q_split_leakage_safe" -> qSplitLeakageSafe,
     "q_sample_weighted" -> qSampleWeighted,
+    "q_funnel" -> qFunnel,
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
     "q_text_ppl_split" -> qTextPplSplit,
@@ -2676,6 +2686,15 @@ object SparkEntry {
         "SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, " +
         "shard, CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 4096 AS BIGINT) AS pack_id " +
         "FROM n ORDER BY doc_id"),
+    "q_funnel" ->
+      ("WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, MIN(s.t1) AS t1, MIN(e.ts) AS t2 FROM events e JOIN s1 s ON e.user_id = s.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts > s.t1 AND epoch_us(e.ts) - epoch_us(s.t1) <= 172800000000 GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 s ON e.user_id = s.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > s.t2 AND epoch_us(e.ts) - epoch_us(s.t1) <= 172800000000 GROUP BY e.user_id) " +
+        "SELECT * FROM (SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS n_users " +
+        "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) " +
+        "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) ORDER BY step"),
     "q_sample_weighted" ->
       ("SELECT doc_id, round(CAST(n_chars AS DOUBLE) / 1000.0, 4) AS w, " +
         "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0) " +

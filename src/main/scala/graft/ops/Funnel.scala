@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis over an event log — the classic product
+  * question (view -> click -> purchase) the windowing family doesn't
+  * answer directly: a user reaches step i when they emit step i's
+  * event STRICTLY AFTER their step-(i-1) completion time, optionally
+  * within a horizon of their step-1 time; each step's completion time
+  * is the EARLIEST qualifying event (so reach is maximal — if any
+  * ordered path exists, the earliest-completion path exists).
+  *
+  * Scale shape: one narrow (user, ts) aggregation per step plus one
+  * equi-join per step on the user id — every stage hash-partitions on
+  * the same key, so the exchanges reuse, and the carried state is one
+  * (user, t1, prev) row per surviving user. No windows, no sorts, no
+  * event-row explosion; the step count is the only multiplier, and
+  * funnels are short by nature.
+  */
+object Funnel {
+
+  /** Per-step reach: (step, event_type, n_users) for each funnel step,
+    * step 1-based in the given order. `horizonSeconds` bounds the
+    * whole funnel relative to the user's step-1 time (inclusive).
+    */
+  def funnelReach(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String],
+                  horizonSeconds: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+      col(typeCol).as("__t"))
+    val first = e.filter(col("__t") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__t1"))
+    var cur = first.withColumn("__prev", col("__t1"))
+    val stages = scala.collection.mutable.ArrayBuffer[(Int, String, DataFrame)]()
+    stages += ((1, steps.head, first))
+    var i = 2
+    for (st <- steps.tail) {
+      val within = horizonSeconds.fold(lit(true))(h =>
+        unix_micros(col("__ts")) - unix_micros(col("__t1")) <= h * 1000000L)
+      val nxt = e.filter(col("__t") === st)
+        .join(cur.select(col("__u"), col("__t1"), col("__prev")), Seq("__u"))
+        .filter(col("__ts") > col("__prev") && within)
+        // __t1 is constant per user — min() just carries it through
+        .groupBy(col("__u"))
+        .agg(min(col("__ts")).as("__next"), min(col("__t1")).as("__t1"))
+      cur = nxt.withColumn("__prev", col("__next"))
+      stages += ((i, st, nxt))
+      i += 1
+    }
+    stages.map { case (step, name, s) =>
+      s.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).cast("long").as("step"), lit(name).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionByName(_)).orderBy(col("step"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions.lit
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class FunnelSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(min * 60000L)
+
+  test("funnelReach counts ordered completion, strictly-later steps") {
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(0), "view"), (1L, ts(5), "click"), (1L, ts(9), "purchase"),
+      // user 2: purchase BEFORE click — reaches step 2 only
+      (2L, ts(0), "view"), (2L, ts(3), "purchase"), (2L, ts(6), "click"),
+      // user 3: click only, never viewed — reaches nothing
+      (3L, ts(1), "click"),
+      // user 4: view twice, then click at the same instant as the
+      // SECOND view — still after the FIRST view, so it counts
+      (4L, ts(0), "view"), (4L, ts(2), "view"), (4L, ts(2), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnelReach(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "view", 3L), (2L, "click", 3L), (3L, "purchase", 1L)),
+      got.toString)
+  }
+
+  test("funnelReach horizon bounds the whole funnel from step 1") {
+    val events = Seq(
+      (1L, ts(0), "view"), (1L, ts(5), "click"),   // click within 6 min
+      (2L, ts(0), "view"), (2L, ts(10), "click"))  // click too late
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnelReach(events, "user_id", "ts", "event_type",
+        Seq("view", "click"), horizonSeconds = Some(360L))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "view", 2L), (2L, "click", 1L)), got.toString)
+  }
+
+  test("funnelReach single-step funnel and empty input are total") {
+    val events = Seq((1L, ts(0), "view")).toDF("user_id", "ts", "event_type")
+    val one = Funnel.funnelReach(events, "user_id", "ts", "event_type", Seq("view"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(one == Seq((1L, "view", 1L)))
+    val none = Funnel.funnelReach(events.filter(lit(false)), "user_id", "ts",
+        "event_type", Seq("view", "click"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(none == Seq((1L, "view", 0L), (2L, "click", 0L)))
+  }
+}
