@@ -507,6 +507,14 @@ object SparkEntry {
     graft.ops.Funnel.funnelReach(ev(s, d), "user_id", "ts", "event_type",
       Seq("view", "click", "purchase"), horizonSeconds = Some(172800L))
 
+  /** Cohort retention matrix ([[graft.ops.Funnel.retentionMatrix]]):
+    * users cohorted by epoch-week of first event, distinct-counted per
+    * later active week. Exact integer-week replay.
+    */
+  private def qRetention(s: SparkSession, d: String): DataFrame =
+    graft.ops.Funnel.retentionMatrix(ev(s, d), "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_offset"))
+
   /** Deterministic weighted Bernoulli sampling
     * ([[graft.ops.Corpus.sampleWeighted]]): soft quality filtering
     * with a length-derived weight — kept iff the doc's md5-uniform
@@ -1884,6 +1892,7 @@ object SparkEntry {
     "q_split_leakage_safe" -> qSplitLeakageSafe,
     "q_sample_weighted" -> qSampleWeighted,
     "q_funnel" -> qFunnel,
+    "q_retention" -> qRetention,
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
     "q_text_ppl_split" -> qTextPplSplit,
@@ -2695,6 +2704,12 @@ object SparkEntry {
         "SELECT * FROM (SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS n_users " +
         "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) " +
         "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) ORDER BY step"),
+    "q_retention" ->
+      ("WITH c AS (SELECT user_id, CAST(FLOOR(epoch_us(MIN(ts)) / 604800000000) AS BIGINT) AS cohort_week FROM events GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT e.user_id, c.cohort_week, CAST(FLOOR(epoch_us(e.ts) / 604800000000) AS BIGINT) - c.cohort_week AS week_offset " +
+        "FROM events e JOIN c ON e.user_id = c.user_id) " +
+        "SELECT cohort_week, week_offset, COUNT(*) AS n_users FROM a " +
+        "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"),
     "q_sample_weighted" ->
       ("SELECT doc_id, round(CAST(n_chars AS DOUBLE) / 1000.0, 4) AS w, " +
         "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0) " +

@@ -55,4 +55,34 @@ object Funnel {
           col("n_users"))
     }.reduce(_.unionByName(_)).orderBy(col("step"))
   }
+
+  /** Cohort retention matrix — the second classic event-log rollup:
+    * users cohorted by the epoch-week of their FIRST event, then
+    * counted distinctly in every later week they were active, as
+    * (cohort_week, week_offset, n_users). Epoch-week arithmetic
+    * (floor(epoch-micros / week-micros)) rather than calendar
+    * truncation keeps the bucketing a pure integer function any
+    * engine reproduces bit-exactly — no timezone/ISO-week edges.
+    *
+    * Scale shape: one user-keyed aggregation for the cohort
+    * assignment, one equi-join back on the user id (same partitioning
+    * — exchange reuses), then a distinct + count on (cohort, offset,
+    * user) id-width rows. Nothing wider than three longs shuffles.
+    */
+  def retentionMatrix(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val WeekMicros = 7L * 86400L * 1000000L
+    val week = (c: org.apache.spark.sql.Column) =>
+      floor(unix_micros(c) / WeekMicros)
+    val e = events.select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+    val cohort = e.groupBy(col("__u"))
+      .agg(min(col("__ts")).as("__first"))
+      .select(col("__u"), week(col("__first")).as("cohort_week"))
+    e.join(cohort, Seq("__u"))
+      .select(col("__u"), col("cohort_week"),
+        (week(col("__ts")) - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

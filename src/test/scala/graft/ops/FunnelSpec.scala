@@ -42,6 +42,24 @@ class FunnelSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq((1L, "view", 2L), (2L, "click", 1L)), got.toString)
   }
 
+  test("retentionMatrix cohorts by first-event week, counts distinct returners") {
+    val week = 7 * 24 * 60
+    val events = Seq(
+      // cohort week 0: users 1 and 2; user 1 returns in weeks 1 and 2,
+      // user 2 only in week 2 (twice — must count once)
+      (1L, ts(10), "view"), (1L, ts(week + 5), "view"), (1L, ts(2 * week + 1), "view"),
+      (2L, ts(20), "view"), (2L, ts(2 * week + 2), "view"), (2L, ts(2 * week + 9), "view"),
+      // cohort week 1: user 3, never returns
+      (3L, ts(week + 30), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.retentionMatrix(events, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L),
+      (1L, 0L, 1L)), got.toString)
+  }
+
   test("funnelReach single-step funnel and empty input are total") {
     val events = Seq((1L, ts(0), "view")).toDF("user_id", "ts", "event_type")
     val one = Funnel.funnelReach(events, "user_id", "ts", "event_type", Seq("view"))
