@@ -1716,6 +1716,29 @@ object SparkEntry {
     * text formats preserve the data. Exact-integer aggregates only
     * (text round-trips must not hash-drift on float formatting).
     */
+  /** Partitioned-layout roundtrip ([[graft.ops.Bucketing
+    * .writePartitioned]]): documents written under source= directories,
+    * read back with a two-source partition filter (pruned at planning
+    * time — PlanRegressionSpec asserts the PartitionFilters shape),
+    * aggregated; the oracle over the original parquet must agree.
+    */
+  private def qPartitionedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    try {
+      graft.ops.Bucketing.writePartitioned(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars"), col("source")),
+        s"$dir/docs", Seq("source"))
+      val agg = s.read.parquet(s"$dir/docs")
+        .filter(col("source").isin("src3", "src7"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+      s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+        .orderBy(col("source"))
+    } finally deleteTree(dir)
+  }
+
   private def qExportRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_export_").toString
     try {
@@ -1958,6 +1981,7 @@ object SparkEntry {
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_embed" -> qMultimodalEmbed,
     "q_export_roundtrip" -> qExportRoundtrip,
+    "q_partitioned_roundtrip" -> qPartitionedRoundtrip,
     "q_skew_salted_join" -> qSkewSaltedJoin,
     "q_topk_per_group" -> qTopKPerGroup,
     "q_sample_stratified" -> qSampleStratified,
@@ -2646,6 +2670,10 @@ object SparkEntry {
       ("SELECT c_mktsegment, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users " +
         "FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     // S8 export sinks: both text formats must preserve the slice
+    "q_partitioned_roundtrip" ->
+      ("SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars, " +
+        "MIN(doc_id) AS min_id, MAX(doc_id) AS max_id FROM documents " +
+        "WHERE source IN ('src3', 'src7') GROUP BY source ORDER BY source"),
     "q_export_roundtrip" ->
       ("WITH s AS (SELECT * FROM events WHERE event_id < 1000), " +
         "a AS (SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id, SUM(user_id) AS sum_users FROM s GROUP BY event_type) " +

@@ -30,4 +30,25 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    keys: Seq[String], joinType: String = "inner"): DataFrame =
     spark.table(left).join(spark.table(right), keys, joinType)
+
+  /** Hive-style partitioned parquet layout — the OTHER write-time
+    * pruning axis (bucketing prunes joins; directory partitioning
+    * prunes SCANS): rows land under `path/col=value/` directories, so
+    * a reader filtering on a partition column touches only the
+    * matching directories — at 100 TB, a per-source/per-date query
+    * reads that slice's bytes, not the corpus. Filters on partition
+    * columns appear as `PartitionFilters` in the scan (plan-guarded in
+    * PlanRegressionSpec), pruned at PLANNING time from directory
+    * listings — no row ever deserializes from a pruned partition.
+    * Choose low-cardinality columns (source, date, lang): each value
+    * is a directory, and tiny-file explosion is the failure mode of
+    * high-cardinality keys.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
 }

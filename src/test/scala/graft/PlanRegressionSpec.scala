@@ -76,6 +76,33 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange"), s"k-means E-step must not shuffle:\n$p")
   }
 
+  test("partitioned layout prunes scans via PartitionFilters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    try {
+      graft.ops.Bucketing.writePartitioned(
+        spark.read.parquet(s"$sf/documents.parquet")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("source")),
+        s"$dir/docs", Seq("source"))
+      val q = spark.read.parquet(s"$dir/docs")
+        .filter(org.apache.spark.sql.functions.col("source") === "src3")
+      val p = q.queryExecution.executedPlan.toString
+      // the source predicate must be a PARTITION filter (directory
+      // pruning at planning time), not a pushed data filter
+      assert("PartitionFilters: \\[[^\\]]*source".r.findFirstIn(p).isDefined,
+        s"source filter must prune partitions:\n$p")
+      assert(!"PushedFilters: \\[[^\\]]*source".r.findFirstIn(p).isDefined,
+        s"source is a directory key, not a data column:\n$p")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(x => java.nio.file.Files.deleteIfExists(x))
+      } finally walk.close()
+    }
+  }
+
   test("loop collapse is one map-side pass (zero exchanges)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = graft.ops.Dedup.collapseLoops(docs, "text", "doc_id", 3)
