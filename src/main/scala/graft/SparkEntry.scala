@@ -1154,6 +1154,19 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Matryoshka two-stage retrieval ([[Similarity.truncatedTopK]]):
+    * shortlist-50 on the first 16 of 64 dims, exact full-dim top-5
+    * re-rank — deterministic end to end, so the oracle replays BOTH
+    * stages exactly (no recall contract needed).
+    */
+  private def qSimTruncTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.truncatedTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        dPrefix = 16, shortlist = 50)
+      .select(col("query_id"), col("corpus_id"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** k-NN label transfer ([[Similarity.knnClassify]]): the first 300
     * vectors act as the labeled seed, every later vector gets the
     * majority label of its 5 nearest seed neighbors. Exact DuckDB
@@ -1957,6 +1970,7 @@ object SparkEntry {
     "q_sim_topk" -> qSimTopK,
     "q_sim_filtered_topk" -> qSimFilteredTopK,
     "q_sim_knn_label" -> qSimKnnLabel,
+    "q_sim_trunc_topk" -> qSimTruncTopK,
     "q_corpus_token_budget" -> qCorpusTokenBudget,
     "q_corpus_curation" -> qCuration,
     "q_emb_near_dups" -> qEmbNearDups,
@@ -2490,6 +2504,18 @@ object SparkEntry {
     // to the label=3 survivors
     "q_sim_filtered_topk" ->
       "SELECT query_id, corpus_id, rank FROM (SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank FROM embeddings c, embeddings p WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id AND c.label = 3) WHERE rank <= 5 ORDER BY query_id, rank",
+    // Matryoshka two stages replayed exactly: truncated-dim shortlist
+    // window, then full-dim re-rank window over the shortlist
+    "q_sim_trunc_topk" ->
+      ("WITH s AS (SELECT p.vec_id AS q, c.vec_id AS cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding[1:16] AS DOUBLE[]), CAST(p.embedding[1:16] AS DOUBLE[])) DESC, c.vec_id) AS r " +
+        "FROM embeddings c, embeddings p WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id), " +
+        "sl AS (SELECT q, cid FROM s WHERE r <= 50) " +
+        "SELECT query_id, corpus_id, rank FROM (" +
+        "SELECT sl.q AS query_id, sl.cid AS corpus_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY sl.q ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, sl.cid) AS rank " +
+        "FROM sl JOIN embeddings c ON sl.cid = c.vec_id JOIN embeddings p ON sl.q = p.vec_id) " +
+        "WHERE rank <= 5 ORDER BY query_id, rank"),
     // k-NN label transfer: exact neighbor rank -> majority vote with
     // (votes DESC, label ASC) tie-break — deterministic on both sides
     "q_sim_knn_label" ->

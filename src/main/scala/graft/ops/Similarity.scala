@@ -198,6 +198,46 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Two-stage dimension-adaptive retrieval (the Matryoshka-
+    * representation pattern, Kusupati et al. 2022): shortlist by
+    * cosine over only the FIRST `dPrefix` dimensions, then exact
+    * full-dimension re-rank of the shortlist. MRL-trained embeddings
+    * front-load information, so a 4x truncation keeps shortlist
+    * recall high while the stage-1 scan reads/multiplies 4x fewer
+    * floats — the third compression axis beside candidate pruning
+    * (LSH/IVF buckets) and code compression (PQ), and they compose.
+    * Fully deterministic (rank ties break by id), so the whole
+    * two-stage result is exactly replayable — an exact oracle, not a
+    * recall contract.
+    *
+    * Scale shape: stage 1 is [[bruteForceTopK]] on sliced vectors
+    * (probe side broadcast, corpus streams); stage 2 touches only
+    * shortlist x probes rows.
+    */
+  def truncatedTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                    dPrefix: Int, shortlist: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(dPrefix > 0, "prefix dimension must be positive")
+    require(shortlist >= k, "shortlist must cover k")
+    val cT = corpus.select(col(idCol), slice(col(vecCol), 1, dPrefix).as(vecCol))
+    val pT = probes.select(col(idCol), slice(col(vecCol), 1, dPrefix).as(vecCol))
+    val sl = bruteForceTopK(cT, pT, shortlist, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val cF = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val pF = probes.select(col(idCol).as("query_id"), col(vecCol).as("__pv"))
+      .withColumn("__pn", norm(col("__pv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    sl.join(cF, Seq("corpus_id")).join(broadcast(pF), Seq("query_id"))
+      .withColumn("cosine",
+        safeCosine(dot(col("__cv"), col("__pv")), col("__cn"), col("__pn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"))
+  }
+
   /** k-NN label transfer (weak labeling): predict each pool row's
     * label as the majority label among its k nearest LABELED seed
     * vectors by cosine — the curation step that fans a small

@@ -113,6 +113,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(SemDedup.nearDupPairs(zeros, 0.1, k = 2, iters = 1).count() == 0)
   }
 
+  test("truncatedTopK with full shortlist reproduces brute force exactly") {
+    // shortlist = corpus size makes stage 1 lossless, so the two-stage
+    // result must equal single-stage brute force rank for rank
+    val probes = vecs.filter($"vec_id" < 3)
+    val twoStage = Similarity.truncatedTopK(vecs, probes, k = 4,
+        dPrefix = 8, shortlist = 100)
+      .as[(Long, Long, Int)].collect().toSet
+    val oneStage = Similarity.bruteForceTopK(vecs, probes, 4)
+      .select($"query_id", $"corpus_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(twoStage == oneStage, s"lossless shortlist must agree")
+    // identical vector survives any truncation: rank 1 via prefix too
+    val top = Similarity.truncatedTopK(vecs, vecs.filter($"vec_id" === 0),
+        k = 1, dPrefix = 4, shortlist = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(top.length == 1 && top.head._3 == 1)
+  }
+
   test("knnClassify transfers the majority seed label, deterministic ties") {
     // two clean clusters on orthogonal axes: label 1 along e1, label 2
     // along e2; pool points near an axis must adopt that axis's label
