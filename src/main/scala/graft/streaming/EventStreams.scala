@@ -190,6 +190,112 @@ object EventStreams {
       }
   }
 
+  /** Per-user streaming-funnel state: `t1` = earliest step-1 event
+    * time seen (-1 until one arrives), `buf` = the (ts, type) events
+    * still able to participate in the chain.
+    */
+  case class FunnelBuf(t1: Long, buf: List[FunnelEv])
+  case class FunnelEv(t: Long, tpe: String)
+  case class FunnelHit(user_id: Long, steps_reached: Int, t1: java.sql.Timestamp)
+
+  /** Walk the ordered chain over a user's buffered events: step i
+    * completes at the EARLIEST step-i event strictly after step-(i-1)'s
+    * completion and within the horizon of t1 — the same rule as the
+    * batch [[graft.ops.Funnel.funnelReach]].
+    */
+  private def evalChain(steps: Seq[String], horizonMs: Long, t1: Long,
+                        evs: Seq[FunnelEv]): Int = {
+    var prev = t1
+    var reached = 1
+    var i = 1
+    var go = true
+    while (go && i < steps.length) {
+      val cand = evs.collect {
+        case e if e.tpe == steps(i) && e.t > prev && e.t - t1 <= horizonMs => e.t
+      }
+      if (cand.isEmpty) go = false
+      else { prev = cand.min; reached += 1; i += 1 }
+    }
+    reached
+  }
+
+  /** STREAMING ordered funnel — [[graft.ops.Funnel.funnelReach]]'s
+    * per-user emission on an infinite feed: buffer a user's funnel
+    * events until the watermark passes their step-1 time + horizon
+    * (after which no event inside the horizon can still arrive), then
+    * evaluate the chain once and emit (user, steps_reached, t1). The
+    * buffer-then-evaluate shape is what makes out-of-order arrival
+    * EXACT: monotone per-step minima would lock in wrong completions
+    * when a late-but-earlier event lands.
+    *
+    * State is bounded two ways: the horizon bounds each buffer's time
+    * span, and pruning drops events that provably cannot join any
+    * present-or-future chain (beyond t1 + horizon; or not after t1 and
+    * already below the watermark — any future step-1 event must carry
+    * an event time above the watermark). Users who never emit step 1
+    * are dropped outright once their buffered events age past the
+    * watermark. Input must carry `withWatermark("ts", ...)`.
+    */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+                   horizonSeconds: Long): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(horizonSeconds > 0, "streaming funnel needs a finite horizon")
+    val horizonMs = horizonSeconds * 1000
+    val stepSet = steps.toSet
+    events.filter(e => stepSet.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelBuf]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.t1 < 0) Iterator.empty
+            else Iterator.single(FunnelHit(userId,
+              evalChain(steps, horizonMs, st.t1, st.buf),
+              new java.sql.Timestamp(st.t1)))
+          } else {
+            var st = state.getOption.getOrElse(FunnelBuf(-1L, Nil))
+            rows.foreach { e =>
+              val t = e.ts.getTime
+              if (e.event_type == steps.head && (st.t1 < 0 || t < st.t1))
+                st = st.copy(t1 = t)
+              st = st.copy(buf = FunnelEv(t, e.event_type) :: st.buf)
+            }
+            val wm = state.getCurrentWatermarkMs()
+            st = st.copy(buf = st.buf.filter { e =>
+              // a future step-1 arrival carries ts > wm, so an event at
+              // or below BOTH t1 and wm can never be strictly after any
+              // chain start; beyond t1 + horizon it can never be inside
+              // any (only-shrinking) horizon
+              val afterable = st.t1 < 0 || e.t > st.t1 || e.t > wm
+              val inHorizon = st.t1 < 0 || e.t - st.t1 <= horizonMs
+              (e.tpe == steps.head || afterable) && inHorizon
+            })
+            if (st.t1 < 0 && st.buf.isEmpty) {
+              // nothing buffered survives and no chain start: forget
+              state.remove()
+              Iterator.empty
+            } else if (st.t1 >= 0 && wm > st.t1 + horizonMs) {
+              // horizon already closed by this batch's watermark: every
+              // in-horizon event is below wm and therefore present
+              state.remove()
+              Iterator.single(FunnelHit(userId,
+                evalChain(steps, horizonMs, st.t1, st.buf),
+                new java.sql.Timestamp(st.t1)))
+            } else {
+              state.update(st)
+              val target =
+                if (st.t1 >= 0) st.t1 + horizonMs + 1
+                else st.buf.map(_.t).max + horizonMs + 1
+              state.setTimeoutTimestamp(math.max(target, wm + 1))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   /** Watermarked stream-stream join (purchase attribution): each view
     * joined to purchases by the same user within `horizon` AFTER the
     * view. Both sides carry watermarks and the join condition bounds

@@ -211,4 +211,51 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
         s"late in-gap event must merge without shrinking the session: ${sessions.toSeq}")
     } finally q.stop()
   }
+
+  test("funnelStream emits exact per-user reach after the horizon closes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_ev_").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_funnel_cp_").toString
+    // user 1 completes the funnel OUT OF ORDER across batches (purchase
+    // arrives before the click); user 2 clicks and purchases but never
+    // views; user 3 only views
+    Seq(Event(1, tsOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Event(2, tsOf("2024-01-01 10:10:00"), 1, "purchase", 2.0),
+        Event(3, tsOf("2024-01-01 10:01:00"), 2, "click", 3.0))
+      .toDS().write.parquet(dir + "/b1")
+    val schema = batch.schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/*")
+      .withWatermark("ts", "5 minutes")
+    val q = funnelStream(src.as[Event],
+        Seq("view", "click", "purchase"), horizonSeconds = 3600L)
+      .writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", cp)
+      .queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      // the CLICK lands late but ABOVE the watermark (b1 advanced it to
+      // 10:10 - 5min = 10:05) — between the already-seen view and
+      // purchase in event time
+      Seq(Event(4, tsOf("2024-01-01 10:06:00"), 1, "click", 4.0),
+          Event(5, tsOf("2024-01-01 10:06:00"), 2, "purchase", 5.0),
+          Event(6, tsOf("2024-01-01 10:07:00"), 3, "view", 6.0))
+        .toDS().write.mode("append").parquet(dir + "/b2")
+      q.processAllAvailable()
+      // push the watermark past every horizon (t1 + 1h) so the buffered
+      // chains evaluate; one more batch lets the timeouts fire
+      Seq(Event(7, tsOf("2024-01-01 12:30:00"), 9, "view", 7.0))
+        .toDS().write.mode("append").parquet(dir + "/b3")
+      q.processAllAvailable()
+      Seq(Event(8, tsOf("2024-01-01 12:40:00"), 9, "click", 8.0))
+        .toDS().write.mode("append").parquet(dir + "/b4")
+      q.processAllAvailable()
+      val hits = spark.table("funnel_out")
+        .select("user_id", "steps_reached").as[(Long, Int)].collect().toMap
+      assert(hits.get(1L).contains(3),
+        s"out-of-order click must still complete the chain: $hits")
+      assert(!hits.contains(2L), s"no view -> no funnel entry: $hits")
+      assert(hits.get(3L).contains(1), s"view-only user reaches step 1: $hits")
+    } finally q.stop()
+  }
 }
