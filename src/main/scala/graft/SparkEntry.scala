@@ -498,6 +498,37 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Time-series gap-fill ([[graft.ops.Resample.fillGaps]]): hourly
+    * per-user value series with missing hours materialized and
+    * forward-filled. Exact integer-bucket + IGNORE NULLS replay.
+    */
+  private def qResample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Resample.fillGaps(
+        ev(s, d).filter(col("user_id") < 20), "user_id", "ts", "value",
+        stepSeconds = 3600L)
+      .orderBy(col("user_id"), col("bucket"))
+
+  /** Analytic window-function suite — the offset/distribution
+    * functions (lag, lead, ntile, percent_rank, cume_dist) over
+    * per-customer order history; the ranking family (row_number) is
+    * exercised by the dedup windows. One hash exchange on the
+    * partition key; per-customer partitions are small and uniform.
+    */
+  private def qWindowSuite(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, d, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Ordered funnel reach ([[graft.ops.Funnel.funnelReach]]): how many
     * users view, then click strictly later, then purchase strictly
     * later still, all within 2 days of their first view. Exact
@@ -1929,6 +1960,8 @@ object SparkEntry {
     "q_sample_weighted" -> qSampleWeighted,
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
+    "q_window_suite" -> qWindowSuite,
+    "q_resample" -> qResample,
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
     "q_text_ppl_split" -> qTextPplSplit,
@@ -2758,6 +2791,25 @@ object SparkEntry {
         "SELECT * FROM (SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS n_users " +
         "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) " +
         "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) ORDER BY step"),
+    "q_resample" ->
+      ("WITH o AS (SELECT user_id, CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket, round(AVG(value), 4) AS v " +
+        "FROM events WHERE user_id < 20 GROUP BY user_id, bucket), " +
+        "r AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM o GROUP BY user_id), " +
+        "g AS (SELECT r.user_id, gs.b AS bucket FROM r, LATERAL (SELECT unnest(generate_series(r.b0, r.b1)) AS b) gs), " +
+        "j AS (SELECT g.user_id, g.bucket, o.v FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.bucket = o.bucket) " +
+        "SELECT user_id, bucket, " +
+        "LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled, " +
+        "v IS NOT NULL AS observed FROM j ORDER BY user_id, bucket"),
+    "q_window_suite" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "round(LAG(o_totalprice, 1) OVER w, 2) AS prev_price, " +
+        "round(LEAD(o_totalprice, 1) OVER w, 2) AS next_price, " +
+        "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, " +
+        "round(PERCENT_RANK() OVER w, 4) AS pct_rank, " +
+        "round(CUME_DIST() OVER w, 4) AS cume " +
+        "FROM orders WHERE o_custkey < 200 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
     "q_retention" ->
       ("WITH c AS (SELECT user_id, CAST(FLOOR(epoch_us(MIN(ts)) / 604800000000) AS BIGINT) AS cohort_week FROM events GROUP BY user_id), " +
         "a AS (SELECT DISTINCT e.user_id, c.cohort_week, CAST(FLOOR(epoch_us(e.ts) / 604800000000) AS BIGINT) - c.cohort_week AS week_offset " +
