@@ -498,6 +498,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** CUBE aggregation with grouping flags — all four (returnflag,
+    * linestatus) slices in one pass (Expand + partial/final agg, like
+    * the rollup entry but over the full power set); grouping() flags
+    * disambiguate data NULLs from subtotal rows.
+    */
+  private def qAggCube(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+
   /** Time-series gap-fill ([[graft.ops.Resample.fillGaps]]): hourly
     * per-user value series with missing hours materialized and
     * forward-filled. Exact integer-bucket + IGNORE NULLS replay.
@@ -1962,6 +1977,7 @@ object SparkEntry {
     "q_retention" -> qRetention,
     "q_window_suite" -> qWindowSuite,
     "q_resample" -> qResample,
+    "q_agg_cube" -> qAggCube,
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
     "q_text_ppl_split" -> qTextPplSplit,
@@ -2791,6 +2807,12 @@ object SparkEntry {
         "SELECT * FROM (SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS n_users " +
         "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) " +
         "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) ORDER BY step"),
+    "q_agg_cube" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf, CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls, " +
+        "COUNT(*) AS n, round(SUM(l_quantity), 2) AS sum_qty FROM lineitem " +
+        "GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"),
     "q_resample" ->
       ("WITH o AS (SELECT user_id, CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket, round(AVG(value), 4) AS v " +
         "FROM events WHERE user_id < 20 GROUP BY user_id, bucket), " +
