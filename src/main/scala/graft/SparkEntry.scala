@@ -1769,12 +1769,6 @@ object SparkEntry {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("c_mktsegment"))
 
-  /** Export round-trip (S8): write an events slice to CSV and JSON
-    * sinks, read each back through the matching source, aggregate —
-    * the oracle over the original parquet must agree, proving the
-    * text formats preserve the data. Exact-integer aggregates only
-    * (text round-trips must not hash-drift on float formatting).
-    */
   /** Partitioned-layout roundtrip ([[graft.ops.Bucketing
     * .writePartitioned]]): documents written under source= directories,
     * read back with a two-source partition filter (pruned at planning
@@ -1798,6 +1792,12 @@ object SparkEntry {
     } finally deleteTree(dir)
   }
 
+  /** Export round-trip (S8): write an events slice to CSV and JSON
+    * sinks, read each back through the matching source, aggregate —
+    * the oracle over the original parquet must agree, proving the
+    * text formats preserve the data. Exact-integer aggregates only
+    * (text round-trips must not hash-drift on float formatting).
+    */
   private def qExportRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_export_").toString
     try {
@@ -2413,11 +2413,12 @@ object SparkEntry {
     // selection over the excerpt-augmented corpus) -> shingle containment
     "q_dedup_containment" ->
       s"$ContainmentPairsCte SELECT id_in, id_of, containment FROM pr ORDER BY id_in, id_of",
-    // action half: drop contained docs; mutual containment keeps min id
+    // action half: drop docs contained in a DOMINATING doc (set-size
+    // DESC, id ASC) — the well-founded keep-longest rule
     "q_dedup_drop_contained" ->
       (s"$ContainmentPairsCte SELECT doc_id FROM d WHERE doc_id NOT IN (" +
-        "SELECT p.id_in FROM pr p LEFT JOIN pr r ON p.id_in = r.id_of AND p.id_of = r.id_in " +
-        "WHERE r.id_in IS NULL OR p.id_in > p.id_of) ORDER BY doc_id"),
+        "SELECT p.id_in FROM pr p JOIN sh a ON p.id_in = a.doc_id JOIN sh b ON p.id_of = b.doc_id " +
+        "WHERE len(b.sh) > len(a.sh) OR (len(b.sh) = len(a.sh) AND p.id_of < p.id_in)) ORDER BY doc_id"),
     // loop collapse: lag-k window equality + q_dedup_rm's reassembly
     "q_text_collapse_loops" ->
       ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 1 THEN text || ' loopa loopb loopc loopa loopb loopc loopa loopb loopc' ELSE text END AS text FROM documents), " +

@@ -341,17 +341,24 @@ object Dedup {
   }
 
   /** The ACTION half of containment dedup ([[containmentNearDups]] is
-    * the detector): drop every doc whose shingle set is contained
-    * (>= threshold) in ANY other doc — the keep-longest rule for
-    * excerpt/quote/pagination duplication (a containment chain
-    * A ⊂ B ⊂ C keeps only the maximal C). Mutual containment
-    * (exact or near-exact dups score >= threshold in BOTH directions)
-    * keeps the smaller id, so the outcome is total and deterministic
-    * and never drops both copies. Non-mutual containment is the
-    * normal case: the short excerpt drops, the long original stays.
+    * the detector): drop a doc iff it is contained (>= threshold) in a
+    * doc that DOMINATES it under the total order (shingle-set size
+    * DESC, id ASC) — the keep-longest rule for excerpt/quote/
+    * pagination duplication. Dominance makes the rule well-founded:
+    * every set of docs connected by qualifying pairs keeps its
+    * (size, -id)-maximal member, because nothing dominates it — so a
+    * containment CYCLE (mutual near-dups, or A-in-B / B-in-C / C-in-A
+    * triangles, which asymmetric thresholds permit) can never
+    * annihilate a whole cluster. Special cases fall out: a chain
+    * A ⊂ B ⊂ C of growing docs keeps only C; exact dups (equal sizes,
+    * mutual containment) keep the smallest id. A naive
+    * drop-if-contained-in-ANY rule lacks this guarantee — in a
+    * triangle every member is contained in a dropped member and all
+    * three vanish.
     *
-    * Shuffle profile: the detector's (plus one self-join of the pair
-    * list — id-width rows — and one anti-join back onto the corpus).
+    * Shuffle profile: the detector's, plus two id-width hash joins of
+    * the pair list onto the (id, set-size) table and one anti-join
+    * back onto the corpus.
     */
   def dropContained(df: DataFrame, textCol: String, idCol: String,
                     threshold: Double, shingleK: Int = 3,
@@ -359,13 +366,13 @@ object Dedup {
                     maxFpDocs: Int = Int.MaxValue): DataFrame = {
     val p = containmentNearDups(df, textCol, idCol, threshold, shingleK,
       winnowK, winnowW, maxFpDocs)
-    val rev = p.select(col("id_in").as("__r_of"), col("id_of").as("__r_in"))
+    val sizes = shingleTable(df, textCol, idCol, shingleK)
+      .select(col(idCol), size(col("shingle_set")).as("__sz"))
     val drops = p
-      .join(rev, col("id_in") === col("__r_in") && col("id_of") === col("__r_of"),
-        "left")
-      // one-directional containment always drops the contained side;
-      // mutual containment drops only the larger id (keeper = min id)
-      .filter(col("__r_in").isNull || col("id_in") > col("id_of"))
+      .join(sizes.select(col(idCol).as("id_in"), col("__sz").as("__sz_in")), Seq("id_in"))
+      .join(sizes.select(col(idCol).as("id_of"), col("__sz").as("__sz_of")), Seq("id_of"))
+      .filter(col("__sz_of") > col("__sz_in") ||
+        (col("__sz_of") === col("__sz_in") && col("id_of") < col("id_in")))
       .select(col("id_in").as(idCol)).distinct()
     df.join(drops, Seq(idCol), "left_anti")
   }

@@ -190,11 +190,11 @@ object EventStreams {
       }
   }
 
-  /** Per-user streaming-funnel state: `t1` = earliest step-1 event
-    * time seen (-1 until one arrives), `buf` = the (ts, type) events
-    * still able to participate in the chain.
+  /** Per-user streaming-funnel state: `floor` = exclusive event-time
+    * lower bound (everything at or below it belongs to already-emitted
+    * chains), `buf` = the (ts, type) events above the floor.
     */
-  case class FunnelBuf(t1: Long, buf: List[FunnelEv])
+  case class FunnelBuf(floor: Long, buf: List[FunnelEv])
   case class FunnelEv(t: Long, tpe: String)
   case class FunnelHit(user_id: Long, steps_reached: Int, t1: java.sql.Timestamp)
 
@@ -220,78 +220,93 @@ object EventStreams {
   }
 
   /** STREAMING ordered funnel — [[graft.ops.Funnel.funnelReach]]'s
-    * per-user emission on an infinite feed: buffer a user's funnel
-    * events until the watermark passes their step-1 time + horizon
-    * (after which no event inside the horizon can still arrive), then
-    * evaluate the chain once and emit (user, steps_reached, t1). The
-    * buffer-then-evaluate shape is what makes out-of-order arrival
-    * EXACT: monotone per-step minima would lock in wrong completions
-    * when a late-but-earlier event lands.
+    * per-user emission on an infinite feed, with deterministic
+    * RE-ENTRY: a user's step-1 events greedily partition their
+    * timeline into chains — the first opens at the earliest step-1
+    * time t1, closes at t1 + horizon, and the next chain opens at the
+    * first step-1 event AFTER that close. Each chain's events buffer
+    * until the watermark passes its close (after which nothing inside
+    * the horizon can still arrive), then the chain evaluates once and
+    * emits (user, steps_reached, t1). Buffer-then-evaluate is what
+    * makes out-of-order arrival EXACT, and the greedy event-time
+    * partition is what makes re-entry independent of micro-batch
+    * boundaries — monotone per-step minima or arrival-order chaining
+    * would both give batch-slicing-dependent answers.
     *
-    * State is bounded two ways: the horizon bounds each buffer's time
-    * span, and pruning drops events that provably cannot join any
-    * present-or-future chain (beyond t1 + horizon; or not after t1 and
-    * already below the watermark — any future step-1 event must carry
-    * an event time above the watermark). Users who never emit step 1
-    * are dropped outright once their buffered events age past the
-    * watermark. Input must carry `withWatermark("ts", ...)`.
+    * State is bounded: emitted chains advance `floor` and their events
+    * drop; within the live chain, non-step-1 events at or below both
+    * t1 and the watermark can never follow any present-or-future chain
+    * start (a future step-1 arrival carries ts above the watermark)
+    * and drop; step-1 events inside the live chain's horizon (other
+    * than t1 itself) are irrelevant by the greedy rule and drop. What
+    * remains spans at most the live horizon plus the feed's
+    * event-time disorder. Users with no live chain are forgotten once
+    * their buffered events age past the watermark. `steps` must be
+    * distinct; input must carry `withWatermark("ts", ...)`.
     */
   def funnelStream(events: Dataset[Event], steps: Seq[String],
                    horizonSeconds: Long): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     require(horizonSeconds > 0, "streaming funnel needs a finite horizon")
     val horizonMs = horizonSeconds * 1000
     val stepSet = steps.toSet
+    // earliest step-1 time above the floor, or -1 (the live chain's t1)
+    def t1Of(st: FunnelBuf): Long = {
+      var t1 = -1L
+      st.buf.foreach(e =>
+        if (e.tpe == steps.head && (t1 < 0 || e.t < t1)) t1 = e.t)
+      t1
+    }
     events.filter(e => stepSet.contains(e.event_type))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelBuf, FunnelHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[FunnelBuf]) =>
-          if (state.hasTimedOut) {
-            val st = state.get
-            state.remove()
-            if (st.t1 < 0) Iterator.empty
-            else Iterator.single(FunnelHit(userId,
-              evalChain(steps, horizonMs, st.t1, st.buf),
-              new java.sql.Timestamp(st.t1)))
-          } else {
-            var st = state.getOption.getOrElse(FunnelBuf(-1L, Nil))
-            rows.foreach { e =>
-              val t = e.ts.getTime
-              if (e.event_type == steps.head && (st.t1 < 0 || t < st.t1))
-                st = st.copy(t1 = t)
+          // one unified body: a timeout invocation is just "no new rows"
+          var st = state.getOption.getOrElse(FunnelBuf(Long.MinValue, Nil))
+          rows.foreach { e =>
+            val t = e.ts.getTime
+            if (t > st.floor)
               st = st.copy(buf = FunnelEv(t, e.event_type) :: st.buf)
-            }
-            val wm = state.getCurrentWatermarkMs()
-            st = st.copy(buf = st.buf.filter { e =>
-              // a future step-1 arrival carries ts > wm, so an event at
-              // or below BOTH t1 and wm can never be strictly after any
-              // chain start; beyond t1 + horizon it can never be inside
-              // any (only-shrinking) horizon
-              val afterable = st.t1 < 0 || e.t > st.t1 || e.t > wm
-              val inHorizon = st.t1 < 0 || e.t - st.t1 <= horizonMs
-              (e.tpe == steps.head || afterable) && inHorizon
-            })
-            if (st.t1 < 0 && st.buf.isEmpty) {
-              // nothing buffered survives and no chain start: forget
-              state.remove()
-              Iterator.empty
-            } else if (st.t1 >= 0 && wm > st.t1 + horizonMs) {
-              // horizon already closed by this batch's watermark: every
-              // in-horizon event is below wm and therefore present
-              state.remove()
-              Iterator.single(FunnelHit(userId,
-                evalChain(steps, horizonMs, st.t1, st.buf),
-                new java.sql.Timestamp(st.t1)))
-            } else {
-              state.update(st)
-              val target =
-                if (st.t1 >= 0) st.t1 + horizonMs + 1
-                else st.buf.map(_.t).max + horizonMs + 1
-              state.setTimeoutTimestamp(math.max(target, wm + 1))
-              Iterator.empty
-            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+          // flush every chain whose horizon the watermark has passed
+          var t1 = t1Of(st)
+          while (t1 >= 0 && wm > t1 + horizonMs) {
+            out += FunnelHit(userId, evalChain(steps, horizonMs, t1, st.buf),
+              new java.sql.Timestamp(t1))
+            val close = t1 + horizonMs
+            st = FunnelBuf(close, st.buf.filter(_.t > close))
+            t1 = t1Of(st)
+          }
+          // prune the live buffer (see scaladoc for why each is safe);
+          // in-horizon heads become prunable only once t1 is FINAL
+          // (t1 <= wm: no later row can undercut it) — before that, a
+          // late-but-earlier head could shrink the window and promote
+          // them to the next chain's opener
+          st = st.copy(buf = st.buf.filter { e =>
+            if (e.tpe == steps.head)
+              t1 < 0 || e.t == t1 || e.t > t1 + horizonMs || t1 > wm
+            else t1 >= 0 && e.t > t1 && e.t - t1 <= horizonMs || e.t > wm
+          })
+          if (st.buf.isEmpty) {
+            if (state.exists) state.remove()
+            out.iterator
+          } else {
+            state.update(st)
+            // t1 + horizon + 1 > wm is guaranteed by the flush loop;
+            // with no live chain, wait for the youngest buffered event
+            // to age below the watermark (pruning has already dropped
+            // the rest), at which point the buffer empties and the
+            // state is removed
+            val target =
+              if (t1 >= 0) t1 + horizonMs + 1
+              else st.buf.map(_.t).max + 1
+            state.setTimeoutTimestamp(math.max(target, wm + 1))
+            out.iterator
           }
       }
   }

@@ -221,7 +221,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     Seq(Event(1, tsOf("2024-01-01 10:00:00"), 1, "view", 1.0),
         Event(2, tsOf("2024-01-01 10:10:00"), 1, "purchase", 2.0),
         Event(3, tsOf("2024-01-01 10:01:00"), 2, "click", 3.0))
-      .toDS().write.parquet(dir + "/b1")
+      .toDS().coalesce(1).write.parquet(dir + "/b1")
     val schema = batch.schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -240,15 +240,15 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       Seq(Event(4, tsOf("2024-01-01 10:06:00"), 1, "click", 4.0),
           Event(5, tsOf("2024-01-01 10:06:00"), 2, "purchase", 5.0),
           Event(6, tsOf("2024-01-01 10:07:00"), 3, "view", 6.0))
-        .toDS().write.mode("append").parquet(dir + "/b2")
+        .toDS().coalesce(1).write.mode("append").parquet(dir + "/b2")
       q.processAllAvailable()
       // push the watermark past every horizon (t1 + 1h) so the buffered
       // chains evaluate; one more batch lets the timeouts fire
       Seq(Event(7, tsOf("2024-01-01 12:30:00"), 9, "view", 7.0))
-        .toDS().write.mode("append").parquet(dir + "/b3")
+        .toDS().coalesce(1).write.mode("append").parquet(dir + "/b3")
       q.processAllAvailable()
       Seq(Event(8, tsOf("2024-01-01 12:40:00"), 9, "click", 8.0))
-        .toDS().write.mode("append").parquet(dir + "/b4")
+        .toDS().coalesce(1).write.mode("append").parquet(dir + "/b4")
       q.processAllAvailable()
       val hits = spark.table("funnel_out")
         .select("user_id", "steps_reached").as[(Long, Int)].collect().toMap
@@ -256,6 +256,49 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
         s"out-of-order click must still complete the chain: $hits")
       assert(!hits.contains(2L), s"no view -> no funnel entry: $hits")
       assert(hits.get(3L).contains(1), s"view-only user reaches step 1: $hits")
+    } finally q.stop()
+  }
+
+  test("funnelStream re-enters deterministically after the horizon closes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel2_ev_").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_funnel2_cp_").toString
+    // user 1: chain 1 = view@10:00 + click@10:20 (reaches 2); a second
+    // view@11:30 is AFTER the 1h horizon close and must open chain 2,
+    // completed by click@11:40 — two emissions for one user, decided
+    // by event time, not batch boundaries (all in ONE batch here)
+    Seq(Event(1, tsOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Event(2, tsOf("2024-01-01 10:20:00"), 1, "click", 2.0),
+        Event(3, tsOf("2024-01-01 11:30:00"), 1, "view", 3.0),
+        Event(4, tsOf("2024-01-01 11:40:00"), 1, "click", 4.0))
+      .toDS().coalesce(1).write.parquet(dir + "/b1")
+    val schema = batch.schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/*")
+      .withWatermark("ts", "5 minutes")
+    val q = funnelStream(src.as[Event], Seq("view", "click"),
+        horizonSeconds = 3600L)
+      .writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", cp)
+      .queryName("funnel2_out").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past chain 2's close (12:30) in two
+      // batches so both timeouts fire
+      Seq(Event(5, tsOf("2024-01-01 14:00:00"), 9, "view", 5.0))
+        .toDS().coalesce(1).write.mode("append").parquet(dir + "/b2")
+      q.processAllAvailable()
+      Seq(Event(6, tsOf("2024-01-01 14:10:00"), 9, "click", 6.0))
+        .toDS().coalesce(1).write.mode("append").parquet(dir + "/b3")
+      q.processAllAvailable()
+      val hits = spark.table("funnel2_out")
+        .filter(col("user_id") === 1L)
+        .select("steps_reached", "t1")
+        .as[(Int, java.sql.Timestamp)].collect().toSeq.sortBy(_._2.getTime)
+      assert(hits.map(_._1) == Seq(2, 2), s"two complete chains expected: $hits")
+      assert(hits.map(_._2.getTime) == Seq(
+          tsOf("2024-01-01 10:00:00").getTime, tsOf("2024-01-01 11:30:00").getTime),
+        s"chains must open at the greedy event-time entries: $hits")
     } finally q.stop()
   }
 }
