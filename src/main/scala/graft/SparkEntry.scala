@@ -498,6 +498,40 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Snapshot diff ([[graft.ops.Relational.snapshotDiff]]): CDC
+    * between the orders table and a deterministically mutated copy —
+    * every 101st key deleted, every 97th repriced, every 93rd cloned
+    * under a shifted key. Null-safe column comparison, no row hashing,
+    * so the oracle replays the classification exactly.
+    */
+  private def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val old = t(s, d, "orders")
+    val newer = old.filter(pmod(col("o_orderkey"), lit(101)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(97)) === 0, col("o_totalprice") + 10)
+          .otherwise(col("o_totalprice")))
+      .unionByName(old.filter(pmod(col("o_orderkey"), lit(93)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    graft.ops.Relational.snapshotDiff(old, newer, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** SCD2 history build ([[graft.ops.Relational.scd2]]): per-user
+    * event-type version intervals from the event log — consecutive
+    * identical types compress, each surviving version carries
+    * [valid_from, valid_to). Exact window replay with (ts, event_id)
+    * total ordering.
+    */
+  private def qScd2(s: SparkSession, d: String): DataFrame =
+    graft.ops.Relational.scd2(
+        ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type")),
+        Seq("user_id"), "ts", "event_type", tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("valid_from"), TS).as("valid_from"),
+        coalesce(date_format(col("valid_to"), TS), lit("")).as("valid_to"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+
   /** CUBE aggregation with grouping flags — all four (returnflag,
     * linestatus) slices in one pass (Expand + partial/final agg, like
     * the rollup entry but over the full power set); grouping() flags
@@ -1978,6 +2012,8 @@ object SparkEntry {
     "q_window_suite" -> qWindowSuite,
     "q_resample" -> qResample,
     "q_agg_cube" -> qAggCube,
+    "q_snapshot_diff" -> qSnapshotDiff,
+    "q_scd2" -> qScd2,
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
     "q_text_ppl_split" -> qTextPplSplit,
@@ -2808,6 +2844,27 @@ object SparkEntry {
         "SELECT * FROM (SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS n_users " +
         "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) " +
         "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) ORDER BY step"),
+    "q_snapshot_diff" ->
+      ("WITH o AS (SELECT * FROM orders), " +
+        "n AS (SELECT * REPLACE (CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice) " +
+        "FROM orders WHERE o_orderkey % 101 <> 0 " +
+        "UNION ALL SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey) FROM orders WHERE o_orderkey % 93 = 0) " +
+        "SELECT o_orderkey, change FROM (" +
+        "SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN o.o_orderkey IS NULL THEN 'inserted' WHEN n.o_orderkey IS NULL THEN 'deleted' " +
+        "WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus " +
+        "AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate " +
+        "AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority) THEN 'updated' END AS change " +
+        "FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey) " +
+        "WHERE change IS NOT NULL ORDER BY o_orderkey"),
+    "q_scd2" ->
+      (s"WITH x AS (SELECT user_id, ts, event_id, event_type, LAG(event_type) OVER w AS prev, ROW_NUMBER() OVER w AS rn " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "c AS (SELECT user_id, ts, event_id, event_type FROM x WHERE rn = 1 OR event_type IS DISTINCT FROM prev) " +
+        s"SELECT user_id, event_type, strftime(ts, '$TSD') AS valid_from, " +
+        s"COALESCE(strftime(LEAD(ts) OVER w2, '$TSD'), '') AS valid_to " +
+        "FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, valid_from, event_type"),
     "q_agg_cube" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf, CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls, " +

@@ -70,6 +70,70 @@ object Relational {
     * assembles `WHERE 1=1 AND ...` strings; the Column algebra needs no
     * `1=1` fallback or string surgery.
     */
+  /** Snapshot diff (CDC between two table versions): one full-outer
+    * join on the key, change classified with null-safe column
+    * comparison — inserted (key only in `newDf`), deleted (only in
+    * `oldDf`), updated (present in both, any non-key column differs
+    * under `<=>`, so NULL transitions classify correctly). Unchanged
+    * rows are dropped. Output: key columns + `change`.
+    *
+    * Scale shape: ONE hash exchange per side on the key (or zero with
+    * both snapshots bucketed by the key — [[Bucketing]]); comparison
+    * is codegen row-local. No row hashing, so no canonicalization/
+    * collision semantics to reconcile across engines.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diff needs a key")
+    require(oldDf.columns.sameElements(newDf.columns),
+      "snapshots must share a schema")
+    val compareCols = oldDf.columns.filterNot(keyCols.contains).toSeq
+    val o = oldDf.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"__o_$c")): _*)
+    val n = newDf.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"__n_$c")): _*)
+    val joined = o.join(n, keyCols, "full_outer")
+    // presence flags: a side is present iff ANY of its aliased columns
+    // set — but NULL values defeat that; use marker columns instead
+    val om = oldDf.select(keyCols.map(col): _*).withColumn("__in_old", lit(1))
+    val nm = newDf.select(keyCols.map(col): _*).withColumn("__in_new", lit(1))
+    val allSame = compareCols.map(c => col(s"__o_$c") <=> col(s"__n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    joined
+      .join(om, keyCols, "left").join(nm, keyCols, "left")
+      .withColumn("change",
+        when(col("__in_old").isNull, "inserted")
+          .when(col("__in_new").isNull, "deleted")
+          .when(!allSame, "updated"))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
+  /** SCD2 history build from a change log: per key, collapse
+    * consecutive identical values (no-op changes compress away), then
+    * derive each surviving version's validity interval —
+    * `valid_from` = its change time, `valid_to` = the NEXT version's
+    * change time (NULL while current). One key-partitioned window
+    * pair on the same sort — a single exchange.
+    */
+  def scd2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+           valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol) +: tieBreak.map(col): _*)
+    val compressed = changes
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      // keep each key's first row plus every genuine value change —
+      // null-safe, so NULL-to-NULL is a no-op and NULL transitions
+      // are real versions
+      .filter(col("__rn") === 1 || !(col(valueCol) <=> col("__prev")))
+      .drop("__prev", "__rn")
+    compressed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .drop(tsCol)
+  }
+
   def conjunction(preds: Seq[Column]): Column =
     preds.reduceOption(_ && _).getOrElse(lit(true))
 

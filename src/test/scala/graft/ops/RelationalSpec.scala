@@ -53,6 +53,40 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(df.filter(Relational.conjunction(Nil)).count() == 3)
   }
 
+  test("snapshotDiff classifies inserted/deleted/updated, null-safe") {
+    val old = Seq((1L, Option("a"), 10.0), (2L, Option("b"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Option("d"), 40.0))
+      .toDF("k", "s", "v")
+    val neu = Seq((1L, Option("a"), 10.0),          // unchanged -> absent
+      (2L, Option("b"), 21.0),                      // value updated
+      (3L, Option("x"), 30.0),                      // NULL -> 'x' is an update
+      (5L, Option("e"), 50.0))                      // inserted; 4 deleted
+      .toDF("k", "s", "v")
+    val got = Relational.snapshotDiff(old, neu, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "updated", 3L -> "updated",
+      4L -> "deleted", 5L -> "inserted"), got.toString)
+  }
+
+  test("scd2 compresses no-op changes and derives validity intervals") {
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val log = Seq(
+      (1L, ts(0), 1L, "bronze"), (1L, ts(5), 2L, "bronze"), // no-op
+      (1L, ts(9), 3L, "silver"), (1L, ts(20), 4L, "gold"),
+      (2L, ts(1), 5L, "gold"))
+      .toDF("user_id", "ts", "event_id", "tier")
+    val got = Relational.scd2(log, Seq("user_id"), "ts", "tier",
+        tieBreak = Seq("event_id"))
+      .select("user_id", "tier", "valid_from", "valid_to")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, "bronze", ts(0), Some(ts(9))),
+      (1L, "silver", ts(9), Some(ts(20))),
+      (1L, "gold", ts(20), None),
+      (2L, "gold", ts(1), None)), got.toString)
+  }
+
   test("unpivotMap explodes a map column to key/value rows") {
     val df = Seq((1, Map("a" -> "1", "b" -> "2"))).toDF("id", "m")
     val out = Relational.unpivotMap(df, "m", "field", "value")
