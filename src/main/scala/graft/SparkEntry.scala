@@ -498,6 +498,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 keyword retrieval ([[TextAnalysis.bm25TopK]]): top-10 docs
+    * for a three-term query — the lexical complement of the vector
+    * search entries. Exact oracle: same Lucene-variant formula, scores
+    * rounded before ranking on both sides.
+    */
+  private def qTextBm25(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25TopK(t(s, d, "documents"), "text", "doc_id",
+        Seq("hash", "join", "scan"), k = 10)
+      .orderBy(col("rank"))
+
   /** Snapshot diff ([[graft.ops.Relational.snapshotDiff]]): CDC
     * between the orders table and a deterministically mutated copy —
     * every 101st key deleted, every 97th repriced, every 93rd cloned
@@ -2014,6 +2024,7 @@ object SparkEntry {
     "q_agg_cube" -> qAggCube,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_scd2" -> qScd2,
+    "q_text_bm25" -> qTextBm25,
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
     "q_text_ppl_split" -> qTextPplSplit,
@@ -2844,6 +2855,19 @@ object SparkEntry {
         "SELECT * FROM (SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS n_users " +
         "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) " +
         "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) ORDER BY step"),
+    "q_text_bm25" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+        "l AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS len FROM t), " +
+        "st AS (SELECT SUM(len) / COUNT(*) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS N FROM l), " +
+        "tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (SELECT doc_id, unnest(ws) AS w FROM t) " +
+        "WHERE w IN ('hash', 'join', 'scan') GROUP BY doc_id, w), " +
+        "f AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term), " +
+        "s AS (SELECT tf.doc_id, round(SUM(ln((st.N - f.df + 0.5) / (f.df + 0.5) + 1) * (tf.tf * 2.2) / " +
+        "(tf.tf + 1.2 * (0.25 + 0.75 * l.len / st.avgdl))), 4) AS score " +
+        "FROM tf JOIN f USING (term) JOIN l ON tf.doc_id = l.doc_id CROSS JOIN st GROUP BY tf.doc_id) " +
+        "SELECT doc_id, score, rank FROM (" +
+        "SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM s) " +
+        "WHERE rank <= 10 ORDER BY rank"),
     "q_snapshot_diff" ->
       ("WITH o AS (SELECT * FROM orders), " +
         "n AS (SELECT * REPLACE (CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice) " +

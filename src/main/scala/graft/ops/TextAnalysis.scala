@@ -543,4 +543,50 @@ object TextAnalysis {
         .as("r2_loglog"),
       count(lit(1)).as("n_vocab"))
   }
+
+  /** BM25 keyword retrieval (Robertson/Spärck Jones; the Lucene
+    * practical-scoring variant with idf = ln(1 + (N-df+0.5)/(df+0.5)))
+    * — the LEXICAL search surface beside the embedding-ANN family:
+    * score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    * top-k docs by (rounded score DESC, id ASC).
+    *
+    * Scale shape: the token explode filters to QUERY terms in the scan
+    * stage (the posting-list slice, not the corpus vocabulary), tf/df
+    * are partial-agg hash aggregations on (id, term) rows, per-term df
+    * and the one-row corpus stats broadcast, and the global top-k is
+    * TakeOrderedAndProject (per-partition heaps + k-row merge — never
+    * a single-partition rank window). Scores round to 4dp BEFORE
+    * ranking so the ordering is reproducible across engines; doc-
+    * length sums are exact (integer-valued doubles), so avgdl is too.
+    */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    require(k > 0, "k must be positive")
+    val toks = df.select(col(idCol),
+      split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+    val lens = toks.select(col(idCol), size(col("__toks")).cast("double").as("__len"))
+    val stats = lens.agg(sum(col("__len")).as("__sl"), count(lit(1)).as("__n"))
+      .select((col("__sl") / col("__n")).as("__avgdl"),
+        col("__n").cast("double").as("__N"))
+    val tf = toks.select(col(idCol), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isin(query: _*))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
+    val scored = tf.join(broadcast(dfreq), Seq("__t"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        log((col("__N") - col("__df") + 0.5) / (col("__df") + 0.5) + 1) *
+          (col("__tf") * (k1 + 1)) /
+          (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__len") / col("__avgdl"))))
+      .groupBy(col(idCol)).agg(round(sum(col("__s")), 4).as("score"))
+    val top = scored.orderBy(col("score").desc, col(idCol)).limit(k)
+    // rank assignment runs AFTER the limit — the window sees k rows
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("score"), col("rank"))
+  }
 }

@@ -399,6 +399,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(re == got)
   }
 
+  test("bm25TopK ranks higher-tf docs first; non-matching docs absent") {
+    val docs = Seq(
+      (1L, "hash hash filter"),
+      (2L, "hash filter row"),
+      (3L, "row filter column")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "text", "doc_id", Seq("hash"), k = 5)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L), got.toString)
+    assert(got.map(_._3) == Seq(1L, 2L))
+    assert(got(0)._2 > got(1)._2, "tf=2 must outrank tf=1 at equal length")
+    // equal scores tie-break by id, and the plan's global top-k is a
+    // distributed TakeOrderedAndProject, not a single-partition window
+    val plan = TextAnalysis.bm25TopK(docs, "text", "doc_id", Seq("hash"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("zipfFit is total on degenerate vocabularies (no NaN-vs-NULL drift)") {
     // all frequencies equal: slope is 0 (flat), r2 undefined -> NULL
     val flat = Seq(Tuple1("aa bb cc dd")).toDF("text")
