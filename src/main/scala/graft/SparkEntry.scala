@@ -498,6 +498,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Hybrid retrieval ([[Similarity.rrfFuse]]): BM25 top-50 and
+    * hash-embedding cosine top-50 for the same query fused by
+    * reciprocal rank — the lexical+semantic composition modern
+    * retrieval stacks run. Every stage is engine-reproducible (exact
+    * integer embeddings, rounded-score ranking, integer RRF addends),
+    * so the oracle replays the whole fusion exactly.
+    */
+  private def qHybridSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    val lex = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        Seq("hash", "join", "scan"), k = 50)
+      .select(col("doc_id"), col("rank"))
+    val demb = TextAnalysis.hashEmbedding(docs, "text", "doc_id", dim = 32)
+    val qemb = TextAnalysis.hashEmbedding(
+      Seq((-1L, "hash join scan")).toDF("doc_id", "text"),
+      "text", "doc_id", dim = 32)
+    val sem = Similarity.bruteForceTopK(demb, qemb, k = 50,
+        idCol = "doc_id")
+      .select(col("corpus_id").as("doc_id"), col("rank"))
+    Similarity.rrfFuse(Seq(lex, sem), "doc_id", k = 10)
+      .orderBy(col("rank"))
+  }
+
   /** BM25 keyword retrieval ([[TextAnalysis.bm25TopK]]): top-10 docs
     * for a three-term query — the lexical complement of the vector
     * search entries. Exact oracle: same Lucene-variant formula, scores
@@ -2025,6 +2049,7 @@ object SparkEntry {
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_scd2" -> qScd2,
     "q_text_bm25" -> qTextBm25,
+    "q_hybrid_search" -> qHybridSearch,
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
     "q_text_ppl_split" -> qTextPplSplit,
@@ -2855,6 +2880,34 @@ object SparkEntry {
         "SELECT * FROM (SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS n_users " +
         "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) " +
         "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) ORDER BY step"),
+    "q_hybrid_search" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+        "l AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS len FROM t), " +
+        "st AS (SELECT SUM(len) / COUNT(*) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS N FROM l), " +
+        "tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (SELECT doc_id, unnest(ws) AS w FROM t) " +
+        "WHERE w IN ('hash', 'join', 'scan') GROUP BY doc_id, w), " +
+        "f AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term), " +
+        "bs AS (SELECT tf.doc_id, round(SUM(ln((st.N - f.df + 0.5) / (f.df + 0.5) + 1) * (tf.tf * 2.2) / " +
+        "(tf.tf + 1.2 * (0.25 + 0.75 * l.len / st.avgdl))), 4) AS score " +
+        "FROM tf JOIN f USING (term) JOIN l ON tf.doc_id = l.doc_id CROSS JOIN st GROUP BY tf.doc_id), " +
+        "lx AS (SELECT doc_id, rank FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM bs) WHERE rank <= 50), " +
+        "de AS (SELECT doc_id, ('0x'||substr(md5(tok),1,4))::BIGINT % 32 AS dm, " +
+        "SUM(CASE WHEN ('0x'||substr(md5(tok),5,1))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v " +
+        "FROM (SELECT doc_id, unnest(ws) AS tok FROM t) GROUP BY 1, 2), " +
+        "dn AS (SELECT doc_id, sqrt(SUM(v*v)) AS n FROM de GROUP BY doc_id), " +
+        "qe AS (SELECT ('0x'||substr(md5(tok),1,4))::BIGINT % 32 AS dm, " +
+        "SUM(CASE WHEN ('0x'||substr(md5(tok),5,1))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v " +
+        "FROM (SELECT unnest(['hash', 'join', 'scan']) AS tok) GROUP BY 1), " +
+        "qn AS (SELECT sqrt(SUM(v*v)) AS n FROM qe), " +
+        "dp AS (SELECT de.doc_id, SUM(de.v * qe.v) AS dp FROM de JOIN qe USING (dm) GROUP BY 1), " +
+        "sc AS (SELECT dn.doc_id, CASE WHEN qn.n * dn.n > 0 THEN COALESCE(dp.dp, 0.0) / (qn.n * dn.n) ELSE 0.0 END AS cos " +
+        "FROM dn CROSS JOIN qn LEFT JOIN dp ON dp.doc_id = dn.doc_id), " +
+        "sm AS (SELECT doc_id, rank FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank FROM sc) WHERE rank <= 50), " +
+        "rr AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS s FROM lx UNION ALL SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) FROM sm), " +
+        "g AS (SELECT doc_id, round(SUM(s), 6) AS rrf, COUNT(*) AS n_lists FROM rr GROUP BY doc_id) " +
+        "SELECT doc_id, rrf, n_lists, rank FROM (" +
+        "SELECT doc_id, rrf, n_lists, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM g) " +
+        "WHERE rank <= 10 ORDER BY rank"),
     "q_text_bm25" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), " +
         "l AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS len FROM t), " +

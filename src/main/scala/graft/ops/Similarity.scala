@@ -287,6 +287,36 @@ object Similarity {
         round(col("votes").cast("double") / k, 4).as("vote_frac"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    * score-free combiner for HYBRID retrieval: each input ranking
+    * contributes 1/(c + rank) per doc, fused score = the sum over
+    * rankings that surfaced the doc, top-k by (fused DESC, id ASC).
+    * Rank-based (not score-based) fusion needs no per-ranker score
+    * normalization, which is what makes BM25 + cosine lists safely
+    * combinable. Deterministic bit-for-bit: the addends are exact
+    * functions of small integers and each doc sums at most
+    * `rankings.size` of them.
+    *
+    * Scale shape: the inputs are already top-N lists (tiny); one
+    * union + hash aggregation + TakeOrderedAndProject.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+              c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k > 0 && c >= 0, "k must be positive, c non-negative")
+    val scored = rankings
+      .map(_.select(col(idCol), (lit(1.0) / (lit(c) + col("rank"))).as("__rrf")))
+      .reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__rrf")), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+    val top = scored.orderBy(col("rrf").desc, col(idCol)).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col(idCol)))
+          .cast("long"))
+      .select(col(idCol), col("rrf"), col("n_lists"), col("rank"))
+  }
+
   /** Element-wise mean pooling per group (chunk → doc embedding,
     * member → cluster centroid) via the typed partial-aggregating
     * [[graft.functions.VectorMeanAggregator]]: one (sums[dim], count)

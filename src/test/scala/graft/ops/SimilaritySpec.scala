@@ -113,6 +113,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(SemDedup.nearDupPairs(zeros, 0.1, k = 2, iters = 1).count() == 0)
   }
 
+  test("rrfFuse rewards presence in both lists; ties break by id") {
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
+    val b = Seq((11L, 1L), (13L, 2L)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), "id", k = 10)
+      .select("id", "n_lists", "rank").as[(Long, Long, Long)].collect().toSeq
+    // 11 appears in both lists (1/62 + 1/61) and must rank first;
+    // 10 (1/61) beats 13 (1/62) beats 12 (1/63)
+    assert(got == Seq((11L, 2L, 1L), (10L, 1L, 2L), (13L, 1L, 3L), (12L, 1L, 4L)),
+      got.toString)
+    // identical contributions tie-break by id
+    val t1 = Seq((5L, 1L)).toDF("id", "rank")
+    val t2 = Seq((3L, 1L)).toDF("id", "rank")
+    val tied = Similarity.rrfFuse(Seq(t1, t2), "id", k = 2)
+      .select("id", "rank").as[(Long, Long)].collect().toSeq
+    assert(tied == Seq((3L, 1L), (5L, 2L)), tied.toString)
+  }
+
   test("truncatedTopK with full shortlist reproduces brute force exactly") {
     // shortlist = corpus size makes stage 1 lossless, so the two-stage
     // result must equal single-stage brute force rank for rank
