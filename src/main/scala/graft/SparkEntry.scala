@@ -498,6 +498,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Spell suggestion ([[TextAnalysis.spellSuggest]]): three
+    * transposition typos corrected against the corpus vocabulary —
+    * (edit distance, frequency, word) ranking replayed exactly via
+    * DuckDB levenshtein.
+    */
+  private def qTextSuggest(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.spellSuggest(t(s, d, "documents"), "text",
+        Seq("hsah", "jion", "scna"), k = 3)
+      .orderBy(col("term"), col("rank"))
+
   /** Hybrid retrieval ([[Similarity.rrfFuse]]): BM25 top-50 and
     * hash-embedding cosine top-50 for the same query fused by
     * reciprocal rank — the lexical+semantic composition modern
@@ -2050,6 +2060,7 @@ object SparkEntry {
     "q_scd2" -> qScd2,
     "q_text_bm25" -> qTextBm25,
     "q_hybrid_search" -> qHybridSearch,
+    "q_text_suggest" -> qTextSuggest,
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
     "q_text_ppl_split" -> qTextPplSplit,
@@ -2880,6 +2891,14 @@ object SparkEntry {
         "SELECT * FROM (SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS n_users " +
         "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) " +
         "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) ORDER BY step"),
+    "q_text_suggest" ->
+      ("WITH v AS (SELECT w AS word, COUNT(*) AS freq FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) GROUP BY w), " +
+        "q AS (SELECT unnest(['hsah', 'jion', 'scna']) AS term), " +
+        "c AS (SELECT q.term, v.word, CAST(levenshtein(q.term, v.word) AS BIGINT) AS dist, v.freq FROM v CROSS JOIN q " +
+        "WHERE abs(length(v.word) - length(q.term)) <= 2 AND levenshtein(q.term, v.word) <= 2) " +
+        "SELECT term, word, dist, freq, rank FROM (" +
+        "SELECT term, word, dist, freq, CAST(ROW_NUMBER() OVER (PARTITION BY term ORDER BY dist, freq DESC, word) AS BIGINT) AS rank FROM c) " +
+        "WHERE rank <= 3 ORDER BY term, rank"),
     "q_hybrid_search" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), " +
         "l AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS len FROM t), " +

@@ -544,6 +544,41 @@ object TextAnalysis {
       count(lit(1)).as("n_vocab"))
   }
 
+  /** Query spell suggestion — corpus-vocabulary edit-distance
+    * correction (the search-box companion of [[bm25TopK]]): for each
+    * query term, the k nearest vocabulary words by (Levenshtein ASC,
+    * corpus frequency DESC, word ASC) within `maxDist` edits.
+    * Frequency as the tie-break is what makes the suggestion useful:
+    * among equally-close candidates the common word wins.
+    *
+    * Scale shape: the vocabulary aggregation is the only corpus-sized
+    * shuffle (token, count rows); the query terms broadcast, and a
+    * length-difference prefilter (|len(w)| − len(t)| <= maxDist — a
+    * Levenshtein lower bound) drops most of the vocabulary before the
+    * O(n·m) distance evaluates. WindowGroupLimit bounds the per-term
+    * top-k sort.
+    */
+  def spellSuggest(df: DataFrame, textCol: String, terms: Seq[String],
+                   k: Int, maxDist: Int = 2): DataFrame = {
+    require(terms.nonEmpty, "no terms to correct")
+    require(k > 0 && maxDist >= 0, "k positive, maxDist non-negative")
+    val vocab = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probe = terms.toDF("term")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+      .orderBy(col("dist"), col("freq").desc, col("word"))
+    vocab.crossJoin(broadcast(probe))
+      .filter(abs(length(col("word")) - length(col("term"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("term"), col("word")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("word"), col("dist"), col("freq"), col("rank"))
+  }
+
   /** BM25 keyword retrieval (Robertson/Spärck Jones; the Lucene
     * practical-scoring variant with idf = ln(1 + (N-df+0.5)/(df+0.5)))
     * — the LEXICAL search surface beside the embedding-ANN family:
