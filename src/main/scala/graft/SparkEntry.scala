@@ -498,6 +498,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Snippet extraction ([[TextAnalysis.snippets]]): the best
+    * 16-token window per doc matching the three-term query, bounded
+    * to doc_id < 300 to keep the oracle's LATERAL unnest cheap.
+    * Integer bucket argmax — exact replay.
+    */
+  private def qTextSnippets(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.snippets(
+        t(s, d, "documents").filter(col("doc_id") < 300), "text", "doc_id",
+        Seq("hash", "join", "scan"), window = 16)
+      .orderBy(col("doc_id"))
+
   /** Spell suggestion ([[TextAnalysis.spellSuggest]]): three
     * transposition typos corrected against the corpus vocabulary —
     * (edit distance, frequency, word) ranking replayed exactly via
@@ -2061,6 +2072,7 @@ object SparkEntry {
     "q_text_bm25" -> qTextBm25,
     "q_hybrid_search" -> qHybridSearch,
     "q_text_suggest" -> qTextSuggest,
+    "q_text_snippets" -> qTextSnippets,
     "q_text_scrub" -> qTextScrub,
     "q_text_logprob" -> qTextLogProb,
     "q_text_ppl_split" -> qTextPplSplit,
@@ -2891,6 +2903,14 @@ object SparkEntry {
         "SELECT * FROM (SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS n_users " +
         "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) " +
         "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) ORDER BY step"),
+    "q_text_snippets" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents WHERE doc_id < 300), " +
+        "h AS (SELECT doc_id, CAST((i - 1) // 16 AS BIGINT) AS b, COUNT(*) AS n_hits " +
+        "FROM t, LATERAL unnest(range(1, len(ws) + 1)) r(i) WHERE ws[i] IN ('hash', 'join', 'scan') GROUP BY doc_id, b), " +
+        "best AS (SELECT doc_id, b, n_hits FROM (" +
+        "SELECT doc_id, b, n_hits, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, b) AS rn FROM h) WHERE rn = 1) " +
+        "SELECT best.doc_id, best.n_hits, array_to_string(t.ws[best.b * 16 + 1 : best.b * 16 + 16], ' ') AS snippet " +
+        "FROM best JOIN t ON best.doc_id = t.doc_id ORDER BY best.doc_id"),
     "q_text_suggest" ->
       ("WITH v AS (SELECT w AS word, COUNT(*) AS freq FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) GROUP BY w), " +
         "q AS (SELECT unnest(['hsah', 'jion', 'scna']) AS term), " +

@@ -579,6 +579,38 @@ object TextAnalysis {
       .select(col("term"), col("word"), col("dist"), col("freq"), col("rank"))
   }
 
+  /** Search-result snippet extraction — per matching doc, the
+    * `window`-token bucket with the most query-term hits (ties →
+    * earliest bucket), rendered as the snippet text. Fixed-stride
+    * buckets rather than a sliding argmax keep the choice a pure
+    * integer function (replayable anywhere) and the scan one pass.
+    *
+    * Scale shape: the position explode filters to query-term HITS in
+    * the scan stage (hit rows, not token rows, shuffle), the argmax is
+    * a WindowGroupLimit-bounded rank over per-doc bucket counts, and
+    * the snippet slice joins back to the tokenized doc by id.
+    */
+  def snippets(df: DataFrame, textCol: String, idCol: String,
+               terms: Seq[String], window: Int = 16): DataFrame = {
+    require(terms.nonEmpty, "no query terms")
+    require(window > 0, "window must be positive")
+    val toks = df.select(col(idCol),
+      split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+    val best = toks
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__p", "__t")))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col(idCol), floor(col("__p") / window).as("__b"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("n_hits").desc, col("__b"))))
+      .filter(col("__rn") === 1)
+    best.join(toks, Seq(idCol))
+      .select(col(idCol), col("n_hits"),
+        array_join(slice(col("__toks"),
+          (col("__b") * window + 1).cast("int"), lit(window)), " ").as("snippet"))
+  }
+
   /** BM25 keyword retrieval (Robertson/Spärck Jones; the Lucene
     * practical-scoring variant with idf = ln(1 + (N-df+0.5)/(df+0.5)))
     * — the LEXICAL search surface beside the embedding-ANN family:

@@ -399,6 +399,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(re == got)
   }
 
+  test("spellSuggest ranks by distance then frequency then word") {
+    val docs = Seq(
+      (1L, "hash hash hash hath bash join"),
+      (2L, "hash join scan hath")).toDF("doc_id", "text")
+    val got = TextAnalysis.spellSuggest(docs, "text", Seq("hsah"), k = 3)
+      .select("word", "dist", "rank").as[(String, Long, Long)].collect().toSeq
+    // hash and hath sit within 2 edits of 'hsah' (bash is 3, excluded);
+    // hash (freq 4) outranks hath (freq 2) at equal distance
+    assert(got.map(_._1) == Seq("hash", "hath"), got.toString)
+    assert(got.map(_._3) == Seq(1L, 2L))
+  }
+
+  test("snippets picks the densest fixed-stride window, earliest on ties") {
+    val text = (Seq.fill(16)("pad") ++ Seq("hash", "join", "pad", "scan") ++
+      Seq.fill(12)("pad") ++ Seq("hash")).mkString(" ")
+    val docs = Seq((1L, text), (2L, "no match here")).toDF("doc_id", "text")
+    val got = TextAnalysis.snippets(docs, "text", "doc_id",
+        Seq("hash", "join", "scan"), window = 16)
+      .as[(Long, Long, String)].collect().toSeq
+    // bucket 1 (tokens 17-32) holds 3 hits vs bucket 2's 1; doc 2 absent
+    assert(got.map(_._1) == Seq(1L), got.toString)
+    assert(got.head._2 == 3L)
+    assert(got.head._3.startsWith("hash join pad scan"), got.head._3)
+  }
+
   test("bm25TopK ranks higher-tf docs first; non-matching docs absent") {
     val docs = Seq(
       (1L, "hash hash filter"),
