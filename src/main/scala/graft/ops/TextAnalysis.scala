@@ -630,30 +630,46 @@ object TextAnalysis {
                query: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "empty query")
-    require(k > 0, "k must be positive")
     val toks = df.select(col(idCol),
       split(lower(trim(col(textCol))), "\\s+").as("__toks"))
-    val lens = toks.select(col(idCol), size(col("__toks")).cast("double").as("__len"))
-    val stats = lens.agg(sum(col("__len")).as("__sl"), count(lit(1)).as("__n"))
+    val lens = toks.select(col(idCol).as("id"),
+      size(col("__toks")).cast("double").as("len"))
+    val tf = toks.select(col(idCol).as("id"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).cast("double").as("tf"))
+    bm25FromPostings(tf, lens, k, k1, b)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** BM25 scoring core over a PRE-BUILT posting slice — shared by the
+    * corpus-scan [[bm25TopK]] and the persisted
+    * [[graft.streaming.IncrementalTextIndex]] (which never rescans
+    * text). `tf` = (id, term, tf) for the QUERY terms only; `lens` =
+    * (id, len) for the whole corpus. Same shuffle/broadcast shape as
+    * documented on [[bm25TopK]]; identical arithmetic, so both
+    * callers produce bit-identical rankings.
+    */
+  private[graft] def bm25FromPostings(tf: DataFrame, lens: DataFrame,
+                                      k: Int, k1: Double,
+                                      b: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    val stats = lens.agg(sum(col("len")).as("__sl"), count(lit(1)).as("__n"))
       .select((col("__sl") / col("__n")).as("__avgdl"),
         col("__n").cast("double").as("__N"))
-    val tf = toks.select(col(idCol), explode(col("__toks")).as("__t"))
-      .filter(col("__t").isin(query: _*))
-      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).cast("double").as("__tf"))
-    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
-    val scored = tf.join(broadcast(dfreq), Seq("__t"))
-      .join(lens, Seq(idCol))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("__df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .join(lens, Seq("id"))
       .crossJoin(broadcast(stats))
       .withColumn("__s",
         log((col("__N") - col("__df") + 0.5) / (col("__df") + 0.5) + 1) *
-          (col("__tf") * (k1 + 1)) /
-          (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__len") / col("__avgdl"))))
-      .groupBy(col(idCol)).agg(round(sum(col("__s")), 4).as("score"))
-    val top = scored.orderBy(col("score").desc, col(idCol)).limit(k)
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("__avgdl"))))
+      .groupBy(col("id")).agg(round(sum(col("__s")), 4).as("score"))
+    val top = scored.orderBy(col("score").desc, col("id")).limit(k)
     // rank assignment runs AFTER the limit — the window sees k rows
     top.withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col(idCol))).cast("long"))
-      .select(col(idCol), col("score"), col("rank"))
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+      .select(col("id"), col("score"), col("rank"))
   }
 }
