@@ -259,6 +259,65 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("property: funnelStream first-chain reach equals batch funnelReach (random events)") {
+    // deterministic pseudo-random event log: 30 users x up to 14 events
+    // in a 3h span, arriving in SHUFFLED order across 4 micro-batches
+    val rnd = new scala.util.Random(4242)
+    val types = Array("view", "click", "purchase", "error")
+    val events = (1 to 30).flatMap { u =>
+      (0 until rnd.nextInt(15)).map { i =>
+        val t = tsOf("2024-01-01 10:00:00").getTime + rnd.nextInt(10800) * 1000L
+        Event(u * 100L + i, new java.sql.Timestamp(t), u.toLong,
+          types(rnd.nextInt(types.length)), 1.0)
+      }
+    }
+    val shuffled = rnd.shuffle(events)
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_pp_").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_funnel_ppcp_").toString
+    val chunks = shuffled.grouped(math.max(1, shuffled.size / 4 + 1)).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      c.toDS().coalesce(1).write.parquet(s"$dir/b$i")
+    }
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+      // zero lateness: every batch's rows are at or above the watermark
+      // only if they keep arriving in ts order — they don't, so use a
+      // lag covering the full span to make NOTHING late
+      .withWatermark("ts", "4 hours")
+    val q = funnelStream(src.as[Event], Seq("view", "click", "purchase"),
+        horizonSeconds = 1800L)
+      .writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", cp).queryName("funnel_pp").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark decisively past every horizon
+      Seq(Event(99999L, tsOf("2024-01-02 12:00:00"), 999L, "view", 0.0))
+        .toDS().coalesce(1).write.mode("append").parquet(dir + "/zz1")
+      q.processAllAvailable()
+      Seq(Event(99998L, tsOf("2024-01-02 13:00:00"), 999L, "error", 0.0))
+        .toDS().coalesce(1).write.mode("append").parquet(dir + "/zz2")
+      q.processAllAvailable()
+      // first chain per user = the row with that user's MIN t1
+      val firstChain = spark.table("funnel_pp")
+        .filter(col("user_id") < 900)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("t1"))))
+        .filter(col("rn") === 1)
+        .select("user_id", "steps_reached")
+        .as[(Long, Int)].collect().toMap
+      val reach = graft.ops.Funnel.funnelReach(events.toDF(), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          horizonSeconds = Some(1800L))
+        .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+      // batch reach at step i = users whose first-chain depth >= i
+      val streamed = (1 to 3).map(i =>
+        i.toLong -> firstChain.count(_._2 >= i).toLong).toMap
+      assert(streamed == reach,
+        s"stream first-chain reach must equal batch reach: $streamed vs $reach")
+    } finally q.stop()
+  }
+
   test("funnelStream re-enters deterministically after the horizon closes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_funnel2_ev_").toString
     val cp = java.nio.file.Files.createTempDirectory("graft_funnel2_cp_").toString
