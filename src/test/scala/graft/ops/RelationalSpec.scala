@@ -68,6 +68,25 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       4L -> "deleted", 5L -> "inserted"), got.toString)
   }
 
+  test("property: snapshotDiff of identical snapshots is empty; counts match mutations") {
+    val rnd = new scala.util.Random(77)
+    val base = (1L to 400L).map(k => (k, rnd.nextInt(5).toString, rnd.nextInt(100)))
+      .toDF("k", "s", "v")
+    assert(Relational.snapshotDiff(base, base, Seq("k")).count() == 0)
+    // apply a known mutation mix and check the classification counts
+    val deleted = (1L to 400L).filter(_ % 7 == 0)
+    val updated = (1L to 400L).filter(k => k % 5 == 0 && k % 7 != 0)
+    val inserted = (401L to 420L)
+    val neu = base.filter(!col("k").isin(deleted: _*))
+      .withColumn("v", when(col("k").isin(updated: _*), col("v") + 1000)
+        .otherwise(col("v")))
+      .unionByName(inserted.map(k => (k, "x", 1)).toDF("k", "s", "v"))
+    val got = Relational.snapshotDiff(base, neu, Seq("k"))
+      .groupBy("change").count().as[(String, Long)].collect().toMap
+    assert(got == Map("deleted" -> deleted.size.toLong,
+      "updated" -> updated.size.toLong, "inserted" -> inserted.size.toLong), got.toString)
+  }
+
   test("scd2 compresses no-op changes and derives validity intervals") {
     def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
     val log = Seq(

@@ -27,6 +27,32 @@ class ResampleSpec extends AnyFunSuite with SparkTestBase {
       (2L, 7L, 9.0, true)), got.toString)
   }
 
+  test("property: grid is complete, observed values preserved, fills carry forward") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 6).flatMap { k =>
+      (0 until 1 + rnd.nextInt(20)).map { _ =>
+        (k.toLong, ts(rnd.nextInt(48)), rnd.nextInt(10).toDouble)
+      }
+    }.toDF("user_id", "ts", "value")
+    val out = Resample.fillGaps(rows, "user_id", "ts", "value", 3600L)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val byKey = out.groupBy(_._1)
+    byKey.foreach { case (k, g) =>
+      val buckets = g.map(_._2).sorted
+      // complete contiguous span
+      assert(buckets == (buckets.min to buckets.max).toSeq, s"gap in grid for $k")
+      // first bucket is observed; every filled value equals the nearest
+      // earlier observed value
+      val sorted = g.sortBy(_._2)
+      assert(sorted.head._4, s"span must start at an observation for $k")
+      var lastObs = sorted.head._3
+      sorted.foreach { r =>
+        if (r._4) lastObs = r._3
+        else assert(r._3 == lastObs, s"fill must carry forward for $k: $r")
+      }
+    }
+  }
+
   test("fillGaps leading buckets are observed by construction (span starts at first obs)") {
     val rows = Seq((1L, ts(5), 1.5)).toDF("user_id", "ts", "value")
     val got = Resample.fillGaps(rows, "user_id", "ts", "value", 3600L)

@@ -113,6 +113,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(SemDedup.nearDupPairs(zeros, 0.1, k = 2, iters = 1).count() == 0)
   }
 
+  test("adversarial: knnClassify with zero-norm and duplicate vectors stays total") {
+    val seed = Seq(
+      (0L, 1, Seq(1f, 0f)), (1L, 1, Seq(1f, 0f)),      // duplicate seeds
+      (2L, 2, Seq(0f, 1f)), (3L, 2, Seq(0f, 0f)))      // zero-norm seed
+      .toDF("vec_id", "label", "embedding")
+    val pool = Seq((10L, Seq(1f, 0.1f)), (11L, Seq(0f, 0f)))  // zero-norm probe
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnClassify(seed, pool, k = 3)
+      .select("vec_id", "pred_label").as[(Long, Int)].collect().toMap
+    // probe 10: neighbors 0,1 (cos~1, label 1) + 2 -> majority 1
+    assert(out(10L) == 1, out.toString)
+    // zero-norm probe: all cosines 0, rank ties by seed id -> seeds
+    // 0,1,2 vote -> label 1 majority; must not throw
+    assert(out(11L) == 1, out.toString)
+  }
+
   test("rrfFuse rewards presence in both lists; ties break by id") {
     val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
     val b = Seq((11L, 1L), (13L, 2L)).toDF("id", "rank")
