@@ -602,6 +602,28 @@ object SparkEntry {
         col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
       .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
 
+  /** RANGE-frame windows — TIME-based rolling aggregates (the frame
+    * the ROWS family can't express: "all events in the past hour",
+    * however many rows that is): per user, the count and value-sum of
+    * events in (ts - 1h, ts], keyed on epoch seconds so the range
+    * arithmetic is integer-exact in any engine.
+    */
+  private def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__sec"))
+      .rangeBetween(-3599L, Window.currentRow)
+    ev(s, d)
+      .filter(col("user_id") < 50)
+      // integer division (div), not Column./ (double): bucket must be
+      // the same exact long DuckDB's // produces
+      .withColumn("__sec", expr("unix_micros(ts) div 1000000"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        round(sum(col("value")).over(w), 4).as("sum_last_hour"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Time-series gap-fill ([[graft.ops.Resample.fillGaps]]): hourly
     * per-user value series with missing hours materialized and
     * forward-filled. Exact integer-bucket + IGNORE NULLS replay.
@@ -2065,6 +2087,7 @@ object SparkEntry {
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
     "q_window_suite" -> qWindowSuite,
+    "q_window_range" -> qWindowRange,
     "q_resample" -> qResample,
     "q_agg_cube" -> qAggCube,
     "q_snapshot_diff" -> qSnapshotDiff,
@@ -2987,6 +3010,12 @@ object SparkEntry {
         "COUNT(*) AS n, round(SUM(l_quantity), 2) AS sum_qty FROM lineitem " +
         "GROUP BY CUBE (l_returnflag, l_linestatus) " +
         "ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"),
+    "q_window_range" ->
+      ("SELECT user_id, event_id, " +
+        "COUNT(*) OVER w AS n_last_hour, round(SUM(value) OVER w, 4) AS sum_last_hour " +
+        "FROM (SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS sec FROM events WHERE user_id < 50) " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id"),
     "q_resample" ->
       ("WITH o AS (SELECT user_id, CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket, round(AVG(value), 4) AS v " +
         "FROM events WHERE user_id < 20 GROUP BY user_id, bucket), " +
