@@ -133,7 +133,9 @@ object SpanRemoveExpressions {
   /** loop_repeat_starts(tokens: array<string>, k) -> array<int>: the
     * 1-based starts i whose k-token window verbatim-equals the window
     * k positions earlier — every immediate phrase repeat after the
-    * first ("the cat the cat the cat" at k=2 yields starts 3, 5).
+    * first — every OVERLAPPING repeat window reports ("the cat the
+    * cat the cat" at k=2 yields starts 3, 4 and 5; the union-coverage
+    * excision in [[span_remove_tokens]] collapses them to one span).
     * Detection is doc-local, so pairing this with
     * [[span_remove_tokens]] makes loop collapse one map-side pass:
     * the window-stream explode + per-doc lag window (a doc-keyed sort

@@ -121,4 +121,27 @@ object Profile {
         min(col("__v")).as("bucket_min"),
         max(col("__v")).as("bucket_max"))
   }
+
+  /** Per-group z-score outliers: rows whose value sits more than
+    * `zThreshold` population standard deviations from their group's
+    * mean. Two exchanges total: one groupBy for the (mean, stddev)
+    * stats — a groups-sized frame joined back onto the rows (broadcast
+    * when groups are few, which is the profiling norm) — then the
+    * z-score filter is codegen row-local. Zero-variance groups
+    * produce no outliers (every value IS the mean). Stats round to
+    * 6dp before the compare so any engine replays the same boundary.
+    */
+  def outliers(df: DataFrame, groupCol: String, valueCol: String,
+               zThreshold: Double): DataFrame = {
+    require(zThreshold > 0, "threshold must be positive")
+    val stats = df.groupBy(col(groupCol)).agg(
+      round(avg(col(valueCol)), 6).as("__mu"),
+      round(stddev_pop(col(valueCol)), 6).as("__sigma"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .filter(col("__sigma") > 0 &&
+        abs(col(valueCol) - col("__mu")) > lit(zThreshold) * col("__sigma"))
+      .withColumn("z",
+        round((col(valueCol) - col("__mu")) / col("__sigma"), 4))
+      .drop("__mu", "__sigma")
+  }
 }

@@ -88,19 +88,19 @@ object Relational {
     require(oldDf.columns.sameElements(newDf.columns),
       "snapshots must share a schema")
     val compareCols = oldDf.columns.filterNot(keyCols.contains).toSeq
+    // presence markers ride the projections into the ONE full-outer
+    // join (NULL values in compare columns can't signal presence, a
+    // constant marker can) — no extra scans, no marker joins
     val o = oldDf.select(keyCols.map(col) ++
-      compareCols.map(c => col(c).as(s"__o_$c")): _*)
+      compareCols.map(c => col(c).as(s"__o_$c")) :+
+      lit(1).as("__in_old"): _*)
     val n = newDf.select(keyCols.map(col) ++
-      compareCols.map(c => col(c).as(s"__n_$c")): _*)
+      compareCols.map(c => col(c).as(s"__n_$c")) :+
+      lit(1).as("__in_new"): _*)
     val joined = o.join(n, keyCols, "full_outer")
-    // presence flags: a side is present iff ANY of its aliased columns
-    // set — but NULL values defeat that; use marker columns instead
-    val om = oldDf.select(keyCols.map(col): _*).withColumn("__in_old", lit(1))
-    val nm = newDf.select(keyCols.map(col): _*).withColumn("__in_new", lit(1))
     val allSame = compareCols.map(c => col(s"__o_$c") <=> col(s"__n_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     joined
-      .join(om, keyCols, "left").join(nm, keyCols, "left")
       .withColumn("change",
         when(col("__in_old").isNull, "inserted")
           .when(col("__in_new").isNull, "deleted")

@@ -46,4 +46,45 @@ object Resample {
       .withColumn("value_filled", last(col("__v"), ignoreNulls = true).over(w))
       .select(col(keyCol), col("bucket"), col("value_filled"), col("observed"))
   }
+
+  /** Like [[fillGaps]] but gap buckets get LINEAR interpolation
+    * between the surrounding observed buckets instead of a carried-
+    * forward constant — the fill a rate-like series wants. The grid
+    * spans each key's [first, last] observed bucket, so every gap has
+    * both a previous and a next observation by construction. Two
+    * window frames (carry-back and carry-forward) over the SAME
+    * (key, bucket) sort — one exchange, one sort, two in-memory
+    * passes. Endpoint means round to 4dp before interpolating and the
+    * result rounds to 4dp, so the fill is a pure rational function of
+    * replayable inputs.
+    */
+  def fillInterpolate(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "step must be positive")
+    val stepUs = stepSeconds * 1000000L
+    val obs = df
+      .groupBy(col(keyCol),
+        floor(unix_micros(col(tsCol)) / stepUs).as("bucket"))
+      .agg(round(avg(col(valueCol)), 4).as("__v"))
+    val grid = obs.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .select(col(keyCol), explode(sequence(col("__b0"), col("__b1"))).as("bucket"))
+    val back = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val obsBucket = when(col("__v").isNotNull, col("bucket"))
+    grid.join(obs, Seq(keyCol, "bucket"), "left")
+      .withColumn("observed", col("__v").isNotNull)
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(back))
+      .withColumn("__pb", last(obsBucket, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(fwd))
+      .withColumn("__nb", first(obsBucket, ignoreNulls = true).over(fwd))
+      .withColumn("value_filled", round(
+        when(col("observed"), col("__v")).otherwise(
+          col("__pv") + (col("__nv") - col("__pv")) *
+            (col("bucket") - col("__pb")) / (col("__nb") - col("__pb"))),
+        4))
+      .select(col(keyCol), col("bucket"), col("value_filled"), col("observed"))
+  }
 }

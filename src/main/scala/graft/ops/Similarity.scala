@@ -328,6 +328,15 @@ object Similarity {
                dim: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the typed Long group encoder can't represent a non-numeric key;
+    // fail fast with a clear contract error instead of the opaque
+    // null-encoder crash a silent non-ANSI cast would produce
+    val gType = df.schema(groupCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(gType),
+      s"meanPool group column '$groupCol' must be integral, got $gType")
     val pool = new graft.functions.VectorMeanAggregator(dim).toColumn
     // null group keys would crash the non-nullable Long encoder and a
     // null vector carries no signal: both are dropped, mirroring SQL

@@ -61,16 +61,24 @@ final class IncrementalTextIndex(spark: SparkSession, storeDir: String) {
     else spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
-  /** Tokenize one batch and append its postings + lengths. */
+  /** Tokenize one batch and append its postings + lengths. The batch
+    * is pinned with localCheckpoint before the two write jobs: a
+    * non-deterministic source (sample/limit upstream) would otherwise
+    * recompute between them and persist postings and lengths that
+    * disagree about which rows the batch contained.
+    */
   def indexBatch(batch: DataFrame, textCol: String, idCol: String): Unit = {
     val toks = batch.select(col(idCol).cast("long").as("id"),
       split(lower(trim(col(textCol))), "\\s+").as("__toks"))
-    toks.select(col("id"), explode(col("__toks")).as("term"))
-      .groupBy(col("term"), col("id"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .write.mode(SaveMode.Append).parquet(postingsPath)
-    toks.select(col("id"), size(col("__toks")).cast("double").as("len"))
-      .write.mode(SaveMode.Append).parquet(lensPath)
+      .localCheckpoint(true)
+    try {
+      toks.select(col("id"), explode(col("__toks")).as("term"))
+        .groupBy(col("term"), col("id"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .write.mode(SaveMode.Append).parquet(postingsPath)
+      toks.select(col("id"), size(col("__toks")).cast("double").as("len"))
+        .write.mode(SaveMode.Append).parquet(lensPath)
+    } finally toks.unpersist()
   }
 
   /** BM25 top-k over everything indexed so far — no text scan. */
