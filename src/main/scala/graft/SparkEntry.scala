@@ -634,6 +634,103 @@ object SparkEntry {
         stepSeconds = 3600L)
       .orderBy(col("user_id"), col("bucket"))
 
+  /** Linear-interpolation gap fill ([[graft.ops.Resample
+    * .fillInterpolate]]): the same hourly grid as q_resample, gap
+    * buckets lerped between the surrounding observations instead of
+    * carried forward. Exact replay: 4dp endpoint means, rational
+    * lerp, 4dp surface.
+    */
+  private def qResampleInterp(s: SparkSession, d: String): DataFrame =
+    graft.ops.Resample.fillInterpolate(
+        ev(s, d).filter(col("user_id") < 20), "user_id", "ts", "value",
+        stepSeconds = 3600L)
+      .orderBy(col("user_id"), col("bucket"))
+
+  /** Per-group z-score outliers ([[graft.ops.Profile.outliers]]):
+    * events whose value sits more than 2.5 population standard
+    * deviations from their event_type's mean — the screening pass a
+    * metrics pipeline runs before admitting a day's events. Stats
+    * round to 6dp on both engines before the strict compare, so the
+    * boundary replays exactly.
+    */
+  private def qOutliers(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profile.outliers(
+        ev(s, d).select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", zThreshold = 2.5)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+
+  /** Fuzzy record linkage ([[graft.ops.FuzzyJoin.editDistanceJoin]],
+    * reference app's exact-match staging joined generalized to typo
+    * tolerance): a FIXED 100-row "dirty batch" — customer names with
+    * one deterministically-chosen character deleted — matched back to
+    * the full clean customer table at edit distance <= 1 via
+    * SymSpell deletion-neighborhood blocking. The oracle brute-forces
+    * levenshtein over (batch x corpus); the engine must recover the
+    * identical pair set from the blocked equi-join (completeness is
+    * the theorem, this entry is its test). No cartesian — plan-
+    * guarded.
+    */
+  private def qFuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+    val clean = cust.select(col("c_custkey"), col("c_name"))
+    // dirty derivation: drop the ((c_custkey % 18) + 1)-th character
+    // of the 18-char "Customer#%09d" name — deterministic, replayable
+    val dirty = cust.filter(col("c_custkey") <= 100)
+      .select(col("c_custkey").as("dirty_id"),
+        concat(
+          expr("substring(c_name, 1, cast(c_custkey % 18 as int))"),
+          expr("substring(c_name, cast(c_custkey % 18 + 2 as int), 18)"))
+          .as("dirty_name"))
+    graft.ops.FuzzyJoin
+      .editDistanceJoin(dirty, clean, "dirty_name", "c_name", maxDist = 1)
+      .select(col("dirty_id"), col("c_custkey").as("match_id"),
+        col("dist").cast("long").as("dist"))
+      .orderBy(col("dirty_id"), col("match_id"))
+  }
+
+  /** Data-quality validation suite ([[graft.ops.Validate]]): six
+    * expectation checks over the warehouse tables reduced to one
+    * summary row each — including checks that genuinely FAIL on the
+    * fixture (events.user_id carries ids with no customer row), so
+    * the report proves violations are counted, not just absence
+    * asserted.
+    */
+  private def qValidate(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val cust = t(s, d, "customer")
+    graft.ops.Validate.report(Seq(
+      graft.ops.Validate.notNull(orders, "o_custkey"),
+      graft.ops.Validate.unique(orders, "o_orderkey"),
+      graft.ops.Validate.fkOrphans(orders, "o_custkey", cust, "c_custkey"),
+      graft.ops.Validate.fkOrphans(
+        ev(s, d).select(col("user_id")), "user_id", cust, "c_custkey"),
+      graft.ops.Validate.inRange(orders, "o_totalprice", 0.0, 400000.0),
+      graft.ops.Validate.matchesRegex(cust, "c_name",
+        "^Customer#[0-9]{9}$")))
+      .orderBy(col("check"), col("col_name"))
+  }
+
+  /** Fixed-iteration PageRank ([[graft.ops.Graph.pageRank]]) over the
+    * symmetric customer-supplier co-purchase graph (an edge wherever
+    * a customer's order contains a supplier's line item; supplier
+    * nodes offset by 1e6 to keep the id spaces disjoint). Three
+    * damped iterations, 8dp per-iteration rounding, 6dp surface —
+    * the DuckDB oracle unrolls the identical recurrence as a CTE
+    * chain.
+    */
+  private def qPagerank(s: SparkSession, d: String): DataFrame = {
+    val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("node"))
+  }
+
   /** Analytic window-function suite — the offset/distribution
     * functions (lag, lead, ntile, percent_rank, cume_dist) over
     * per-customer order history; the ranking family (row_number) is
@@ -1335,6 +1432,22 @@ object SparkEntry {
     val emb = t(s, d, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
       .select(col("query_id"), col("corpus_id"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Scalar-int8-quantized search ([[graft.ops.Sq]]): the 4x-
+    * compressed code-table scan. Unlike the PQ/IVF entries (recall
+    * contracts), SQ ranking is EXACTLY oracle-replayable — codes are
+    * pure HALF_UP arithmetic on the corpus (lo, hi), so DuckDB
+    * recomputes the same quantized inner products and the same rank
+    * order, making this the strongest correctness gate in the ANN
+    * family.
+    */
+  private def qSimSqTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    graft.ops.Sq.search(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("corpus_id"),
+        col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -2128,6 +2241,11 @@ object SparkEntry {
     "q_window_suite" -> qWindowSuite,
     "q_window_range" -> qWindowRange,
     "q_resample" -> qResample,
+    "q_resample_interp" -> qResampleInterp,
+    "q_outliers" -> qOutliers,
+    "q_fuzzy_join" -> qFuzzyJoin,
+    "q_validate" -> qValidate,
+    "q_pagerank" -> qPagerank,
     "q_agg_cube" -> qAggCube,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_scd2" -> qScd2,
@@ -2174,6 +2292,7 @@ object SparkEntry {
     "q_quantiles" -> qQuantiles,
     "q_semdedup" -> qSemdedup,
     "q_sim_topk" -> qSimTopK,
+    "q_sim_sq_topk" -> qSimSqTopK,
     "q_sim_filtered_topk" -> qSimFilteredTopK,
     "q_sim_knn_label" -> qSimKnnLabel,
     "q_sim_trunc_topk" -> qSimTruncTopK,
@@ -2707,6 +2826,18 @@ object SparkEntry {
       "WITH terms AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents), tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM terms GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word), n AS (SELECT COUNT(*) AS n_docs FROM documents) SELECT doc_id, word, tfidf, rank FROM (SELECT tf.doc_id, tf.word, round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf, ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) DESC, tf.word) AS rank FROM tf JOIN df USING (word) CROSS JOIN n) WHERE rank <= 3 ORDER BY doc_id, rank",
     "q_sim_topk" ->
       "SELECT query_id, corpus_id, rank FROM (SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank FROM embeddings c, embeddings p WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id) WHERE rank <= 5 ORDER BY query_id, rank",
+    // SQ int8: quantization is HALF_UP arithmetic on the corpus-wide
+    // (lo, hi), so the oracle recomputes the SAME codes and ranks by
+    // the SAME dequantized inner products — an exact ANN replay
+    "q_sim_sq_topk" ->
+      ("WITH r AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS lo, CAST(max(list_max(embedding)) AS DOUBLE) AS hi FROM embeddings), " +
+        "st AS (SELECT lo, hi, (hi - lo) / 255 AS step FROM r) " +
+        "SELECT query_id, corpus_id, rank FROM (" +
+        "SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY " +
+        "list_dot_product(list_transform(CAST(c.embedding AS DOUBLE[]), x -> st.lo + round((least(greatest(x, st.lo), st.hi) - st.lo) / st.step) * st.step), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank " +
+        "FROM embeddings c, embeddings p, st WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id) " +
+        "WHERE rank <= 5 ORDER BY query_id, rank"),
     // attribute-filtered search: same exact ranking, corpus restricted
     // to the label=3 survivors
     "q_sim_filtered_topk" ->
@@ -3064,6 +3195,85 @@ object SparkEntry {
         "SELECT user_id, bucket, " +
         "LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled, " +
         "v IS NOT NULL AS observed FROM j ORDER BY user_id, bucket"),
+    // same grid, gap buckets lerped between the surrounding observed
+    // buckets (4dp endpoints, 4dp surface — pure rational replay)
+    "q_resample_interp" ->
+      ("WITH o AS (SELECT user_id, CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket, round(AVG(value), 4) AS v " +
+        "FROM events WHERE user_id < 20 GROUP BY user_id, bucket), " +
+        "r AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM o GROUP BY user_id), " +
+        "g AS (SELECT r.user_id, gs.b AS bucket FROM r, LATERAL (SELECT unnest(generate_series(r.b0, r.b1)) AS b) gs), " +
+        "j AS (SELECT g.user_id, g.bucket, o.v FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.bucket = o.bucket), " +
+        "f AS (SELECT user_id, bucket, v, " +
+        "LAST_VALUE(v IGNORE NULLS) OVER wb AS pv, " +
+        "LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wb AS pb, " +
+        "FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv, " +
+        "FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wf AS nb " +
+        "FROM j WINDOW wb AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wf AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, bucket, floor((CASE WHEN v IS NOT NULL THEN v " +
+        "ELSE pv + (nv - pv) * (bucket - pb) / (nb - pb) END) * 10000 + 0.5) / 10000 AS value_filled, " +
+        "v IS NOT NULL AS observed FROM f ORDER BY user_id, bucket"),
+    // per-type z-score outliers: stats rounded to 6dp on BOTH engines
+    // before the strict boundary compare
+    "q_outliers" ->
+      ("WITH s AS (SELECT event_type, round(AVG(value), 6) AS mu, round(stddev_pop(value), 6) AS sigma " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT event_id, e.event_type, value, round((value - mu) / sigma, 4) AS z " +
+        "FROM events e JOIN s ON e.event_type = s.event_type " +
+        "WHERE sigma > 0 AND abs(value - mu) > 2.5 * sigma ORDER BY event_id"),
+    // fuzzy linkage oracle: brute-force levenshtein over the fixed
+    // dirty batch x full corpus — the blocked join must recover the
+    // identical pair set (deletion-neighborhood completeness)
+    "q_fuzzy_join" ->
+      ("WITH dirty AS (SELECT c_custkey AS dirty_id, " +
+        "substring(c_name, 1, CAST(c_custkey % 18 AS INT)) || substring(c_name, CAST(c_custkey % 18 + 2 AS INT), 18) AS dirty_name " +
+        "FROM customer WHERE c_custkey <= 100) " +
+        "SELECT dirty_id, c_custkey AS match_id, CAST(levenshtein(dirty_name, c_name) AS BIGINT) AS dist " +
+        "FROM dirty, customer WHERE levenshtein(dirty_name, c_name) <= 1 " +
+        "ORDER BY dirty_id, match_id"),
+    // validation suite: six one-row expectation summaries
+    "q_validate" ->
+      ("SELECT 'not_null' AS \"check\", 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, " +
+        "SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS pass FROM orders " +
+        "UNION ALL " +
+        "SELECT 'unique', 'o_orderkey', (SELECT CAST(COUNT(*) AS BIGINT) FROM orders), " +
+        "(SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)), " +
+        "(SELECT COALESCE(SUM(n), 0) FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) = 0 " +
+        "UNION ALL " +
+        "SELECT 'fk_orphans', 'o_custkey', (SELECT CAST(COUNT(*) AS BIGINT) FROM orders), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer)), " +
+        "(SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0 " +
+        "UNION ALL " +
+        "SELECT 'fk_orphans', 'user_id', (SELECT CAST(COUNT(*) AS BIGINT) FROM events), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id IS NOT NULL AND user_id NOT IN (SELECT c_custkey FROM customer)), " +
+        "(SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL AND user_id NOT IN (SELECT c_custkey FROM customer)) = 0 " +
+        "UNION ALL " +
+        "SELECT 'in_range', 'o_totalprice', (SELECT CAST(COUNT(*) AS BIGINT) FROM orders), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 400000)), " +
+        "(SELECT COUNT(*) FROM orders WHERE o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 400000)) = 0 " +
+        "UNION ALL " +
+        "SELECT 'matches_regex', 'c_name', (SELECT CAST(COUNT(*) AS BIGINT) FROM customer), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')), " +
+        "(SELECT COUNT(*) FROM customer WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')) = 0 " +
+        "ORDER BY \"check\", col_name"),
+    // PageRank: the 3-iteration damped recurrence unrolled as a CTE
+    // chain — 8dp per-iteration rounding matches the engine exactly;
+    // the symmetric edge set guarantees outdeg >= 1 (no dangling mass)
+    "q_pagerank" ->
+      ("WITH e0 AS (SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
+        "e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), " +
+        "deg AS (SELECT node, CAST(COUNT(e.src) AS DOUBLE) AS outdeg FROM nodes LEFT JOIN e ON e.src = node GROUP BY node), " +
+        "r0 AS (SELECT node, outdeg, round(1.0 / nn.n, 8) AS rank FROM deg, nn), " +
+        "i1 AS (SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS s FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst), " +
+        "r1 AS (SELECT d.node, d.outdeg, round((1.0 - 0.85) / nn.n + 0.85 * COALESCE(i1.s, 0), 8) AS rank FROM deg d LEFT JOIN i1 ON d.node = i1.node, nn), " +
+        "i2 AS (SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS s FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst), " +
+        "r2 AS (SELECT d.node, d.outdeg, round((1.0 - 0.85) / nn.n + 0.85 * COALESCE(i2.s, 0), 8) AS rank FROM deg d LEFT JOIN i2 ON d.node = i2.node, nn), " +
+        "i3 AS (SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS s FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst), " +
+        "r3 AS (SELECT d.node, d.outdeg, round((1.0 - 0.85) / nn.n + 0.85 * COALESCE(i3.s, 0), 8) AS rank FROM deg d LEFT JOIN i3 ON d.node = i3.node, nn) " +
+        "SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"),
     "q_window_suite" ->
       ("SELECT o_custkey, o_orderkey, " +
         "round(LAG(o_totalprice, 1) OVER w, 2) AS prev_price, " +

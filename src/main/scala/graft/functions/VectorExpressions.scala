@@ -238,6 +238,99 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** sq_encode(vec, lo, step) -> binary: per-TENSOR scalar int8
+    * quantization (Jegou et al.'s SQ baseline; the faiss
+    * ScalarQuantizer QT_8bit shape) — every component clamps to
+    * [lo, lo + 255*step] and rounds to its 8-bit level index. One
+    * byte per dimension, 4x smaller than float32, and — unlike PQ —
+    * decode is two flops, no codebook. Quantization is pure
+    * HALF_UP arithmetic on (lo, step), so any engine replays codes
+    * bit-for-bit.
+    */
+  case class SqEncode(child: Expression, lo: Double, step: Double)
+      extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "sq_encode"
+    // lazy: the child is unresolved (NullType) at construction time
+    @transient private lazy val isFloat = elemIsFloat(child)
+
+    override def nullSafeEval(vec: Any): Any = {
+      val v = vec.asInstanceOf[ArrayData]
+      val out = new Array[Byte](v.numElements())
+      var i = 0
+      while (i < out.length) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val c = math.max(lo, math.min(lo + 255.0 * step, x))
+        out(i) = Math.round((c - lo) / step).toByte
+        i += 1
+      }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val get = if (isFloat) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, v => {
+        val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        val x = ctx.freshName("x")
+        val c = ctx.freshName("c")
+        s"""
+           |byte[] $out = new byte[$v.numElements()];
+           |for (int $i = 0; $i < $out.length; $i++) {
+           |  double $x = (double) $v.$get($i);
+           |  double $c = Math.max($lo, Math.min($lo + 255.0 * $step, $x));
+           |  $out[$i] = (byte) Math.round(($c - $lo) / $step);
+           |}
+           |${ev.value} = $out;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** sq_dot(code, probe, lo, step) -> double: inner product of a
+    * dequantized SQ code against a float probe — THE scan kernel of
+    * SQ search, one fused multiply-add per byte, inside whole-stage
+    * codegen so the code table scans at memory bandwidth. Probe is
+    * array<double>.
+    */
+  case class SqDot(left: Expression, right: Expression,
+                   lo: Double, step: Double) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "sq_dot"
+
+    override def nullSafeEval(code: Any, probe: Any): Any = {
+      val c = code.asInstanceOf[Array[Byte]]
+      val p = probe.asInstanceOf[ArrayData]
+      var s = 0.0
+      var i = 0
+      while (i < c.length) {
+        s += (lo + (c(i) & 0xff) * step) * p.getDouble(i)
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, p) => {
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $c.length; $i++) {
+           |  $s += ($lo + ($c[$i] & 0xff) * $step) * $p.getDouble($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   def vector_dot(a: Column, b: Column): Column = column(VectorDot(expression(a), expression(b)))
@@ -246,6 +339,10 @@ object VectorExpressions {
     column(SrpSignatures(expression(vec), nBits, nTables))
   def pq_adc_ip(codes: Column, lut: Column, k: Int): Column =
     column(PqAdcIp(expression(codes), expression(lut), k))
+  def sq_encode(vec: Column, lo: Double, step: Double): Column =
+    column(SqEncode(expression(vec), lo, step))
+  def sq_dot(code: Column, probe: Column, lo: Double, step: Double): Column =
+    column(SqDot(expression(code), expression(probe), lo, step))
 
   /** Register vector_dot / vector_norm for spark.sql use. */
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank (Brin & Page 1998) as the engine's
+  * iterative-computation representative: each iteration is ONE edge
+  * equi-join on the current rank vector plus one destination
+  * aggregation — the canonical Spark formulation (the GraphX Pregel
+  * kernel lowers to the same join-agg pair).
+  *
+  * Scale shape per iteration: ranks (|V| rows) hash-join edges (|E|
+  * rows) on src — both sides partitioned by the join key, so with
+  * ranks and edges co-partitioned the join reuses one exchange — then
+  * a groupBy(dst) sum (map-side partial). Dangling mass (nodes with
+  * no out-edges) is a one-row aggregate broadcast into the update, so
+  * the sink-handling adds no per-edge work. Each iteration's rank
+  * vector is consumed TWICE (dangling aggregate + contribution join),
+  * so the loop truncates lineage with a localCheckpoint per round —
+  * without it the un-materialized rank plan re-embeds every earlier
+  * iteration once per consumer and recompute grows exponentially in
+  * `iters` (the standard iterative-algorithm failure mode on lazy
+  * DAGs). Edges and degrees materialize once for the same reason.
+  *
+  * Determinism: per-iteration ranks are rounded to 8dp so the
+  * floating-point sum-order wobble (~1e-15) can't accumulate across
+  * iterations; any engine replaying the same rounded recurrence
+  * agrees to well beyond the surfaced 6dp.
+  */
+object Graph {
+
+  /** (node, rank) after `iters` rounds of the damped recurrence
+    * r(v) = (1-d)/N + d * (sum over in-edges u->v of r(u)/outdeg(u)
+    *         + danglingMass/N).
+    * `edges` rows are (srcCol, dstCol) pairs; duplicate edges count
+    * once (the frame is distinct-ed). Nodes = src ∪ dst.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters in [1, 64]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // (node, outdeg) with 0 for sinks — the dangling set
+    val deg = nodes.join(outdeg, nodes("node") === outdeg("src"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .localCheckpoint()
+    val n = deg.count()
+    require(n > 0, "empty graph")
+    val base = (1.0 - damping) / n
+
+    var ranks = deg.select(col("node"), col("outdeg"),
+      round(lit(1.0 / n), 8).as("rank")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      // one-row dangling-mass aggregate, broadcast by construction
+      val dangling = ranks.filter(col("outdeg") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("__in"))
+      ranks = deg
+        .join(contribs, deg("node") === contribs("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("outdeg"),
+          round(lit(base) + lit(damping) *
+            (coalesce(col("__in"), lit(0.0)) + col("__dm") / n), 8)
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+}

@@ -80,11 +80,16 @@ object Resample {
       .withColumn("__pb", last(obsBucket, ignoreNulls = true).over(back))
       .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(fwd))
       .withColumn("__nb", first(obsBucket, ignoreNulls = true).over(fwd))
-      .withColumn("value_filled", round(
-        when(col("observed"), col("__v")).otherwise(
+      // HALF_UP via floor(x*1e4 + 0.5): lerp at even gaps lands on
+      // EXACT .xxxx5 midpoints, where decimal-string round (Spark)
+      // and binary round (DuckDB) disagree; floor of the bit-identical
+      // double is deterministic on every engine replaying the same
+      // arithmetic
+      .withColumn("value_filled",
+        floor(when(col("observed"), col("__v")).otherwise(
           col("__pv") + (col("__nv") - col("__pv")) *
-            (col("bucket") - col("__pb")) / (col("__nb") - col("__pb"))),
-        4))
+            (col("bucket") - col("__pb")) / (col("__nb") - col("__pb")))
+          * 10000 + 0.5) / 10000)
       .select(col(keyCol), col("bucket"), col("value_filled"), col("observed"))
   }
 }

@@ -524,4 +524,47 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(!shufflePart.contains("text#"),
       s"train text must stay map-side:\n$shufflePart")
   }
+
+  test("fuzzy join candidates ride the variant equi-join — never cartesian") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("__variant"),
+      s"candidates must join on the deletion-variant key:\n$p")
+  }
+
+  test("pagerank truncates per-iteration lineage — final plan reads the checkpoint") {
+    // the rank vector is consumed twice per round (dangling aggregate
+    // + contribution join): WITHOUT the per-iteration localCheckpoint
+    // the final plan re-embeds every earlier round once per consumer
+    // (7 nested-loop joins at 3 iterations, growing exponentially).
+    // With it, iterations ran at materialization time and the surfaced
+    // plan is a bounded checkpoint scan.
+    val p = plan("q_pagerank")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"iteration recompute leaked into the final plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("SQ search scans binary codes with the fused dequant-dot kernel") {
+    val p = plan("q_sim_sq_topk")
+    assert(p.contains("sq_dot"), p)
+    assert(p.contains("sq_encode"), p)
+    assert(p.contains("BroadcastExchange"),
+      s"probe side must broadcast:\n$p")
+  }
+
+  test("validation checks reduce map-side (partial aggregates, key-level FK join)") {
+    val p = plan("q_validate")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("LeftAnti"),
+      s"fk check must anti-join distinct keys:\n$p")
+  }
+
+  test("outlier stats broadcast back onto the row scan") {
+    val p = plan("q_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class GraphSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Double)].collect().toMap
+
+  test("symmetric 2-cycle is the stationary uniform distribution") {
+    val r = ranks(Seq((1L, 2L), (2L, 1L)), iters = 5)
+    assert(r(1L) == 0.5 && r(2L) == 0.5, r.toString)
+  }
+
+  test("star with a dangling center: hand-computed first iteration, mass conserved") {
+    // b -> a, c -> a; a has no out-edges (dangling)
+    val r = ranks(Seq((2L, 1L), (3L, 1L)), iters = 1)
+    // r(a) = 0.05 + 0.85*(1/3 + 1/3 + (1/3)/3); r(b) = r(c) =
+    // 0.05 + 0.85*(1/3)/3 — dangling third redistributed uniformly
+    assert(math.abs(r(1L) - (0.05 + 0.85 * (2.0 / 3 + 1.0 / 9))) < 1e-6, r.toString)
+    assert(math.abs(r(2L) - (0.05 + 0.85 / 9)) < 1e-6, r.toString)
+    assert(r(2L) == r(3L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, s"mass leaked: ${r.values.sum}")
+  }
+
+  test("mass stays 1 through many iterations with dangling nodes") {
+    val rnd = new scala.util.Random(3)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter { case (a, b) => a != b }
+    val r = ranks(edges, iters = 8)
+    assert(math.abs(r.values.sum - 1.0) < 1e-5, s"sum=${r.values.sum}")
+    assert(r.values.forall(_ > 0), "every node keeps the teleport floor")
+  }
+
+  test("duplicate edges count once") {
+    val once = ranks(Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)), 3)
+    val duped = ranks(Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L),
+      (1L, 3L), (3L, 1L)), 3)
+    assert(once == duped)
+  }
+
+  test("empty graph and bad iteration counts rejected") {
+    intercept[IllegalArgumentException](
+      Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"),
+        "src", "dst", 0))
+    intercept[IllegalArgumentException](
+      ranks(Seq.empty[(Long, Long)], 3))
+  }
+}

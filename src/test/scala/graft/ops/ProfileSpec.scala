@@ -85,4 +85,27 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Double, Boolean)].collect()
     assert(row._2 == 2.5 && row._3)
   }
+
+  test("outliers flags far values per group, skips zero-variance groups") {
+    // group a: 20 values at 1.0 plus one at 100 — huge z for the spike;
+    // group b: constant (sigma 0) — must produce nothing even though
+    // a z-division would explode
+    val rows = (1 to 20).map(i => ("a", i.toLong, 1.0)) ++
+      Seq(("a", 99L, 100.0)) ++ (1 to 5).map(i => ("b", 200L + i, 7.0))
+    val out = Profile.outliers(rows.toDF("g", "id", "v"), "g", "v", 2.5)
+      .select("id", "z").as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(99L), out.toString)
+    assert(out(99L) > 4.0, s"spike z should be extreme: ${out(99L)}")
+  }
+
+  test("outliers threshold is strict and uses population stddev") {
+    // values 0,0,0,0,10: mu=2, sigma_pop=4 -> z(10)=2.0 exactly; at
+    // threshold 2.0 (strict >) nothing flags, at 1.9 the spike does
+    val df = (Seq.fill(4)(0.0) :+ 10.0).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("g", "id", "v")
+    assert(Profile.outliers(df, "g", "v", 2.0).count() == 0)
+    val hits = Profile.outliers(df, "g", "v", 1.9)
+      .select("id").as[Long].collect().toSeq
+    assert(hits == Seq(4L))
+  }
 }

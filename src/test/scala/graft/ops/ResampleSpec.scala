@@ -59,4 +59,55 @@ class ResampleSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Double, Boolean)].collect().toSeq
     assert(got == Seq((1L, 5L, 1.5, true)))
   }
+
+  test("fillInterpolate lerps interior gaps, keeps observations") {
+    val rows = Seq(
+      (1L, ts(0), 2.0),                  // bucket 0
+      (1L, ts(3), 8.0),                  // buckets 1,2 missing: 4.0, 6.0
+      (1L, ts(5), 7.0))                  // bucket 4 missing: 7.5
+      .toDF("user_id", "ts", "value")
+    val got = Resample.fillInterpolate(rows, "user_id", "ts", "value", 3600L)
+      .orderBy("user_id", "bucket")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 2.0, true), (1L, 1L, 4.0, false), (1L, 2L, 6.0, false),
+      (1L, 3L, 8.0, true), (1L, 4L, 7.5, false), (1L, 5L, 7.0, true)),
+      got.toString)
+  }
+
+  test("fillInterpolate exact-midpoint rounding is HALF_UP") {
+    // endpoints 1.0001 and 1.0002 one gap apart: midpoint 1.00015
+    // must surface as 1.0002 (HALF_UP), not banker's/binary-down
+    val rows = Seq((1L, ts(0), 1.0001), (1L, ts(2), 1.0002))
+      .toDF("user_id", "ts", "value")
+    val got = Resample.fillInterpolate(rows, "user_id", "ts", "value", 3600L)
+      .orderBy("bucket").as[(Long, Long, Double, Boolean)].collect()
+    assert(got(1) == ((1L, 1L, 1.0002, false)), got.mkString(","))
+  }
+
+  test("property: fillInterpolate agrees with fillGaps on observed rows and grid shape") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 5).flatMap { k =>
+      (0 until 2 + rnd.nextInt(15)).map { _ =>
+        (k.toLong, ts(rnd.nextInt(48)), rnd.nextInt(100).toDouble)
+      }
+    }.toDF("user_id", "ts", "value")
+    val ff = Resample.fillGaps(rows, "user_id", "ts", "value", 3600L)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val li = Resample.fillInterpolate(rows, "user_id", "ts", "value", 3600L)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(ff.map(r => (r._1, r._2, r._4)).sorted ==
+      li.map(r => (r._1, r._2, r._4)).sorted, "same grid + observed flags")
+    val obsF = ff.filter(_._4).sortBy(r => (r._1, r._2))
+    val obsL = li.filter(_._4).sortBy(r => (r._1, r._2))
+    assert(obsF == obsL, "observed values identical")
+    // every interpolated value sits within [min, max] of its key's
+    // observations (lerp can't overshoot)
+    val bounds = li.filter(_._4).groupBy(_._1)
+      .map { case (k, g) => k -> (g.map(_._3).min, g.map(_._3).max) }
+    li.filterNot(_._4).foreach { r =>
+      val (lo, hi) = bounds(r._1)
+      assert(r._3 >= lo - 1e-9 && r._3 <= hi + 1e-9, r.toString)
+    }
+  }
 }
