@@ -731,6 +731,66 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** Entity resolution end-to-end: [[graft.ops.FuzzyJoin]] typo-pair
+    * generation composed with [[graft.ops.Dedup.clusterPairs]]
+    * transitive closure — each record (100 clean customers + their
+    * deterministic dirty variants) resolves to a canonical entity id
+    * (min reachable record id). The oracle brute-forces the pair set
+    * AND the closure (recursive CTE), so both the blocking
+    * completeness and the min-label propagation replay.
+    */
+  private def qEntityResolution(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer").filter(col("c_custkey") <= 100)
+    val clean = cust.select(col("c_custkey").as("rec_id"),
+      col("c_name").as("name"))
+    val dirty = cust.select((col("c_custkey") + 1000000L).as("rec_id"),
+      concat(
+        expr("substring(c_name, 1, cast(c_custkey % 18 as int))"),
+        expr("substring(c_name, cast(c_custkey % 18 + 2 as int), 18)"))
+        .as("name"))
+    val recs = clean.union(dirty)
+    val pairs = graft.ops.FuzzyJoin.editDistanceJoin(
+        recs.select(col("rec_id").as("id_a"), col("name").as("na")),
+        recs.select(col("rec_id").as("id_b"), col("name").as("nb")),
+        "na", "nb", maxDist = 1)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val clusters = graft.ops.Dedup.clusterPairs(pairs)
+    recs.join(clusters, recs("rec_id") === clusters("id"), "left")
+      .select(col("rec_id"),
+        coalesce(col("cluster_id"), col("rec_id")).as("entity_id"))
+      .orderBy(col("rec_id"))
+  }
+
+  /** Native session windows in batch (q_win_session_native): the
+    * built-in `session_window(ts, gap)` operator — the same gap
+    * semantics the streaming path uses ([[graft.streaming
+    * .EventStreams.sessionWindowCounts]]), oracle-gated here because
+    * streaming entries can't be. Spark merges events while the next
+    * arrival is STRICTLY inside (last + gap), so the oracle's session
+    * break is `diff >= gap` — one tick stricter than the lag-based
+    * q_win_session (`>`), which replays its own
+    * flatMapGroupsWithState engine exactly.
+    */
+  private def qSessionNative(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.sessionWindowCounts(
+        ev(s, d).filter(col("user_id") < 50), gap = "30 minutes")
+      .select(col("user_id"),
+        date_format(col("session_start"), TS).as("session_start"),
+        date_format(col("session_end"), TS).as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Temperature-flattened source mixing ([[graft.ops.Corpus
+    * .temperatureMix]]): T = 2 sampling shares over documents.source
+    * with a 1000-doc budget — sqrt is IEEE-exact, so the whole plan
+    * replays bit-for-bit.
+    */
+  private def qCorpusTemperature(s: SparkSession, d: String): DataFrame =
+    graft.ops.Corpus.temperatureMix(t(s, d, "documents"), "source",
+        exponent = 0.5, totalBudget = 1000L)
+      .orderBy(col("source"))
+
   /** Analytic window-function suite — the offset/distribution
     * functions (lag, lead, ntile, percent_rank, cume_dist) over
     * per-customer order history; the ranking family (row_number) is
@@ -1432,6 +1492,26 @@ object SparkEntry {
     val emb = t(s, d, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
       .select(col("query_id"), col("corpus_id"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** MMR diversity re-rank ([[graft.ops.Similarity.mmrRerank]]):
+    * exact top-8 shortlist per probe, then the greedy
+    * relevance-vs-redundancy selection at lambda = 0.7, k = 3. The
+    * oracle unrolls all three greedy steps (argmax windows with the
+    * same 4dp-rounded marginal and id tie-break), so the SELECTION
+    * SEQUENCE replays, not just the final set.
+    */
+  private def qSimMmr(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val short = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 8)
+      .join(emb.select(col("vec_id").as("corpus_id"), col("embedding")),
+        Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        col("cosine").as("score"), col("embedding"))
+    Similarity.mmrRerank(short, lambda = 0.7, k = 3)
+      .select(col("query_id"), col("corpus_id"),
+        col("rank").cast("long").as("rank"), col("mmr"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -2246,6 +2326,9 @@ object SparkEntry {
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_validate" -> qValidate,
     "q_pagerank" -> qPagerank,
+    "q_entity_resolution" -> qEntityResolution,
+    "q_win_session_native" -> qSessionNative,
+    "q_corpus_temperature" -> qCorpusTemperature,
     "q_agg_cube" -> qAggCube,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_scd2" -> qScd2,
@@ -2293,6 +2376,7 @@ object SparkEntry {
     "q_semdedup" -> qSemdedup,
     "q_sim_topk" -> qSimTopK,
     "q_sim_sq_topk" -> qSimSqTopK,
+    "q_sim_mmr" -> qSimMmr,
     "q_sim_filtered_topk" -> qSimFilteredTopK,
     "q_sim_knn_label" -> qSimKnnLabel,
     "q_sim_trunc_topk" -> qSimTruncTopK,
@@ -2826,6 +2910,32 @@ object SparkEntry {
       "WITH terms AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents), tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM terms GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word), n AS (SELECT COUNT(*) AS n_docs FROM documents) SELECT doc_id, word, tfidf, rank FROM (SELECT tf.doc_id, tf.word, round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf, ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) DESC, tf.word) AS rank FROM tf JOIN df USING (word) CROSS JOIN n) WHERE rank <= 3 ORDER BY doc_id, rank",
     "q_sim_topk" ->
       "SELECT query_id, corpus_id, rank FROM (SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank FROM embeddings c, embeddings p WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id) WHERE rank <= 5 ORDER BY query_id, rank",
+    // MMR: all three greedy steps unrolled — each an argmax window
+    // over the 4dp-rounded marginal with the id tie-break
+    "q_sim_mmr" ->
+      ("WITH cand AS (SELECT query_id, corpus_id, score, emb FROM (" +
+        "SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])), 4) AS score, " +
+        "CAST(c.embedding AS DOUBLE[]) AS emb, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS r " +
+        "FROM embeddings c, embeddings p WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id) WHERE r <= 8), " +
+        "s1 AS (SELECT query_id, corpus_id, emb, mmr FROM (" +
+        "SELECT query_id, corpus_id, emb, floor(0.7 * score * 10000 + 0.5) / 10000 AS mmr, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY floor(0.7 * score * 10000 + 0.5) / 10000 DESC, corpus_id) AS r FROM cand) WHERE r = 1), " +
+        "s2 AS (SELECT query_id, corpus_id, emb, mmr FROM (" +
+        "SELECT c.query_id, c.corpus_id, c.emb, " +
+        "floor((0.7 * c.score - 0.3 * list_cosine_similarity(c.emb, s1.emb)) * 10000 + 0.5) / 10000 AS mmr, " +
+        "ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY floor((0.7 * c.score - 0.3 * list_cosine_similarity(c.emb, s1.emb)) * 10000 + 0.5) / 10000 DESC, c.corpus_id) AS r " +
+        "FROM cand c JOIN s1 ON c.query_id = s1.query_id AND c.corpus_id <> s1.corpus_id) WHERE r = 1), " +
+        "s3 AS (SELECT query_id, corpus_id, mmr FROM (" +
+        "SELECT c.query_id, c.corpus_id, " +
+        "floor((0.7 * c.score - 0.3 * greatest(list_cosine_similarity(c.emb, s1.emb), list_cosine_similarity(c.emb, s2.emb))) * 10000 + 0.5) / 10000 AS mmr, " +
+        "ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY floor((0.7 * c.score - 0.3 * greatest(list_cosine_similarity(c.emb, s1.emb), list_cosine_similarity(c.emb, s2.emb))) * 10000 + 0.5) / 10000 DESC, c.corpus_id) AS r " +
+        "FROM cand c JOIN s1 ON c.query_id = s1.query_id JOIN s2 ON c.query_id = s2.query_id " +
+        "WHERE c.corpus_id <> s1.corpus_id AND c.corpus_id <> s2.corpus_id) WHERE r = 1) " +
+        "SELECT query_id, corpus_id, CAST(1 AS BIGINT) AS rank, mmr FROM s1 " +
+        "UNION ALL SELECT query_id, corpus_id, 2, mmr FROM s2 " +
+        "UNION ALL SELECT query_id, corpus_id, 3, mmr FROM s3 ORDER BY query_id, rank"),
     // SQ int8: quantization is HALF_UP arithmetic on the corpus-wide
     // (lo, hi), so the oracle recomputes the SAME codes and ranks by
     // the SAME dequantized inner products — an exact ANN replay
@@ -3274,6 +3384,42 @@ object SparkEntry {
         "i3 AS (SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS s FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst), " +
         "r3 AS (SELECT d.node, d.outdeg, round((1.0 - 0.85) / nn.n + 0.85 * COALESCE(i3.s, 0), 8) AS rank FROM deg d LEFT JOIN i3 ON d.node = i3.node, nn) " +
         "SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"),
+    // entity resolution: brute-force levenshtein pairs + recursive-CTE
+    // transitive closure (min reachable id); singletons resolve to
+    // themselves via the left join
+    "q_entity_resolution" ->
+      ("WITH RECURSIVE recs AS (SELECT c_custkey AS rec_id, c_name AS name FROM customer WHERE c_custkey <= 100 " +
+        "UNION ALL SELECT c_custkey + 1000000, " +
+        "substring(c_name, 1, CAST(c_custkey % 18 AS INT)) || substring(c_name, CAST(c_custkey % 18 + 2 AS INT), 18) " +
+        "FROM customer WHERE c_custkey <= 100), " +
+        "p AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b FROM recs a, recs b " +
+        "WHERE a.rec_id < b.rec_id AND levenshtein(a.name, b.name) <= 1), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+        "reach(src, dst) AS (SELECT src, dst FROM e UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src), " +
+        "cl AS (SELECT src AS id, least(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src) " +
+        "SELECT rec_id, COALESCE(cl.cluster_id, rec_id) AS entity_id " +
+        "FROM recs LEFT JOIN cl ON recs.rec_id = cl.id ORDER BY rec_id"),
+    // native session_window semantics: merge while next < last + gap,
+    // so the break condition is diff >= gap (one tick stricter than
+    // the lag-engine replay in q_win_session); end = last + gap
+    "q_win_session_native" ->
+      (s"WITH x AS (SELECT user_id, ts, event_id, CASE WHEN LAG(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WHERE user_id < 50 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "y AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sn FROM x) " +
+        s"SELECT user_id, strftime(MIN(ts), '$TSD') AS session_start, " +
+        s"strftime(MAX(ts) + INTERVAL 30 MINUTE, '$TSD') AS session_end, " +
+        "COUNT(*) AS n_events FROM y GROUP BY user_id, sn ORDER BY user_id, session_start"),
+    // temperature mixing: sqrt is IEEE-exact, shares 6dp, integer
+    // target via floor(x + 0.5)
+    "q_corpus_temperature" ->
+      ("WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "round(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents), 6) AS share FROM documents GROUP BY source), " +
+        "w AS (SELECT source, n_docs, share, sqrt(share) AS wt FROM c), " +
+        "t AS (SELECT SUM(wt) AS wsum FROM w) " +
+        "SELECT source, n_docs, share, round(wt / t.wsum, 6) AS sampled_share, " +
+        "CAST(floor(round(wt / t.wsum, 6) * 1000 + 0.5) AS BIGINT) AS target_n, " +
+        "round(CAST(floor(round(wt / t.wsum, 6) * 1000 + 0.5) AS BIGINT) / CAST(n_docs AS DOUBLE), 4) AS epochs " +
+        "FROM w, t ORDER BY source"),
     "q_window_suite" ->
       ("SELECT o_custkey, o_orderkey, " +
         "round(LAG(o_totalprice, 1) OVER w, 2) AS prev_price, " +

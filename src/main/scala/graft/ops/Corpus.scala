@@ -261,6 +261,46 @@ object Corpus {
       .drop("__total")
   }
 
+  /** Temperature-flattened source mixing (the multilingual/multi-
+    * source sampling rule of XLM-R / GPT-3 / Llama data recipes):
+    * sampling share of source s ∝ (n_s/N)^exponent, exponent = 1/T —
+    * T > 1 flattens the natural distribution toward uniform so
+    * low-resource sources are up-sampled. Output per source:
+    * natural share, flattened sampled share, the doc target for a
+    * given budget, and `epochs` (target/n — > 1 means the source
+    * repeats, the standard small-source trade-off surfaced rather
+    * than hidden).
+    *
+    * One count aggregate (sources-sized frame) + a one-row total
+    * broadcast — no document ever shuffles. exponent = 0.5 (T = 2,
+    * the canonical setting) computes via sqrt, which is IEEE-exact on
+    * every engine; other exponents use pow (libm-dependent at the
+    * last ulp — fine for planning, but pin 0.5 where bit-replay
+    * matters). Shares round to 6dp before the target arithmetic so
+    * the plan is engine-replayable.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String,
+                     exponent: Double, totalBudget: Long): DataFrame = {
+    require(exponent > 0 && exponent <= 1, "exponent in (0, 1]")
+    require(totalBudget > 0, "budget must be positive")
+    val totalDf = df.agg(count(lit(1)).cast("double").as("__total"))
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(totalDf))
+      .withColumn("share", round(col("n_docs") / col("__total"), 6))
+      .withColumn("__w",
+        if (exponent == 0.5) sqrt(col("share"))
+        else pow(col("share"), exponent))
+    val wSum = counts.agg(sum(col("__w")).as("__wsum"))
+    counts.crossJoin(broadcast(wSum))
+      .withColumn("sampled_share", round(col("__w") / col("__wsum"), 6))
+      .withColumn("target_n",
+        floor(col("sampled_share") * totalBudget + 0.5).cast("long"))
+      .withColumn("epochs", round(col("target_n") / col("n_docs"), 4))
+      .select(col(sourceCol), col("n_docs"), col("share"),
+        col("sampled_share"), col("target_n"), col("epochs"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling", simplified to
     * unigrams): per document, the mean token log-likelihood ratio

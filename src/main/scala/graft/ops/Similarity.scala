@@ -324,6 +324,87 @@ object Similarity {
     * groupBy(group, dim) formulation would shuffle dim rows per
     * VECTOR. Returns (groupCol, centroid: array<double>).
     */
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick k results trading relevance against redundancy —
+    * pick argmax of `lambda * score - (1 - lambda) * max cosine to
+    * the already-picked set`. THE standard diversity pass between ANN
+    * shortlisting and answer assembly in a RAG stack (near-duplicate
+    * chunks otherwise fill every slot).
+    *
+    * Scale shape: MMR is sequential in k BY DEFINITION, so the right
+    * distribution axis is queries, not candidates — ONE groupByKey
+    * exchange on query_id, then each group runs the O(k * n * dim)
+    * greedy loop executor-locally over its bounded ANN shortlist
+    * (n = tens-to-hundreds). Candidates carry (id, score, vector);
+    * nothing else moves.
+    *
+    * Determinism: the marginal score rounds to 4dp BEFORE each argmax
+    * and ties break on corpus id, so selection replays across
+    * engines.
+    *
+    * Input columns: (queryCol, idCol, scoreCol, vecCol). Output:
+    * (queryCol, idCol, rank, mmr).
+    */
+  def mmrRerank(candidates: DataFrame, lambda: Double, k: Int,
+                queryCol: String = "query_id", idCol: String = "corpus_id",
+                scoreCol: String = "score",
+                vecCol: String = "embedding"): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, "lambda in [0, 1]")
+    require(k >= 1, "k >= 1")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den > 0) dp / den else 0.0
+    }
+    // floor-quantized 4dp, NOT round(): lambda (1dp) times a 4dp score
+    // lands on EXACT .xxxx5 midpoints where decimal-string round
+    // (Spark/BigDecimal) and binary round (other engines) disagree;
+    // floor of the bit-identical double is deterministic everywhere
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    // decimal-exact complement: a SQL replay writes the literal
+    // (1 - lambda) as a decimal, whose nearest double differs from
+    // the Scala expression 1.0 - lambda by 1 ulp — enough to flip a
+    // floor at the structural midpoints above
+    val oneMinus = java.math.BigDecimal.ONE
+      .subtract(java.math.BigDecimal.valueOf(lambda)).doubleValue()
+    candidates
+      .select(col(queryCol).cast("long"), col(idCol).cast("long"),
+        col(scoreCol).cast("double"), col(vecCol).cast("array<double>"))
+      .as[(Long, Long, Double, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val remaining = scala.collection.mutable.ArrayBuffer(it.toArray: _*)
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+        var rank = 1
+        while (rank <= k && remaining.nonEmpty) {
+          var bestIdx = -1; var bestMmr = 0.0; var bestId = 0L
+          var i = 0
+          while (i < remaining.length) {
+            val r = remaining(i)
+            val pen = if (chosen.isEmpty) 0.0
+              else chosen.map(s => cos(r._4, s)).max
+            val mmr = r4(lambda * r._3 - oneMinus * pen)
+            if (bestIdx < 0 || mmr > bestMmr ||
+                (mmr == bestMmr && r._2 < bestId)) {
+              bestIdx = i; bestMmr = mmr; bestId = r._2
+            }
+            i += 1
+          }
+          out += ((q, bestId, rank, bestMmr))
+          chosen += remaining(bestIdx)._4
+          remaining.remove(bestIdx)
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF(queryCol, idCol, "rank", "mmr")
+  }
+
   def meanPool(df: DataFrame, groupCol: String, vecCol: String,
                dim: Int): DataFrame = {
     val spark = df.sparkSession

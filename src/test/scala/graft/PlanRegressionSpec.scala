@@ -567,4 +567,26 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("MMR distributes over queries: one group exchange, no candidate cross join") {
+    val p = plan("q_sim_mmr")
+    // the greedy loop runs inside MapGroups after a query_id exchange
+    assert(p.contains("MapGroups"), p)
+    assert("hashpartitioning\\(query_id".r.findFirstIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("native session windows aggregate partially before the user exchange") {
+    val p = plan("q_win_session_native")
+    assert(p.contains("SessionWindow") || p.contains("session_window"), p)
+    assert("hashpartitioning\\(.*user_id".r.findFirstIn(p).nonEmpty, p)
+  }
+
+  test("temperature mix never shuffles documents — counts only") {
+    val p = plan("q_corpus_temperature")
+    val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shufflePart.contains("text#"),
+      s"only (source, count) rows may move:\n$shufflePart")
+    assert(p.contains("partial_count") || p.contains("count"), p)
+  }
 }

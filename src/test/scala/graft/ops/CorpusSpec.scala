@@ -162,6 +162,31 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       ("wiki", 2L, 0.2, 0.0, 0.0)))  // not in target mix -> drop
   }
 
+  test("temperatureMix flattens toward uniform; exponent=1 keeps natural shares") {
+    val docs = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 100).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val t2 = Corpus.temperatureMix(docs, "source", 0.5, 100L)
+      .orderBy("source")
+      .select("source", "n_docs", "share", "sampled_share", "target_n", "epochs")
+      .as[(String, Long, Double, Double, Long, Double)].collect().toSeq
+    // sqrt(0.8)/(sqrt(0.8)+sqrt(0.2)) = 2/3: the 80/20 natural mix
+    // flattens to ~67/33, so the small source is up-sampled (>1 epoch)
+    val big = t2.find(_._1 == "big").get
+    val small = t2.find(_._1 == "small").get
+    assert(big._4 < big._3 && small._4 > small._3, t2.toString)
+    assert(math.abs(big._4 - 2.0 / 3) < 1e-3 &&
+      math.abs(small._4 - 1.0 / 3) < 1e-3, t2.toString)
+    assert(small._6 > 1.0 && big._6 < 1.0, "small repeats, big subsamples")
+    assert(t2.map(_._5).sum >= 99 && t2.map(_._5).sum <= 101,
+      "targets fill the budget up to rounding")
+    val t1 = Corpus.temperatureMix(docs, "source", 1.0, 100L)
+      .select("source", "share", "sampled_share")
+      .as[(String, Double, Double)].collect()
+    t1.foreach { case (_, sh, ss) =>
+      assert(math.abs(sh - ss) < 1e-6, "exponent 1 = natural mix") }
+  }
+
   test("decontaminate drops exact and whitespace/case-variant eval matches") {
     val train = Seq(
       (1L, "The quick brown fox"),

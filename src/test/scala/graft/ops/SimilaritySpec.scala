@@ -263,6 +263,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> Seq(2.0, 4.0)), s"got $got")
   }
 
+  test("mmrRerank demotes a near-duplicate of the top result") {
+    // candidate 2 is almost identical to top-scored candidate 1 —
+    // plain score order would rank it second; MMR must prefer the
+    // orthogonal candidate 3 at rank 2
+    val cands = Seq(
+      (7L, 1L, 0.99, Array(1.0, 0.0, 0.0)),
+      (7L, 2L, 0.98, Array(0.999, 0.04, 0.0)),
+      (7L, 3L, 0.60, Array(0.0, 1.0, 0.0)))
+      .toDF("query_id", "corpus_id", "score", "embedding")
+    val got = Similarity.mmrRerank(cands, lambda = 0.5, k = 3)
+      .orderBy("rank").select("corpus_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L, 2L), got.toString)
+  }
+
+  test("mmrRerank: lambda=1 is pure score order; truncates at the candidate count") {
+    val cands = Seq(
+      (1L, 10L, 0.5, Array(1.0, 0.0)),
+      (1L, 11L, 0.9, Array(1.0, 0.0)))
+      .toDF("query_id", "corpus_id", "score", "embedding")
+    val got = Similarity.mmrRerank(cands, lambda = 1.0, k = 5)
+      .orderBy("rank").select("corpus_id", "rank")
+      .as[(Long, Int)].collect().toSeq
+    assert(got == Seq((11L, 1), (10L, 2)), got.toString)
+  }
+
+  test("mmrRerank ties break on corpus id, groups stay independent") {
+    val cands = Seq(
+      (1L, 5L, 0.8, Array(1.0, 0.0)), (1L, 3L, 0.8, Array(0.0, 1.0)),
+      (2L, 9L, 0.7, Array(1.0, 0.0)))
+      .toDF("query_id", "corpus_id", "score", "embedding")
+    val got = Similarity.mmrRerank(cands, lambda = 0.7, k = 2)
+      .orderBy("query_id", "rank")
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1), (1L, 5L, 2), (2L, 9L, 1)), got.toString)
+  }
+
   test("meanPool is partition-invariant (partial aggregation merges)") {
     val df = (1 to 100)
       .map(i => ((i % 4).toLong, Array(i.toFloat, (i * 2).toFloat)))
