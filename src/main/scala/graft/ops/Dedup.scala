@@ -718,7 +718,8 @@ object Dedup {
     */
   def clusterPairs(pairs: DataFrame,
                    idA: String = "id_a", idB: String = "id_b",
-                   maxRounds: Int = 64): DataFrame = {
+                   maxRounds: Int = 64,
+                   localEdgeCap: Long = 1000000L): DataFrame = {
     require(maxRounds > 0, "maxRounds must be positive")
     // pair generation upstream may be expensive (LSH, crossJoin
     // kernels) — pin the edge set so each propagation round reads the
@@ -727,6 +728,46 @@ object Dedup {
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .cache()
+    // Small-graph shortcut: a HIGH-DIAMETER small graph (entity-
+    // resolution chains) costs log2(diameter) distributed rounds of
+    // pure job overhead, while the whole edge set fits in a bounded
+    // driver buffer (cap x 16 bytes). Union-find with min-id roots
+    // computes the IDENTICAL min-label closure in one pass. Long ids
+    // only (the repo-wide id convention); anything else — or any
+    // graph bigger than the cap — takes the distributed loop, which
+    // is the 100-TB path.
+    val integralIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val nEdges = edges.count() // also materializes the cache
+    if (integralIds && nEdges <= localEdgeCap) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      edges.collect().foreach { row =>
+        val a = find(row.getLong(0)); val b = find(row.getLong(1))
+        if (a != b) { val root = math.min(a, b)
+          parent(math.max(a, b)) = root; parent(root) = root }
+        else parent(a) = a
+      }
+      val ids = parent.keys.toArray.sorted
+      val out = edges.sparkSession.createDataFrame(
+        java.util.Arrays.asList(ids.map(i =>
+          org.apache.spark.sql.Row(i, find(i))): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      edges.unpersist()
+      return out
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
     var round = 0

@@ -63,6 +63,11 @@ object FuzzyJoin {
   def editDistanceJoin(left: DataFrame, right: DataFrame,
                        leftCol: String, rightCol: String,
                        maxDist: Int): DataFrame = {
+    // the output carries every column of both sides — overlapping
+    // names would make them unreferenceable downstream
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both have: $overlap")
     val l = left.filter(col(leftCol).isNotNull)
       .withColumn("__variant",
         explode(deleteVariants(col(leftCol), maxDist)))

@@ -38,8 +38,8 @@ object Validate {
   def unique(df: DataFrame, column: String): DataFrame = {
     val dups = df.groupBy(col(column))
       .agg(count(lit(1)).as("__n"))
-      .agg(count(lit(1)).as("n_keys"),
-        sum(when(col("__n") > 1, col("__n")).otherwise(0L)).as("n_violations"))
+      .agg(sum(when(col("__n") > 1, col("__n")).otherwise(0L))
+        .as("n_violations"))
     df.agg(count(lit(1)).as("n_rows")).crossJoin(dups)
       .select(lit("unique").as("check"), lit(column).as("col_name"),
         col("n_rows"), col("n_violations"),

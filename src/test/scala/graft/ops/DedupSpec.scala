@@ -299,7 +299,8 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // label propagation — checkpointed lineage must keep plans shallow
     // enough to converge without deep-plan/stack blowups
     val pairs = (0L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.clusterPairs(pairs).as[(Long, Long)].collect()
+    val labels = Dedup.clusterPairs(pairs, localEdgeCap = 0)
+      .as[(Long, Long)].collect()
     assert(labels.length == 26)
     assert(labels.forall(_._2 == 0L), labels.mkString(","))
   }
@@ -311,7 +312,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // O(log2 511) ~ 9 + change-detection rounds. maxRounds = 16 makes
     // the bound an ASSERTION — exceeding it throws, failing this test.
     val pairs = (0L until 511L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.clusterPairs(pairs, maxRounds = 16)
+    val labels = Dedup.clusterPairs(pairs, maxRounds = 16, localEdgeCap = 0)
       .as[(Long, Long)].collect()
     assert(labels.length == 512)
     assert(labels.forall(_._2 == 0L))
@@ -320,9 +321,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   test("clusterPairs: exceeding maxRounds fails loudly instead of spinning") {
     val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.clusterPairs(pairs, maxRounds = 1).collect()
+      Dedup.clusterPairs(pairs, maxRounds = 1, localEdgeCap = 0).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("property: clusterPairs local union-find equals the distributed loop") {
+    val rnd = new scala.util.Random(41)
+    val pairs = (1 to 120)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val local = Dedup.clusterPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.clusterPairs(pairs, localEdgeCap = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, s"paths diverge: $local vs $dist")
+  }
+
+  test("clusterPairs non-long ids always take the distributed loop") {
+    // string ids can't enter the LongMap union-find; result must still
+    // be the min-label closure (lexicographic least here)
+    val pairs = Seq(("b", "c"), ("a", "b")).toDF("id_a", "id_b")
+    val labels = Dedup.clusterPairs(pairs)
+      .as[(String, String)].collect().toMap
+    assert(labels == Map("a" -> "a", "b" -> "a", "c" -> "a"), labels.toString)
   }
 
   test("clusterPairs result is not left registered in the CacheManager") {
