@@ -731,6 +731,26 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** Personalized PageRank ([[graft.ops.Graph.personalizedPageRank]],
+    * Haveliwala 2002): proximity of every node in the co-purchase
+    * graph to seed customers {1, 2, 3} — the "related to these"
+    * recommendation signal. Same unrolled-CTE oracle as q_pagerank
+    * with the teleport CASE on the seed set.
+    */
+  private def qPagerankPersonalized(s: SparkSession, d: String): DataFrame = {
+    val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
+        seeds = Seq(1L, 2L, 3L), iters = 3)
+      .filter(col("rank") > 0)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("node"))
+  }
+
   /** Entity resolution end-to-end: [[graft.ops.FuzzyJoin]] typo-pair
     * generation composed with [[graft.ops.Dedup.clusterPairs]]
     * transitive closure — each record (100 clean customers + their
@@ -2326,6 +2346,7 @@ object SparkEntry {
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_validate" -> qValidate,
     "q_pagerank" -> qPagerank,
+    "q_pagerank_ppr" -> qPagerankPersonalized,
     "q_entity_resolution" -> qEntityResolution,
     "q_win_session_native" -> qSessionNative,
     "q_corpus_temperature" -> qCorpusTemperature,
@@ -3384,6 +3405,23 @@ object SparkEntry {
         "i3 AS (SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS s FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst), " +
         "r3 AS (SELECT d.node, d.outdeg, round((1.0 - 0.85) / nn.n + 0.85 * COALESCE(i3.s, 0), 8) AS rank FROM deg d LEFT JOIN i3 ON d.node = i3.node, nn) " +
         "SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"),
+    // personalized variant: teleport CASE on the seed set; dangling
+    // mass returns to the seeds (zero here — symmetric graph)
+    "q_pagerank_ppr" ->
+      ("WITH e0 AS (SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
+        "e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "deg AS (SELECT node, CAST(COUNT(e.src) AS DOUBLE) AS outdeg, " +
+        "CASE WHEN node IN (1, 2, 3) THEN CAST(1 AS DOUBLE) / 3 ELSE 0.0 END AS tele " +
+        "FROM nodes LEFT JOIN e ON e.src = node GROUP BY node), " +
+        "r0 AS (SELECT node, outdeg, tele, round(tele, 8) AS rank FROM deg), " +
+        "i1 AS (SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS s FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst), " +
+        "r1 AS (SELECT d.node, d.outdeg, d.tele, round((1.0 - 0.85) * d.tele + 0.85 * COALESCE(i1.s, 0), 8) AS rank FROM deg d LEFT JOIN i1 ON d.node = i1.node), " +
+        "i2 AS (SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS s FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst), " +
+        "r2 AS (SELECT d.node, d.outdeg, d.tele, round((1.0 - 0.85) * d.tele + 0.85 * COALESCE(i2.s, 0), 8) AS rank FROM deg d LEFT JOIN i2 ON d.node = i2.node), " +
+        "i3 AS (SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS s FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst), " +
+        "r3 AS (SELECT d.node, d.outdeg, d.tele, round((1.0 - 0.85) * d.tele + 0.85 * COALESCE(i3.s, 0), 8) AS rank FROM deg d LEFT JOIN i3 ON d.node = i3.node) " +
+        "SELECT node, round(rank, 6) AS rank FROM r3 WHERE rank > 0 ORDER BY node"),
     // entity resolution: brute-force levenshtein pairs + recursive-CTE
     // transitive closure (min reachable id); singletons resolve to
     // themselves via the left join

@@ -36,7 +36,28 @@ object Graph {
     * once (the frame is distinct-ed). Nodes = src ∪ dst.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, damping: Double = 0.85): DataFrame = {
+               iters: Int, damping: Double = 0.85): DataFrame =
+    rankLoop(edges, srcCol, dstCol, iters, damping, seeds = Nil)
+
+  /** Personalized PageRank (topic-sensitive, Haveliwala 2002): the
+    * teleport distribution concentrates on `seeds` instead of being
+    * uniform — r(v) measures proximity to the seed set, the standard
+    * graph-proximity signal for recommendation ("customers related
+    * to these") and seed-expansion labeling. Same per-iteration shape
+    * as [[pageRank]]; dangling mass also returns to the seeds (the
+    * teleport distribution, as in the standard formulation), so
+    * total mass stays 1.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: Seq[Long], iters: Int,
+                           damping: Double = 0.85): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    rankLoop(edges, srcCol, dstCol, iters, damping, seeds.distinct)
+  }
+
+  private def rankLoop(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int, damping: Double,
+                       seeds: Seq[Long]): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
     // null endpoints carry no graph meaning and would otherwise
     // create a phantom null node on one side only
@@ -52,10 +73,17 @@ object Graph {
       .localCheckpoint()
     val n = deg.count()
     require(n > 0, "empty graph")
-    val base = (1.0 - damping) / n
+    // teleport distribution: uniform 1/n (classic), or 1/|seeds| on
+    // the seed set and 0 elsewhere (personalized) — a codegen row
+    // expression, no seed join
+    val tele: org.apache.spark.sql.Column =
+      if (seeds.isEmpty) lit(1.0 / n)
+      else when(col("node").isin(seeds.map(Long.box): _*),
+        lit(1.0 / seeds.size)).otherwise(lit(0.0))
+    val oneMinusD = 1.0 - damping
 
     var ranks = deg.select(col("node"), col("outdeg"),
-      round(lit(1.0 / n), 8).as("rank")).localCheckpoint()
+      round(tele, 8).as("rank")).localCheckpoint()
     for (_ <- 1 to iters) {
       // one-row dangling-mass aggregate, broadcast by construction
       val dangling = ranks.filter(col("outdeg") === 0)
@@ -67,8 +95,8 @@ object Graph {
         .join(contribs, deg("node") === contribs("dst"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"), col("outdeg"),
-          round(lit(base) + lit(damping) *
-            (coalesce(col("__in"), lit(0.0)) + col("__dm") / n), 8)
+          round(lit(oneMinusD) * tele + lit(damping) *
+            (coalesce(col("__in"), lit(0.0)) + col("__dm") * tele), 8)
             .as("rank"))
         .localCheckpoint()
     }

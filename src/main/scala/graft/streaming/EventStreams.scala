@@ -311,6 +311,74 @@ object EventStreams {
       }
   }
 
+  case class AnomalyState(count: Long, mean: Double, m2: Double,
+                          buf: List[AnomalyEv])
+  case class AnomalyEv(t: Long, id: Long, v: Double)
+  case class AnomalyHit(event_type: String, event_id: Long,
+                        ts: java.sql.Timestamp, value: Double, z: Double,
+                        n_prior: Long)
+
+  /** STREAMING per-key z-score anomaly detection — the online form of
+    * [[graft.ops.Profile.outliers]]: each event is scored against the
+    * Welford running statistics of every STRICTLY-EARLIER event of its
+    * key (event-time order, ties on event_id), and flags when
+    * `|v - mean| > z * sigma_pop` once at least `minN` prior events
+    * exist. Buffer-then-evaluate (the [[funnelStream]] discipline):
+    * events buffer until the watermark passes their timestamp, then
+    * finalize in (ts, id) order — so scoring order, and therefore
+    * every emitted z, is EXACT under out-of-order arrival and
+    * independent of micro-batch boundaries. An arrival-order fold
+    * would score the same stream differently per run.
+    *
+    * State per key is three numbers (count, mean, M2) plus the pending
+    * buffer, which the watermark bounds to the feed's event-time
+    * disorder — O(1) amortized, never corpus-sized. Input must carry
+    * `withWatermark("ts", ...)`. Exactness holds for arrivals at or
+    * above the watermark (its contract domain); an event arriving
+    * BELOW it folds into the statistics late and in arrival order —
+    * the standard best-effort watermark semantics, same as every
+    * other watermarked operator here.
+    */
+  def anomalyStream(events: Dataset[Event], zThreshold: Double,
+                    minN: Long = 30L): Dataset[AnomalyHit] = {
+    import events.sparkSession.implicits._
+    require(zThreshold > 0, "threshold must be positive")
+    require(minN >= 2, "need at least 2 prior events for a stddev")
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, AnomalyHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[Event], state: GroupState[AnomalyState]) =>
+          var st = state.getOption.getOrElse(AnomalyState(0L, 0.0, 0.0, Nil))
+          rows.foreach { e =>
+            st = st.copy(buf = AnomalyEv(e.ts.getTime, e.event_id, e.value) :: st.buf)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, pending) = st.buf.partition(_.t <= wm)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyHit]
+          var (count, mean, m2) = (st.count, st.mean, st.m2)
+          ripe.sortBy(e => (e.t, e.id)).foreach { e =>
+            if (count >= minN) {
+              val sigma = math.sqrt(m2 / count)
+              if (sigma > 0 && math.abs(e.v - mean) > zThreshold * sigma)
+                out += AnomalyHit(key, e.id, new java.sql.Timestamp(e.t),
+                  e.v, math.floor((e.v - mean) / sigma * 10000 + 0.5) / 10000,
+                  count)
+            }
+            count += 1
+            val d = e.v - mean
+            mean += d / count
+            m2 += d * (e.v - mean)
+          }
+          st = AnomalyState(count, mean, m2, pending)
+          state.update(st)
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(pending.map(_.t).min + 1, wm + 1))
+          out.iterator
+      }
+  }
+
   /** Watermarked stream-stream join (purchase attribution): each view
     * joined to purchases by the same user within `horizon` AFTER the
     * view. Both sides carry watermarks and the join condition bounds

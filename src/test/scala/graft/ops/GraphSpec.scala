@@ -43,6 +43,30 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(once == duped)
   }
 
+  test("personalized pagerank concentrates mass near the seed") {
+    // symmetric pair {1,2}, seed {1}: tele = (1, 0)
+    // r1 = (0.15, 0.85); r2 = (0.15 + 0.85*0.85, 0.85*0.15)
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r1 = Graph.personalizedPageRank(e, "src", "dst", Seq(1L), iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r1(1L) - 0.15) < 1e-6 && math.abs(r1(2L) - 0.85) < 1e-6, r1.toString)
+    val r2 = Graph.personalizedPageRank(e, "src", "dst", Seq(1L), iters = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r2(1L) - 0.8725) < 1e-6 && math.abs(r2(2L) - 0.1275) < 1e-6, r2.toString)
+    assert(math.abs(r2.values.sum - 1.0) < 1e-6)
+  }
+
+  test("personalized pagerank: dangling mass returns to the seeds") {
+    // seed 1 -> 2, 2 is a sink: dangling mass teleports back to seed 1
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(e, "src", "dst", Seq(1L), iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-5, s"mass leaked: ${r.values.sum}")
+    assert(r(1L) > r(2L), "seed keeps more mass than the sink")
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(e, "src", "dst", Nil, 3))
+  }
+
   test("empty graph and bad iteration counts rejected") {
     intercept[IllegalArgumentException](
       Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"),
