@@ -20,6 +20,27 @@ object SparkEntry {
   private val TS = "yyyy-MM-dd HH:mm:ss"
   private val TSD = "%Y-%m-%d %H:%M:%S" // duckdb strftime equivalent
 
+  /** Shared oracle fragment: the langid prediction CASE (identical to
+    * q_text_langid's replay) joined to gold labels and reduced to the
+    * confusion matrix — the prefix both q_eval_* oracles append CTEs
+    * to (ends mid-WITH).
+    */
+  private val evalLangCm: String =
+    "WITH s AS (SELECT doc_id, " +
+      "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['the','and','of','is','with'], x))) AS s_en, " +
+      "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['el','la','los','que','de'], x))) AS s_es, " +
+      "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['le','la','les','est','une'], x))) AS s_fr, " +
+      "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['der','die','das','und','ist'], x))) AS s_de, " +
+      "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(['的','是','了','在','我'], x))) AS s_zh " +
+      "FROM documents), " +
+      "p AS (SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und' " +
+      "WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en' " +
+      "WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es' " +
+      "WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr' " +
+      "WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de' ELSE 'zh' END AS pred FROM s), " +
+      "j AS (SELECT d.lang AS gold, p.pred FROM documents d JOIN p USING (doc_id)), " +
+      "cm AS (SELECT gold, pred, COUNT(*) AS n FROM j GROUP BY gold, pred), "
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -419,6 +440,49 @@ object SparkEntry {
     TextAnalysis.annotateStats(t(s, d, "documents"), "text")
       .select(col("doc_id"), col("lang_pred"))
       .orderBy(col("doc_id"))
+
+  /** Labeled join both langid eval entries score: the heuristic
+    * prediction against the fixture's gold lang column.
+    */
+  private def langIdEvalFrame(s: SparkSession, d: String): DataFrame = {
+    val pred = TextAnalysis.annotateStats(t(s, d, "documents"), "text")
+      .select(col("doc_id"), col("lang_pred"))
+    t(s, d, "documents").select(col("doc_id"), col("lang").as("gold"))
+      .join(pred, Seq("doc_id"))
+  }
+
+  /** Classifier evaluation ([[graft.ops.Eval.classificationReport]]):
+    * the langid heuristic scored against gold labels — per-class
+    * precision/recall/F1 + support, pure count arithmetic replayed
+    * exactly by the oracle (prediction CASE + confusion counts).
+    */
+  private def qEvalLangId(s: SparkSession, d: String): DataFrame =
+    graft.ops.Eval.classificationReport(langIdEvalFrame(s, d),
+        "gold", "lang_pred")
+      .orderBy(col("label"))
+
+  /** Cohen's kappa ([[graft.ops.Eval.cohenKappa]]) for the same
+    * labeler — chance-corrected agreement, the "better than chance?"
+    * gate every heuristic labeler should pass before its labels are
+    * trusted for curation.
+    */
+  private def qEvalKappa(s: SparkSession, d: String): DataFrame =
+    graft.ops.Eval.cohenKappa(langIdEvalFrame(s, d), "gold", "lang_pred")
+
+  /** Ranking evaluation ([[graft.ops.Eval.rankingMetrics]]): the SQ
+    * int8 ranking scored against the exact float ranking — recall@5
+    * and MRR per probe. BOTH rankings replay exactly in DuckDB (SQ
+    * codes are pure arithmetic), so even the metric values are
+    * hash-gated, unlike the recall-contract ANN entries.
+    */
+  private def qEvalRanking(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    graft.ops.Eval.rankingMetrics(
+        graft.ops.Sq.search(emb, probes, k = 5),
+        Similarity.bruteForceTopK(emb, probes, 5), k = 5)
+      .orderBy(col("query_id"))
+  }
 
   private def qTokensBpe(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
@@ -2366,6 +2430,9 @@ object SparkEntry {
     "q_text_quality_lr" -> qTextQualityLr,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_langid" -> qTextLangId,
+    "q_eval_langid" -> qEvalLangId,
+    "q_eval_kappa" -> qEvalKappa,
+    "q_eval_ranking" -> qEvalRanking,
     "q_text_tokens_bpe" -> qTokensBpe,
     "q_text_vocab" -> qTextVocab,
     "q_text_tfidf" -> qTextTfidf,
@@ -2647,6 +2714,45 @@ object SparkEntry {
         "FROM documents) SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und' WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en' WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es' WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr' WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de' ELSE 'zh' END AS lang_pred FROM s ORDER BY doc_id"),
     "q_text_tokens_bpe" ->
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents ORDER BY doc_id",
+    // classifier evaluation: langid CASE replay joined to gold labels,
+    // then pure confusion-matrix arithmetic
+    "q_eval_langid" ->
+      (evalLangCm +
+        "labels AS (SELECT gold AS label FROM cm UNION SELECT pred FROM cm), " +
+        "tp AS (SELECT gold AS label, SUM(n) AS tp FROM cm WHERE gold = pred GROUP BY gold), " +
+        "g AS (SELECT gold AS label, SUM(n) AS gn FROM cm GROUP BY gold), " +
+        "pr AS (SELECT pred AS label, SUM(n) AS pn FROM cm GROUP BY pred) " +
+        "SELECT label, CAST(COALESCE(gn, 0) AS BIGINT) AS support, " +
+        "round(CASE WHEN pn > 0 THEN CAST(COALESCE(tp, 0) AS DOUBLE) / pn END, 4) AS \"precision\", " +
+        "round(CASE WHEN gn > 0 THEN CAST(COALESCE(tp, 0) AS DOUBLE) / gn END, 4) AS recall, " +
+        "round(CASE WHEN pn > 0 AND gn > 0 AND COALESCE(tp, 0) > 0 THEN CAST(2 * tp AS DOUBLE) / CAST(pn + gn AS DOUBLE) END, 4) AS f1 " +
+        "FROM labels LEFT JOIN tp USING (label) LEFT JOIN g USING (label) LEFT JOIN pr USING (label) ORDER BY label"),
+    "q_eval_kappa" ->
+      (evalLangCm +
+        "t AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM cm), " +
+        "a AS (SELECT CAST(COALESCE(SUM(n), 0) AS DOUBLE) AS aa FROM cm WHERE gold = pred), " +
+        "g AS (SELECT gold AS label, SUM(n) AS gn FROM cm GROUP BY gold), " +
+        "pr AS (SELECT pred AS label, SUM(n) AS pn FROM cm GROUP BY pred), " +
+        "ch AS (SELECT CAST(COALESCE(SUM(g.gn * pr.pn), 0) AS DOUBLE) AS gp FROM g JOIN pr USING (label)) " +
+        "SELECT CAST(t.nn AS BIGINT) AS n, round(a.aa / t.nn, 4) AS accuracy, " +
+        "round(CASE WHEN 1.0 - ch.gp / (t.nn * t.nn) > 0 THEN (a.aa / t.nn - ch.gp / (t.nn * t.nn)) / (1.0 - ch.gp / (t.nn * t.nn)) END, 4) AS kappa " +
+        "FROM t, a, ch"),
+    // ranking evaluation: BOTH rankings replay (SQ arithmetic + exact
+    // cosine), then per-query recall@5 + MRR over the (q, item) join
+    "q_eval_ranking" ->
+      ("WITH r AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS lo, CAST(max(list_max(embedding)) AS DOUBLE) AS hi FROM embeddings), " +
+        "st AS (SELECT lo, hi, (hi - lo) / 255 AS step FROM r), " +
+        "f AS (SELECT query_id, corpus_id, rank FROM (SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_dot_product(list_transform(CAST(c.embedding AS DOUBLE[]), x -> st.lo + round((least(greatest(x, st.lo), st.hi) - st.lo) / st.step) * st.step), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank " +
+        "FROM embeddings c, embeddings p, st WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id) WHERE rank <= 5), " +
+        "tt AS (SELECT query_id, corpus_id, rank FROM (SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank " +
+        "FROM embeddings c, embeddings p WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id) WHERE rank <= 5), " +
+        "j AS (SELECT COALESCE(f.query_id, tt.query_id) AS q, f.rank AS fr, tt.rank AS tr FROM f FULL OUTER JOIN tt ON f.query_id = tt.query_id AND f.corpus_id = tt.corpus_id) " +
+        "SELECT q AS query_id, " +
+        "round(SUM(CASE WHEN fr IS NOT NULL AND tr IS NOT NULL THEN CAST(1 AS DOUBLE) ELSE 0 END) / 5, 4) AS recall_at_5, " +
+        "round(COALESCE(MAX(CASE WHEN tr = 1 THEN CAST(1 AS DOUBLE) / fr END), 0), 4) AS mrr " +
+        "FROM j GROUP BY q ORDER BY query_id"),
     "q_text_vocab" ->
       "SELECT word, COUNT(*) AS n FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 100",
     // C4 line rules over the deterministic lined fixture (8-token
