@@ -441,6 +441,20 @@ object SparkEntry {
       .select(col("doc_id"), col("lang_pred"))
       .orderBy(col("doc_id"))
 
+  /** Curation-attrition funnel ([[graft.ops.Curation.funnelReport]]):
+    * documents surviving raw -> quality gate -> exact dedup ->
+    * decontamination (eval set = every 97th doc, the
+    * q_corpus_decontaminate fixture), with per-stage share of raw.
+    * One annotation scan + one (hash, id) window; exact count replay.
+    */
+  private def qCorpusFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    graft.ops.Curation.funnelReport(docs, "text", "doc_id",
+        docs.filter(col("doc_id") % 97 === 0), "text",
+        minQuality = 0.6)
+      .orderBy(col("stage_id"))
+  }
+
   /** Labeled join both langid eval entries score: the heuristic
     * prediction against the fixture's gold lang column.
     */
@@ -2433,6 +2447,7 @@ object SparkEntry {
     "q_eval_langid" -> qEvalLangId,
     "q_eval_kappa" -> qEvalKappa,
     "q_eval_ranking" -> qEvalRanking,
+    "q_corpus_funnel" -> qCorpusFunnel,
     "q_text_tokens_bpe" -> qTokensBpe,
     "q_text_vocab" -> qTextVocab,
     "q_text_tfidf" -> qTextTfidf,
@@ -2714,6 +2729,25 @@ object SparkEntry {
         "FROM documents) SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und' WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en' WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es' WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr' WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de' ELSE 'zh' END AS lang_pred FROM s ORDER BY doc_id"),
     "q_text_tokens_bpe" ->
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents ORDER BY doc_id",
+    // curation funnel: stage flags per doc (quality CASE identical to
+    // q_text_stats; min-id-keeper rank with survivors ranked first;
+    // normalized-hash decon vs the every-97th eval set), one count fold
+    "q_corpus_funnel" ->
+      ("WITH ev AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS nh FROM documents WHERE doc_id % 97 = 0), " +
+        "a AS (SELECT doc_id, md5(text) AS eh, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS nh, " +
+        s"round((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END + CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 5 THEN 1.0 ELSE 0.0 END + CASE WHEN round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains($stopList, x))) AS DOUBLE) / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 4) > 0.0 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality " +
+        "FROM documents), " +
+        "q AS (SELECT *, quality >= 0.6 AS qok FROM a), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY eh ORDER BY (CASE WHEN qok THEN 0 ELSE 1 END), doc_id) AS rn FROM q), " +
+        "f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN qok THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+        "CAST(SUM(CASE WHEN qok AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n3, " +
+        "CAST(SUM(CASE WHEN qok AND rn = 1 AND nh NOT IN (SELECT nh FROM ev) THEN 1 ELSE 0 END) AS BIGINT) AS n4 FROM r) " +
+        "SELECT stage_id, stage, n_docs, round(CAST(n_docs AS DOUBLE) / n1, 4) AS pct_of_raw FROM (" +
+        "SELECT CAST(1 AS BIGINT) AS stage_id, 'raw' AS stage, n1 AS n_docs, n1 FROM f " +
+        "UNION ALL SELECT 2, 'quality_gate', n2, n1 FROM f " +
+        "UNION ALL SELECT 3, 'exact_dedup', n3, n1 FROM f " +
+        "UNION ALL SELECT 4, 'decontaminated', n4, n1 FROM f) ORDER BY stage_id"),
     // classifier evaluation: langid CASE replay joined to gold labels,
     // then pure confusion-matrix arithmetic
     "q_eval_langid" ->

@@ -64,4 +64,54 @@ object Curation {
       .filter(col("__rn") === 1)
       .drop("__h", "__rn")
   }
+
+  /** Corpus-attrition funnel: documents surviving each curation stage
+    * (raw -> quality gate -> exact dedup -> decontamination), as the
+    * per-stage report every curation run should publish — attrition
+    * is where silent data loss hides, and a number per stage makes it
+    * reviewable.
+    *
+    * ONE annotation pass computes every stage flag per document
+    * (quality gate; min-id-keeper rank over the text hash — survivors
+    * rank before non-survivors so the keeper is the min-id SURVIVOR;
+    * eval-set membership via the [[Corpus.decontaminate]] normalized
+    * hash against a broadcast eval sketch), then a single aggregate
+    * folds the flags into the four stage counts — documents are
+    * scanned once, the only shuffle is the (hash, id) dedup window on
+    * ~50-byte rows.
+    */
+  def funnelReport(df: DataFrame, textCol: String, idCol: String,
+                   evalDf: DataFrame, evalTextCol: String,
+                   minQuality: Double = 0.6,
+                   langs: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm: Column => Column =
+      c => md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+    val evalHashes = evalDf
+      .select(norm(col(evalTextCol)).as("__nh")).distinct()
+      .withColumn("__in_eval", lit(1))
+    val w = Window.partitionBy(col("__eh"))
+      .orderBy(when(col("__qok"), 0).otherwise(1), col(idCol))
+    val flags = annotate(df, textCol)
+      .withColumn("__qok", keepPredicate(minQuality, langs))
+      .withColumn("__eh", md5(col(textCol)))
+      .withColumn("__nh", norm(col(textCol)))
+      .select(col(idCol), col("__qok"), col("__eh"), col("__nh"))
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(evalHashes), Seq("__nh"), "left")
+      .agg(count(lit(1)).as("n1"),
+        sum(when(col("__qok"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("__qok") && col("__rn") === 1, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("__qok") && col("__rn") === 1 &&
+          col("__in_eval").isNull, 1L).otherwise(0L)).as("n4"))
+    flags.select(expr(
+      "stack(4, CAST(1 AS BIGINT), 'raw', n1, " +
+        "CAST(2 AS BIGINT), 'quality_gate', n2, " +
+        "CAST(3 AS BIGINT), 'exact_dedup', n3, " +
+        "CAST(4 AS BIGINT), 'decontaminated', n4) " +
+        "AS (stage_id, stage, n_docs)"),
+      col("n1").as("__raw"))
+      .select(col("stage_id"), col("stage"), col("n_docs"),
+        round(col("n_docs") / col("__raw"), 4).as("pct_of_raw"))
+  }
 }

@@ -473,4 +473,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Double, Long, Long)].collect().sortBy(_._1).toSeq
     assert(out == Seq(("en", 4.25, 3L, 2L), ("xx", 0.0, 1L, 1L)), s"got $out")
   }
+
+  test("funnelReport stages are monotone and hand-checkable") {
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, good),                 // survives everything
+      (2L, good),                 // exact dup of 1 -> dropped at dedup
+      (3L, "x"),                  // fails the quality gate
+      (4L, good + " extra"),      // survives gate+dedup, IS the eval doc
+      (5L, "the cat sat on the mat with a hat and a bat"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(good + "   extra").toDF("text") // ws-variant of 4
+    val got = Curation.funnelReport(docs, "text", "doc_id", eval_, "text")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._2, r._3)) == Seq(
+      ("raw", 5L), ("quality_gate", 4L), ("exact_dedup", 3L),
+      ("decontaminated", 2L)), got.toString)
+    assert(got.map(_._4) == Seq(1.0, 0.8, 0.6, 0.4))
+    // monotone non-increasing by construction
+    assert(got.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("funnelReport keeper is the min-id SURVIVOR, not a gated-out doc") {
+    // doc 1 fails the gate but shares text shape with doc 2; the
+    // dedup stage must keep 2 (min-id survivor), so counts don't
+    // drop a real survivor because a failed doc 'took' its hash slot
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, "x"), (2L, good), (3L, good)).toDF("doc_id", "text")
+    val got = Curation.funnelReport(docs, "text", "doc_id",
+        Seq.empty[String].toDF("text"), "text")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._2, r._3)) == Seq(
+      ("raw", 3L), ("quality_gate", 2L), ("exact_dedup", 1L),
+      ("decontaminated", 1L)), got.toString)
+  }
 }
