@@ -86,9 +86,14 @@ object Eval {
 
   /** Per-query ranking quality of `found` against the exact `truth`
     * list (both (queryCol, itemCol, rankCol) frames, rank 1-based):
-    * recall@k (found top-k ∩ truth top-k / k) and MRR@k (reciprocal
-    * rank of the FIRST found item that is the truth's #1). One
-    * (query, item) equi-join of two top-k-sized lists.
+    * recall@k (found top-k ∩ truth top-k / |truth top-k|) and MRR@k
+    * (reciprocal rank of the FIRST found item that is the truth's
+    * #1). The recall denominator is the query's ACTUAL truth-list
+    * size, so a query with fewer than k true neighbors (small or
+    * filtered corpus) can still reach recall 1; a query appearing
+    * only on the found side (no truth rows at all) falls back to /k,
+    * yielding 0 rather than 0/0. One (query, item) equi-join of two
+    * top-k-sized lists.
     */
   def rankingMetrics(found: DataFrame, truth: DataFrame, k: Int,
                      queryCol: String = "query_id",
@@ -105,7 +110,11 @@ object Eval {
       .groupBy(col("__q").as(queryCol))
       .agg(
         round(sum(when(col("__fr").isNotNull && col("__tr").isNotNull, 1.0)
-          .otherwise(0.0)) / k, 4).as(s"recall_at_$k"),
+          .otherwise(0.0)) /
+          coalesce(
+            when(sum(when(col("__tr").isNotNull, 1L).otherwise(0L)) > 0,
+              sum(when(col("__tr").isNotNull, 1L).otherwise(0L))),
+            lit(k.toLong)), 4).as(s"recall_at_$k"),
         round(coalesce(
           max(when(col("__tr") === 1, lit(1.0) / col("__fr"))),
           lit(0.0)), 4).as("mrr"))

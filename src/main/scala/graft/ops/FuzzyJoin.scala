@@ -56,9 +56,17 @@ object FuzzyJoin {
 
   /** Join `left` and `right` where
     * `levenshtein(left(leftCol), right(rightCol)) <= maxDist`.
-    * Output: every column of both sides (caller projects) plus `dist`.
-    * Both key columns must be non-null (null keys match nothing, as
-    * in SQL equality).
+    * Output: every column of both sides plus `dist`, with exact
+    * brute-force multiplicity — duplicated input rows each produce
+    * their pair, because the blocking runs over DISTINCT key strings
+    * and the verified key pairs are equi-joined back onto the
+    * original frames. Both key columns must be non-null (null keys
+    * match nothing, as in SQL equality).
+    *
+    * Scale note: only the two key-string columns ever enter the
+    * variant exchange and the candidate dedup — wide payload columns
+    * (document text, blobs) ride the final equi-joins untouched, so
+    * callers may pass wide rows safely (plan-guarded).
     */
   def editDistanceJoin(left: DataFrame, right: DataFrame,
                        leftCol: String, rightCol: String,
@@ -68,18 +76,27 @@ object FuzzyJoin {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"left/right column names must be disjoint, both have: $overlap")
-    val l = left.filter(col(leftCol).isNotNull)
+    // phase 1: candidate generation over distinct KEY STRINGS only.
+    // The variant fan-out, its equi-join, and the shared-variant
+    // dedup all carry two short strings — never the callers' payload.
+    val lk = left.select(col(leftCol)).filter(col(leftCol).isNotNull)
+      .distinct()
       .withColumn("__variant",
         explode(deleteVariants(col(leftCol), maxDist)))
-    val r = right.filter(col(rightCol).isNotNull)
+    val rk = right.select(col(rightCol)).filter(col(rightCol).isNotNull)
+      .distinct()
       .withColumn("__variant",
         explode(deleteVariants(col(rightCol), maxDist)))
-    l.join(r, "__variant")
+    val pairs = lk.join(rk, "__variant")
       .drop("__variant")
       // a pair sharing k variants appears k times: distinct BEFORE the
       // levenshtein verify so each candidate is checked once
       .distinct()
       .withColumn("dist", levenshtein(col(leftCol), col(rightCol)))
       .filter(col("dist") <= maxDist)
+    // phase 2: verified key pairs rejoin the original frames — plain
+    // hash equi-joins on the key strings, preserving brute-force join
+    // multiplicity exactly
+    left.join(pairs, Seq(leftCol)).join(right, Seq(rightCol))
   }
 }

@@ -34,12 +34,21 @@ object Graph {
     *         + danglingMass/N).
     * `edges` rows are (srcCol, dstCol) pairs; duplicate edges count
     * once (the frame is distinct-ed). Nodes = src ∪ dst.
+    *
+    * `checkpointDir`: by default each iteration pins its rank vector
+    * with `localCheckpoint` — executor-memory blocks, fast, but a
+    * lost executor on a real cluster kills the job instead of
+    * recomputing (lineage is truncated). For long cluster runs pass a
+    * reliable checkpoint directory (HDFS/object store): iterations
+    * then use `checkpoint()`, surviving executor loss at the cost of
+    * a write+read per round.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
-               materialized: Boolean = false): DataFrame =
+               materialized: Boolean = false,
+               checkpointDir: Option[String] = None): DataFrame =
     rankLoop(edges, srcCol, dstCol, iters, damping, seeds = Nil,
-      materialized)
+      materialized, checkpointDir)
 
   /** Personalized PageRank (topic-sensitive, Haveliwala 2002): the
     * teleport distribution concentrates on `seeds` instead of being
@@ -53,16 +62,26 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, srcCol: String,
                            dstCol: String, seeds: Seq[Long], iters: Int,
                            damping: Double = 0.85,
-                           materialized: Boolean = false): DataFrame = {
+                           materialized: Boolean = false,
+                           checkpointDir: Option[String] = None): DataFrame = {
     require(seeds.nonEmpty, "need at least one seed")
     rankLoop(edges, srcCol, dstCol, iters, damping, seeds.distinct,
-      materialized)
+      materialized, checkpointDir)
   }
 
   private def rankLoop(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int, damping: Double, seeds: Seq[Long],
-                       materialized: Boolean = false): DataFrame = {
+                       materialized: Boolean = false,
+                       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
+    // pin = the per-round lineage truncation. localCheckpoint (the
+    // default) stores blocks in executor memory: fast in local[N] and
+    // fine for short jobs, but NOT recomputable after executor loss.
+    // With a reliable dir the blocks go to the checkpoint filesystem
+    // and survive failures — the cluster-grade option for long runs.
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // null endpoints carry no graph meaning and would otherwise
     // create a phantom null node on one side only.
     // Cost profile (measured at 30x): building + dedup'ing the edge
@@ -81,14 +100,13 @@ object Graph {
     // replays per consumer.
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    val e = if (materialized) e0 else e0.distinct().localCheckpoint()
+    val e = if (materialized) e0 else pin(e0.distinct())
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // (node, outdeg) with 0 for sinks — the dangling set
-    val deg = nodes.join(outdeg, nodes("node") === outdeg("src"), "left")
-      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-      .localCheckpoint()
+    val deg = pin(nodes.join(outdeg, nodes("node") === outdeg("src"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
     val n = deg.count()
     require(n > 0, "empty graph")
     // teleport distribution: uniform 1/n (classic), or 1/|seeds| on
@@ -100,8 +118,8 @@ object Graph {
         lit(1.0 / seeds.size)).otherwise(lit(0.0))
     val oneMinusD = 1.0 - damping
 
-    var ranks = deg.select(col("node"), col("outdeg"),
-      round(tele, 8).as("rank")).localCheckpoint()
+    var ranks = pin(deg.select(col("node"), col("outdeg"),
+      round(tele, 8).as("rank")))
     for (_ <- 1 to iters) {
       // one-row dangling-mass aggregate, broadcast by construction
       val dangling = ranks.filter(col("outdeg") === 0)
@@ -109,14 +127,13 @@ object Graph {
       val contribs = e.join(ranks, e("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("outdeg")).as("__in"))
-      ranks = deg
+      ranks = pin(deg
         .join(contribs, deg("node") === contribs("dst"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"), col("outdeg"),
           round(lit(oneMinusD) * tele + lit(damping) *
             (coalesce(col("__in"), lit(0.0)) + col("__dm") * tele), 8)
-            .as("rank"))
-        .localCheckpoint()
+            .as("rank")))
     }
     ranks.select(col("node"), col("rank"))
   }

@@ -137,8 +137,11 @@ object Profile {
     val cuts = df.agg(percentile(col(valueCol).cast("double"),
         typedLit((1 until k).map(_.toDouble / k))).as("__c"))
       .head().getSeq[Double](0)
-      .map(c => java.math.BigDecimal.valueOf(c)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      // midpoint-safe 6dp: floor(c*1e6 + 0.5)/1e6 — the same binary
+      // double arithmetic any SQL engine replays with
+      // floor(c*1000000 + 0.5)/1000000, unlike decimal-string
+      // HALF_UP which can disagree within ~1 ulp of a midpoint
+      .map(c => math.floor(c * 1e6 + 0.5) / 1e6)
     val bin = cuts.zipWithIndex.foldRight(lit(k): org.apache.spark.sql.Column) {
       case ((c, i), acc) => when(col(valueCol) <= c, i + 1).otherwise(acc)
     }

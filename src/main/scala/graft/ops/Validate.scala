@@ -20,9 +20,12 @@ object Validate {
 
   private def summary(df: DataFrame, check: String, column: String,
                       violations: org.apache.spark.sql.Column): DataFrame =
+    // coalesce: SUM over zero rows is NULL — an EMPTY table must
+    // report (n_rows=0, n_violations=0, pass=true), not NULL gates
     df.agg(
       count(lit(1)).as("n_rows"),
-      sum(when(violations, 1L).otherwise(0L)).as("n_violations"))
+      coalesce(sum(when(violations, 1L).otherwise(0L)), lit(0L))
+        .as("n_violations"))
       .select(lit(check).as("check"), lit(column).as("col_name"),
         col("n_rows"), col("n_violations"),
         (col("n_violations") === 0).as("pass"))
@@ -38,8 +41,8 @@ object Validate {
   def unique(df: DataFrame, column: String): DataFrame = {
     val dups = df.groupBy(col(column))
       .agg(count(lit(1)).as("__n"))
-      .agg(sum(when(col("__n") > 1, col("__n")).otherwise(0L))
-        .as("n_violations"))
+      .agg(coalesce(sum(when(col("__n") > 1, col("__n")).otherwise(0L)),
+        lit(0L)).as("n_violations"))
     df.agg(count(lit(1)).as("n_rows")).crossJoin(dups)
       .select(lit("unique").as("check"), lit(column).as("col_name"),
         col("n_rows"), col("n_violations"),

@@ -533,6 +533,33 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
       s"candidates must join on the deletion-variant key:\n$p")
   }
 
+  test("fuzzy join variant exchange carries key strings only — payload never rides it") {
+    // the candidate stage (variant fan-out + equi-join + pair dedup)
+    // must run over distinct key strings: a wide payload column (a
+    // document text, a blob) may ride only the final join-back
+    // exchanges, never any exchange that carries the __variant key
+    import spark.implicits._
+    val left = (1 to 50).map(i => (i.toLong, s"name$i", "x" * 500))
+      .toDF("lid", "ls", "payload")
+    val right = (1 to 50).map(i => (i.toLong + 1000, s"name${i + 1}"))
+      .toDF("rid", "rs")
+    val out = graft.ops.FuzzyJoin.editDistanceJoin(left, right, "ls", "rs", 1)
+    val formatted = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted explain prints one block per operator with its Input
+    // columns — inspect every exchange block
+    val blocks = formatted.split("\n\n").toSeq
+    val exchanges = blocks.filter(b =>
+      b.linesIterator.nextOption().exists(l =>
+        l.matches("""\(\d+\) (Exchange|BroadcastExchange).*""")))
+    val variantExchanges = exchanges.filter(_.contains("__variant"))
+    assert(variantExchanges.nonEmpty,
+      s"expected the candidate join to exchange on __variant:\n$formatted")
+    variantExchanges.foreach(b =>
+      assert(!b.contains("payload"),
+        s"payload must not ride the variant exchange:\n$b"))
+  }
+
   test("pagerank truncates per-iteration lineage — final plan reads the checkpoint") {
     // the rank vector is consumed twice per round (dangling aggregate
     // + contribution join): WITHOUT the per-iteration localCheckpoint

@@ -60,4 +60,16 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got == Map(1L -> ((1.0, 0.5)), 2L -> ((0.0, 0.0))), got.toString)
   }
+  test("rankingMetrics divides recall by the actual truth-list size") {
+    // q1 has only ONE true neighbor (|truth| < k): finding it must be
+    // recall 1.0, not 1/k; q2 appears only on the found side, so the
+    // denominator falls back to k and recall is 0 (not 0/0)
+    val truth = Seq((1L, 10L, 1)).toDF("query_id", "corpus_id", "rank")
+    val found = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("query_id", "corpus_id", "rank")
+    val got = Eval.rankingMetrics(found, truth, k = 3)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((1.0, 1.0)), 2L -> ((0.0, 0.0))), got.toString)
+  }
 }

@@ -79,4 +79,15 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+  test("duplicate input rows preserve brute-force join multiplicity") {
+    // the blocking runs over DISTINCT key strings and rejoins the
+    // original frames, so two identical left rows each produce their
+    // pair — exactly what a crossJoin + levenshtein would emit
+    val l = Seq((1L, "abc"), (1L, "abc"), (2L, "abd")).toDF("lid", "ls")
+    val r = Seq((9L, "abc")).toDF("rid", "rs")
+    val got = FuzzyJoin.editDistanceJoin(l, r, "ls", "rs", 1)
+      .select("lid", "rid", "dist").as[(Long, Long, Int)]
+      .collect().toSeq.sorted
+    assert(got == Seq((1L, 9L, 0), (1L, 9L, 0), (2L, 9L, 1)), got.toString)
+  }
 }

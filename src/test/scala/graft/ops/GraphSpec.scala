@@ -74,4 +74,22 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       ranks(Seq.empty[(Long, Long)], 3))
   }
+  test("reliable checkpoint path computes the same ranks as localCheckpoint") {
+    // checkpointDir swaps the per-round lineage pin from executor-
+    // memory localCheckpoint (fast, dies with an executor) to a
+    // recoverable filesystem checkpoint (the cluster-grade option for
+    // long jobs); the rounded recurrence is identical either way
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val a = Graph.pageRank(e, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val b = Graph.pageRank(e, "src", "dst", iters = 3,
+      checkpointDir = Some(dir)).as[(Long, Double)].collect().toMap
+    assert(a == b, s"$a vs $b")
+    val q = Graph.personalizedPageRank(e, "src", "dst", Seq(1L), iters = 2)
+      .as[(Long, Double)].collect().toMap
+    val pR = Graph.personalizedPageRank(e, "src", "dst", Seq(1L), iters = 2,
+      checkpointDir = Some(dir)).as[(Long, Double)].collect().toMap
+    assert(q == pR, s"$q vs $pR")
+  }
 }

@@ -62,4 +62,17 @@ class ValidateSpec extends AnyFunSuite with SparkTestBase {
       Seq("check", "col_name", "n_rows", "n_violations", "pass"))
     intercept[IllegalArgumentException](Validate.report(Nil))
   }
+  test("empty table passes every check with zero violations, not NULL gates") {
+    val empty = rows.filter($"id" < 0)
+    assert(row(Validate.notNull(empty, "fk")) ==
+      ("not_null", "fk", 0L, 0L, true))
+    assert(row(Validate.unique(empty, "id")) ==
+      ("unique", "id", 0L, 0L, true))
+    assert(row(Validate.inRange(empty, "v", 0, 1)) ==
+      ("in_range", "v", 0L, 0L, true))
+    assert(row(Validate.matchesRegex(empty, "name", "^x$")) ==
+      ("matches_regex", "name", 0L, 0L, true))
+    assert(row(Validate.fkOrphans(empty, "fk", parent, "pk")) ==
+      ("fk_orphans", "fk", 0L, 0L, true))
+  }
 }
