@@ -866,6 +866,65 @@ object SparkEntry {
       .select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy(col("node"))
 
+  /** Per-node triangle counts ([[graft.ops.Graph.triangleCounts]],
+    * the Suri & Vassilvitskii 2011 degree-ordered wedge join) over
+    * the part co-order graph — parts appearing in the same order are
+    * connected; a part's triangles are co-ordered part pairs that are
+    * ALSO co-ordered with each other, the raw clustering-coefficient
+    * signal of any co-occurrence graph. Counts are exact integers;
+    * the oracle replays the canonical a<b<c three-way join (the
+    * orientation only changes WORK, never the count).
+    */
+  private def qGraphTriangles(s: SparkSession, d: String): DataFrame =
+    graft.ops.Graph.triangleCounts(coOrderPartEdges(s, d, slice = false),
+        "a", "b")
+      .filter(col("n_triangles") > 0)
+      .orderBy(col("node"))
+
+  /** Part co-order edges: parts sharing an order, canonical a < b.
+    * `slice` keeps only every 4th order x every 4th part — the
+    * sparser graph the link-prediction entry runs on (prediction is
+    * interesting when the graph ISN'T near-complete).
+    */
+  private def coOrderPartEdges(s: SparkSession, d: String,
+                               slice: Boolean): DataFrame = {
+    val lp0 = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val lp = (if (slice)
+        lp0.filter(col("l_orderkey") % 4 === 0 && col("l_partkey") % 4 === 0)
+      else lp0).distinct()
+    lp.join(lp.select(col("l_orderkey"), col("l_partkey").as("__p2")),
+        Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("__p2"))
+      .select(col("l_partkey").as("a"), col("__p2").as("b"))
+  }
+
+  /** Common-neighbor link prediction ([[graft.ops.Graph.adamicAdar]],
+    * Adamic & Adar 2003) on the sliced co-order graph: part pairs
+    * NEVER ordered together but sharing >= 2 co-ordered parts, scored
+    * by sum(1/ln(deg(shared))) — the "frequently bought with"
+    * candidate generator. Scores round to 6dp on both engines so
+    * parallel sum order can't leak into the compare.
+    */
+  private def qGraphAdamicAdar(s: SparkSession, d: String): DataFrame =
+    graft.ops.Graph.adamicAdar(coOrderPartEdges(s, d, slice = true),
+        "a", "b", maxMidDegree = 4096, minCommon = 2)
+      .orderBy(col("node_a"), col("node_b"))
+
+  /** Per-group winsorization ([[graft.ops.Profile.winsorize]]): event
+    * values clamped into their type's [p5, p95] band, surfacing only
+    * the rows the clamp moved — outlier TAMING where [[qOutliers]]
+    * is outlier FLAGGING. Cutoffs round midpoint-safe to 6dp on both
+    * engines (the q_prof_bins convention).
+    */
+  private def qWinsorize(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profile.winsorize(
+        ev(s, d).select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", loQ = 0.05, hiQ = 0.95)
+      .filter(col("clamped"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("value_w"))
+      .orderBy(col("event_id"))
+
   /** Entity resolution end-to-end: [[graft.ops.FuzzyJoin]] typo-pair
     * generation composed with [[graft.ops.Dedup.clusterPairs]]
     * transitive closure — each record (100 clean customers + their
@@ -2471,6 +2530,9 @@ object SparkEntry {
     "q_validate" -> qValidate,
     "q_pagerank" -> qPagerank,
     "q_pagerank_ppr" -> qPagerankPersonalized,
+    "q_graph_triangles" -> qGraphTriangles,
+    "q_graph_adamic_adar" -> qGraphAdamicAdar,
+    "q_winsorize" -> qWinsorize,
     "q_entity_resolution" -> qEntityResolution,
     "q_win_session_native" -> qSessionNative,
     "q_corpus_temperature" -> qCorpusTemperature,
@@ -3623,6 +3685,38 @@ object SparkEntry {
         "i3 AS (SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS s FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst), " +
         "r3 AS (SELECT d.node, d.outdeg, d.tele, round((1.0 - 0.85) * d.tele + 0.85 * COALESCE(i3.s, 0), 8) AS rank FROM deg d LEFT JOIN i3 ON d.node = i3.node) " +
         "SELECT node, round(rank, 6) AS rank FROM r3 WHERE rank > 0 ORDER BY node"),
+    // triangle counts: canonical a<b<c three-way join (the engine's
+    // degree ordering changes work, never the exact integer counts)
+    "q_graph_triangles" ->
+      ("WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "n AS (SELECT unnest([x, y, z]) AS node FROM t) " +
+        "SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles " +
+        "FROM n GROUP BY node ORDER BY node"),
+    // adamic-adar: wedge join through capped mids, 6dp-rounded score,
+    // NOT EXISTS drops already-adjacent pairs (prediction = new links)
+    "q_graph_adamic_adar" ->
+      ("WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0 AND l_partkey % 4 = 0), " +
+        "e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "adj AS (SELECT a AS mid, b AS nbr FROM e UNION ALL SELECT b, a FROM e), " +
+        "deg AS (SELECT mid, COUNT(*) AS deg FROM adj GROUP BY mid HAVING COUNT(*) >= 2 AND COUNT(*) <= 4096), " +
+        "w AS (SELECT a1.nbr AS node_a, a2.nbr AS node_b, d.deg FROM adj a1 JOIN adj a2 ON a1.mid = a2.mid JOIN deg d ON d.mid = a1.mid WHERE a1.nbr < a2.nbr), " +
+        "sc AS (SELECT node_a, node_b, CAST(COUNT(*) AS BIGINT) AS n_common, round(SUM(1.0 / ln(deg)), 6) AS adamic_adar FROM w GROUP BY node_a, node_b HAVING COUNT(*) >= 2) " +
+        "SELECT node_a, node_b, n_common, adamic_adar FROM sc " +
+        "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = sc.node_a AND e.b = sc.node_b) " +
+        "ORDER BY node_a, node_b"),
+    // winsorize: midpoint-safe 6dp quantile cutoffs (q_prof_bins
+    // convention), surfacing only rows the clamp moved
+    "q_winsorize" ->
+      ("WITH c AS (SELECT event_type, " +
+        "floor(quantile_cont(CAST(value AS DOUBLE), 0.05) * 1000000 + 0.5) / 1000000 AS lo, " +
+        "floor(quantile_cont(CAST(value AS DOUBLE), 0.95) * 1000000 + 0.5) / 1000000 AS hi " +
+        "FROM events WHERE value IS NOT NULL GROUP BY event_type) " +
+        "SELECT event_id, e.event_type, value, least(greatest(value, lo), hi) AS value_w " +
+        "FROM events e JOIN c ON e.event_type = c.event_type " +
+        "WHERE value IS NOT NULL AND least(greatest(value, lo), hi) <> value " +
+        "ORDER BY event_id"),
     // entity resolution: brute-force levenshtein pairs + recursive-CTE
     // transitive closure (min reachable id); singletons resolve to
     // themselves via the left join

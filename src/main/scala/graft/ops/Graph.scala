@@ -137,4 +137,111 @@ object Graph {
     }
     ranks.select(col("node"), col("rank"))
   }
+
+  /** Canonical undirected edge set: (a, b) with a < b, self-loops and
+    * nulls dropped, duplicates (either direction) collapsed.
+    */
+  private def canonicalEdges(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull &&
+        col("__s") =!= col("__d"))
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .distinct()
+
+  /** Per-node triangle participation counts over an undirected graph
+    * — (node, n_triangles) for every node, 0 for triangle-free nodes.
+    * The clustering signal of a co-occurrence graph (a node's
+    * triangles are its neighbors that also know each other).
+    *
+    * Scale shape — the degree-ordered wedge join (Suri &
+    * Vassilvitskii 2011's MR algorithm; Cohen 2009): edges are
+    * ORIENTED from the lower-(degree, id) endpoint to the higher, and
+    * wedges are enumerated only from each triangle's lowest-ranked
+    * vertex. Oriented out-degree is bounded by O(sqrt(|E|)) for ANY
+    * degree distribution — a hub of degree d contributes wedges only
+    * through its (few) higher-ranked neighbors, so the join never
+    * explodes quadratically on hot nodes the way a naive
+    * common-neighbor self-join does. Three equi-joins total (wedge
+    * build + closing-edge check), all on node/edge keys; counts are
+    * exact integers, so any engine replays them bit-for-bit.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, node) rank: lower -> higher
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("__db")), Seq("b"))
+    val oriented = withDeg.select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")),
+          struct(col("a").as("lo"), col("b").as("hi")))
+          .otherwise(struct(col("b").as("lo"), col("a").as("hi")))
+          .as("__o"))
+      .select(col("__o.lo").as("lo"), col("__o.hi").as("hi"))
+      .localCheckpoint()
+    // wedges from the lowest-ranked vertex x: (x->y1), (x->y2); the
+    // closing edge y1-y2 is checked against the CANONICAL set (its
+    // orientation relative to y1/y2 is unknown, their ids are not)
+    val o2 = oriented.select(col("lo").as("lo2"), col("hi").as("hi2"))
+    val wedges = oriented.join(o2, col("lo") === col("lo2"))
+      .filter(col("hi") < col("hi2"))
+      .select(col("lo").as("x"),
+        col("hi").as("y1"), col("hi2").as("y2"))
+    val tris = wedges.join(e,
+      least(col("y1"), col("y2")) === col("a") &&
+        greatest(col("y1"), col("y2")) === col("b"))
+    val perNode = tris
+      .select(explode(array(col("x"), col("y1"), col("y2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Common-neighbor link prediction (Adamic & Adar 2003): for every
+    * NON-ADJACENT node pair sharing at least `minCommon` neighbors,
+    * the common-neighbor count and the Adamic-Adar score
+    * sum(1 / ln(deg(m))) over shared neighbors m — rarer mutual
+    * friends weigh more. The standard "customers who share suppliers"
+    * / collaborative-filtering candidate generator.
+    *
+    * Scale shape: candidate pairs are enumerated ONLY through shared
+    * neighbors (adj ⋈ adj on the mid node — an equi-join, never an
+    * all-pairs product), and `maxMidDegree` drops hub mids WHOLE
+    * before the wedge join — the minhash maxBucket idiom. The cap is
+    * principled here, not just protective: a degree-10^6 hub
+    * contributes 1/ln(10^6) ≈ 0.07 per pair to a score where a
+    * degree-10 mid contributes 0.43, while generating 10^12 wedges —
+    * the signal-to-cost ratio is the worst in the graph. Scores are
+    * rounded to 6dp so parallel sum order can't leak into the result.
+    */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxMidDegree: Int, minCommon: Int = 1): DataFrame = {
+    require(maxMidDegree >= 2, "maxMidDegree >= 2")
+    require(minCommon >= 1, "minCommon >= 1")
+    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    // undirected adjacency with the mid's degree riding each row
+    val adj = e.select(col("a").as("mid"), col("b").as("nbr"))
+      .union(e.select(col("b").as("mid"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("mid")).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") <= maxMidDegree && col("__deg") >= 2)
+    val slim = adj.join(deg, Seq("mid"))
+    val right = slim.select(col("mid"), col("nbr").as("nbr2"))
+    val scored = slim.join(right, Seq("mid"))
+      .filter(col("nbr") < col("nbr2"))
+      .groupBy(col("nbr").as("node_a"), col("nbr2").as("node_b"))
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(lit(1.0) / log(col("__deg"))), 6).as("adamic_adar"))
+      .filter(col("n_common") >= minCommon)
+    // prediction = NEW links only: drop pairs already adjacent
+    scored.join(e, scored("node_a") === e("a") && scored("node_b") === e("b"),
+      "left_anti")
+  }
 }

@@ -166,6 +166,36 @@ object Profile {
           (sqrt(var_pop(col(colA))) * sqrt(var_pop(col(colB))))), 4)
         .as("pearson_r"))
 
+  /** Per-group winsorization: clamp each value into its group's
+    * [loQ, hiQ] quantile band — the standard heavy-tail taming step
+    * before a mean/variance-based model sees the column (z-score
+    * [[outliers]] FLAGS the tail; winsorize KEEPS the row with the
+    * tail pulled in, the right call when dropping rows would bias the
+    * sample). Output: every input row plus `value_w` (the clamped
+    * value) and `clamped` (whether it moved).
+    *
+    * Scale shape: one groupBy aggregate computes both cutoffs per
+    * group (a groups-sized frame), broadcast back onto the scan; the
+    * clamp itself is a codegen row expression. Cutoffs round
+    * midpoint-safe to 6dp (floor(c*1e6 + 0.5)/1e6) so any engine
+    * replays the same boundaries.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                loQ: Double, hiQ: Double): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "0 <= loQ < hiQ <= 1")
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000d + 0.5d) / 1000000d
+    val cuts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol)).agg(
+        r6(percentile(col(valueCol).cast("double"), lit(loQ))).as("__lo"),
+        r6(percentile(col(valueCol).cast("double"), lit(hiQ))).as("__hi"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("value_w",
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+      .withColumn("clamped", col("value_w") =!= col(valueCol).cast("double"))
+      .drop("__lo", "__hi")
+  }
+
   /** Per-group z-score outliers: rows whose value sits more than
     * `zThreshold` population standard deviations from their group's
     * mean. Two exchanges total: one groupBy for the (mean, stddev)

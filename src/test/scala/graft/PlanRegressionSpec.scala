@@ -560,6 +560,29 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
         s"payload must not ride the variant exchange:\n$b"))
   }
 
+  test("triangle counts ride equi-joins only — no cartesian, no nested loop") {
+    // the degree-ordered wedge join must stay an equi-join chain;
+    // a refactor that loses the orientation or the join keys would
+    // surface as a nested-loop/cartesian on the wedge pair space
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("adamic-adar wedges join on the mid node — no cartesian") {
+    val p = plan("q_graph_adamic_adar")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("winsorize cutoffs broadcast back onto the row scan") {
+    // the groups-sized cutoff frame must broadcast; reversing the
+    // join (shuffling every event row by group) is the de-optimization
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"cutoffs must broadcast:\n$p")
+  }
+
   test("pagerank truncates per-iteration lineage — final plan reads the checkpoint") {
     // the rank vector is consumed twice per round (dangling aggregate
     // + contribution join): WITHOUT the per-iteration localCheckpoint

@@ -92,4 +92,43 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       checkpointDir = Some(dir)).as[(Long, Double)].collect().toMap
     assert(q == pR, s"$q vs $pR")
   }
+  test("triangleCounts: hand-computed counts, zero for triangle-free nodes") {
+    // K4 on {1,2,3,4} minus edge (3,4), plus pendant 5-1: triangles
+    // {1,2,3} and {1,2,4} -> nodes 1,2 in two, 3,4 in one, 5 in none
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (5L, 1L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(e, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 0L),
+      got.toString)
+  }
+
+  test("triangleCounts: duplicate/reversed edges and self-loops don't inflate") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(e, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), got.toString)
+  }
+
+  test("adamicAdar: hand-computed score, adjacent pairs excluded, cap drops hubs") {
+    // path 2-1-3 plus 2-4-3: pairs (2,3) share mids {1,4}, both deg 2
+    // -> score 2/ln(2); (1,4) share mids {2,3} same score; all four
+    // candidate pairs are non-adjacent
+    val e = Seq((1L, 2L), (1L, 3L), (4L, 2L), (4L, 3L)).toDF("src", "dst")
+    val got = Graph.adamicAdar(e, "src", "dst", maxMidDegree = 64)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val s2 = math.floor(2.0 / math.log(2.0) * 1e6 + 0.5) / 1e6
+    assert(got == Map((2L, 3L) -> ((2L, s2)), (1L, 4L) -> ((2L, s2))),
+      got.toString)
+    // adjacent pairs never surface even when they share a neighbor
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.adamicAdar(tri, "src", "dst", maxMidDegree = 64).isEmpty)
+    // the cap drops hub mids whole: star through one hub -> no pairs
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst")
+    assert(Graph.adamicAdar(star, "src", "dst", maxMidDegree = 2).isEmpty)
+    assert(Graph.adamicAdar(star, "src", "dst", maxMidDegree = 3)
+      .count() == 3L)
+  }
 }

@@ -144,4 +144,19 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       .select("id").as[Long].collect().toSeq
     assert(hits == Seq(4L))
   }
+  test("winsorize clamps into the per-group quantile band") {
+    val df = (1 to 100).map(i => ("g", i.toDouble))
+      .toDF("grp", "v")
+    val out = Profile.winsorize(df, "grp", "v", 0.05, 0.95)
+    // p5 of 1..100 = 5.95, p95 = 95.05 (linear interpolation)
+    val clamped = out.filter($"clamped")
+      .select("v", "value_w").as[(Double, Double)].collect().toMap
+    assert(clamped.keySet == (1 to 5).map(_.toDouble).toSet ++
+      (96 to 100).map(_.toDouble).toSet, clamped.toString)
+    assert(clamped(1.0) == 5.95 && clamped(100.0) == 95.05, clamped.toString)
+    // untouched rows keep their value and clamped = false
+    assert(out.filter(!$"clamped").count() == 90)
+    intercept[IllegalArgumentException](
+      Profile.winsorize(df, "grp", "v", 0.9, 0.1))
+  }
 }
