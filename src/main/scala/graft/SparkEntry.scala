@@ -873,10 +873,17 @@ object SparkEntry {
     * ALSO co-ordered with each other, the raw clustering-coefficient
     * signal of any co-occurrence graph. Counts are exact integers;
     * the oracle replays the canonical a<b<c three-way join (the
-    * orientation only changes WORK, never the count).
+    * orientation only changes WORK, never the count). Runs on the
+    * SLICED graph — the full co-order graph is clique-dense by
+    * construction (every order is a clique and parts recur across
+    * ~30 orders each) and measured separately: 19.0 s -> 136.7 s at
+    * sf0.1 -> sf1 = 7.2x for 10x data on the 1.2M-edge-per-replica
+    * full graph (SCALE.md), sub-linear but ~10x every other entry's
+    * budget, so the gated entry bounds its input the way the audit
+    * caps do.
     */
   private def qGraphTriangles(s: SparkSession, d: String): DataFrame =
-    graft.ops.Graph.triangleCounts(coOrderPartEdges(s, d, slice = false),
+    graft.ops.Graph.triangleCounts(coOrderPartEdges(s, d, slice = true),
         "a", "b")
       .filter(col("n_triangles") > 0)
       .orderBy(col("node"))
@@ -909,6 +916,19 @@ object SparkEntry {
     graft.ops.Graph.adamicAdar(coOrderPartEdges(s, d, slice = true),
         "a", "b", maxMidDegree = 4096, minCommon = 2)
       .orderBy(col("node_a"), col("node_b"))
+
+  /** Local clustering coefficient
+    * ([[graft.ops.Graph.clusteringCoefficient]]) on the sliced
+    * co-order graph: per part of degree >= 2, the fraction of its
+    * co-ordered partners that are also co-ordered with each other —
+    * high values mark clique-like purchase clusters (each order's
+    * parts form a clique by construction, so the signal separates
+    * parts living in one order from parts bridging many).
+    */
+  private def qGraphClusteringCoef(s: SparkSession, d: String): DataFrame =
+    graft.ops.Graph.clusteringCoefficient(
+        coOrderPartEdges(s, d, slice = true), "a", "b")
+      .orderBy(col("node"))
 
   /** Per-group winsorization ([[graft.ops.Profile.winsorize]]): event
     * values clamped into their type's [p5, p95] band, surfacing only
@@ -2532,6 +2552,7 @@ object SparkEntry {
     "q_pagerank_ppr" -> qPagerankPersonalized,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_adamic_adar" -> qGraphAdamicAdar,
+    "q_graph_clustering_coef" -> qGraphClusteringCoef,
     "q_winsorize" -> qWinsorize,
     "q_entity_resolution" -> qEntityResolution,
     "q_win_session_native" -> qSessionNative,
@@ -3688,7 +3709,7 @@ object SparkEntry {
     // triangle counts: canonical a<b<c three-way join (the engine's
     // degree ordering changes work, never the exact integer counts)
     "q_graph_triangles" ->
-      ("WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+      ("WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0 AND l_partkey % 4 = 0), " +
         "e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
         "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
         "n AS (SELECT unnest([x, y, z]) AS node FROM t) " +
@@ -3706,6 +3727,19 @@ object SparkEntry {
         "SELECT node_a, node_b, n_common, adamic_adar FROM sc " +
         "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = sc.node_a AND e.b = sc.node_b) " +
         "ORDER BY node_a, node_b"),
+    // clustering coefficient: deg >= 2 nodes, triangle CTE reused,
+    // ratio is exact-integer arithmetic rounded at 6dp
+    "q_graph_clustering_coef" ->
+      ("WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0 AND l_partkey % 4 = 0), " +
+        "e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "adj AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e), " +
+        "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY node HAVING COUNT(*) >= 2), " +
+        "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "n AS (SELECT unnest([x, y, z]) AS node FROM t), " +
+        "tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM n GROUP BY node) " +
+        "SELECT d.node, d.deg, COALESCE(tc.n_triangles, 0) AS n_triangles, " +
+        "round(2.0 * COALESCE(tc.n_triangles, 0) / (d.deg * (d.deg - 1)), 6) AS clustering_coef " +
+        "FROM deg d LEFT JOIN tc USING (node) ORDER BY d.node"),
     // winsorize: midpoint-safe 6dp quantile cutoffs (q_prof_bins
     // convention), surfacing only rows the clamp moved
     "q_winsorize" ->

@@ -131,4 +131,18 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(Graph.adamicAdar(star, "src", "dst", maxMidDegree = 3)
       .count() == 3L)
   }
+  test("clusteringCoefficient: hand-computed ratios, degree-1 nodes excluded") {
+    // K4 minus edge (3,4) plus pendant 5-1: deg(1)=4 (incl pendant),
+    // deg(2)=3, deg(3)=deg(4)=2; triangles 1:2, 2:2, 3:1, 4:1.
+    // coef(1) = 2*2/(4*3) = 1/3, coef(2) = 2*2/(3*2) = 2/3,
+    // coef(3) = coef(4) = 2*1/(2*1) = 1; node 5 (deg 1) excluded
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (5L, 1L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(e, "src", "dst")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((4L, 2L, 0.333333)), 2L -> ((3L, 2L, 0.666667)),
+      3L -> ((2L, 1L, 1.0)), 4L -> ((2L, 1L, 1.0))), got.toString)
+  }
 }
