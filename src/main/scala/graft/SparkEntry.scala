@@ -41,6 +41,22 @@ object SparkEntry {
       "j AS (SELECT d.lang AS gold, p.pred FROM documents d JOIN p USING (doc_id)), " +
       "cm AS (SELECT gold, pred, COUNT(*) AS n FROM j GROUP BY gold, pred), "
 
+  /** Shared oracle fragment: both rankings the q_eval_ranking /
+    * q_eval_ndcg metrics compare — `f` replays the SQ-int8 search
+    * (scalar-quantize each corpus vector with the corpus-wide
+    * [lo, hi] grid, rank by dot product against the FLOAT probe) and
+    * `tt` the exact cosine top-5 (ends mid-WITH).
+    */
+  private val evalRankCtes: String =
+    "WITH r AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS lo, CAST(max(list_max(embedding)) AS DOUBLE) AS hi FROM embeddings), " +
+      "st AS (SELECT lo, hi, (hi - lo) / 255 AS step FROM r), " +
+      "f AS (SELECT query_id, corpus_id, rank FROM (SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, " +
+      "ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_dot_product(list_transform(CAST(c.embedding AS DOUBLE[]), x -> st.lo + round((least(greatest(x, st.lo), st.hi) - st.lo) / st.step) * st.step), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank " +
+      "FROM embeddings c, embeddings p, st WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id) WHERE rank <= 5), " +
+      "tt AS (SELECT query_id, corpus_id, rank FROM (SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, " +
+      "ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank " +
+      "FROM embeddings c, embeddings p WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id) WHERE rank <= 5), "
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -493,6 +509,22 @@ object SparkEntry {
     val emb = t(s, d, "embeddings")
     val probes = emb.filter(col("vec_id") < 10)
     graft.ops.Eval.rankingMetrics(
+        graft.ops.Sq.search(emb, probes, k = 5),
+        Similarity.bruteForceTopK(emb, probes, 5), k = 5)
+      .orderBy(col("query_id"))
+  }
+
+  /** nDCG@5 of the SQ-int8 ranking against the exact cosine ranking
+    * ([[graft.ops.Eval.ndcg]]) — the position-weighted companion to
+    * q_eval_ranking's recall/MRR over the SAME two rankings: graded
+    * relevance from the exact list, log2 discount, per-query ideal
+    * normalization. Both rankings replay exactly in the oracle, so
+    * the metric is hash-gated end to end.
+    */
+  private def qEvalNdcg(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    graft.ops.Eval.ndcg(
         graft.ops.Sq.search(emb, probes, k = 5),
         Similarity.bruteForceTopK(emb, probes, 5), k = 5)
       .orderBy(col("query_id"))
@@ -2531,6 +2563,7 @@ object SparkEntry {
     "q_eval_langid" -> qEvalLangId,
     "q_eval_kappa" -> qEvalKappa,
     "q_eval_ranking" -> qEvalRanking,
+    "q_eval_ndcg" -> qEvalNdcg,
     "q_corpus_funnel" -> qCorpusFunnel,
     "q_text_tokens_bpe" -> qTokensBpe,
     "q_text_vocab" -> qTextVocab,
@@ -2862,20 +2895,23 @@ object SparkEntry {
     // ranking evaluation: BOTH rankings replay (SQ arithmetic + exact
     // cosine), then per-query recall@5 + MRR over the (q, item) join
     "q_eval_ranking" ->
-      ("WITH r AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS lo, CAST(max(list_max(embedding)) AS DOUBLE) AS hi FROM embeddings), " +
-        "st AS (SELECT lo, hi, (hi - lo) / 255 AS step FROM r), " +
-        "f AS (SELECT query_id, corpus_id, rank FROM (SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, " +
-        "ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_dot_product(list_transform(CAST(c.embedding AS DOUBLE[]), x -> st.lo + round((least(greatest(x, st.lo), st.hi) - st.lo) / st.step) * st.step), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank " +
-        "FROM embeddings c, embeddings p, st WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id) WHERE rank <= 5), " +
-        "tt AS (SELECT query_id, corpus_id, rank FROM (SELECT p.vec_id AS query_id, c.vec_id AS corpus_id, " +
-        "ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank " +
-        "FROM embeddings c, embeddings p WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id) WHERE rank <= 5), " +
+      (evalRankCtes +
         "j AS (SELECT COALESCE(f.query_id, tt.query_id) AS q, f.rank AS fr, tt.rank AS tr FROM f FULL OUTER JOIN tt ON f.query_id = tt.query_id AND f.corpus_id = tt.corpus_id) " +
         "SELECT q AS query_id, " +
         "round(SUM(CASE WHEN fr IS NOT NULL AND tr IS NOT NULL THEN CAST(1 AS DOUBLE) ELSE 0 END) / " +
         "COALESCE(CASE WHEN SUM(CASE WHEN tr IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN SUM(CASE WHEN tr IS NOT NULL THEN 1 ELSE 0 END) END, 5), 4) AS recall_at_5, " +
         "round(COALESCE(MAX(CASE WHEN tr = 1 THEN CAST(1 AS DOUBLE) / fr END), 0), 4) AS mrr " +
         "FROM j GROUP BY q ORDER BY query_id"),
+    // nDCG@5 over the same two rankings: graded relevance 6-truth_rank,
+    // log2(rank+1) discount, per-query ideal normalization
+    "q_eval_ndcg" ->
+      (evalRankCtes +
+        "d AS (SELECT f.query_id AS q, SUM(COALESCE(6 - tt.rank, 0) / log2(f.rank + 1)) AS dcg " +
+        "FROM f LEFT JOIN tt ON f.query_id = tt.query_id AND f.corpus_id = tt.corpus_id GROUP BY f.query_id), " +
+        "i AS (SELECT query_id AS q, SUM((6 - rank) / log2(rank + 1)) AS idcg FROM tt GROUP BY query_id) " +
+        "SELECT COALESCE(d.q, i.q) AS query_id, " +
+        "round(CASE WHEN i.idcg > 0 THEN COALESCE(d.dcg, 0) / i.idcg ELSE 0 END, 4) AS ndcg_at_5 " +
+        "FROM d FULL OUTER JOIN i ON d.q = i.q ORDER BY query_id"),
     "q_text_vocab" ->
       "SELECT word, COUNT(*) AS n FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 100",
     // C4 line rules over the deterministic lined fixture (8-token

@@ -119,4 +119,42 @@ object Eval {
           max(when(col("__tr") === 1, lit(1.0) / col("__fr"))),
           lit(0.0)), 4).as("mrr"))
   }
+
+  /** Per-query nDCG@k (Järvelin & Kekäläinen 2002) — the
+    * position-weighted ranking metric [[rankingMetrics]]'s recall
+    * deliberately isn't: a found list that puts the truth's #1 first
+    * scores higher than one that buries it at rank k. Relevance is
+    * graded from the truth ranking (rel = k+1-truth_rank for items in
+    * the truth top-k, 0 otherwise), DCG discounts by log2(rank+1),
+    * and the ideal DCG re-ranks the query's OWN truth list, so a
+    * query with fewer than k true neighbors can still reach 1.
+    * Queries with no truth rows score 0. One (query, item) equi-join
+    * of two top-k lists plus one truth-side aggregate; 4dp rounding
+    * so parallel sum order can't leak into the compare.
+    */
+  def ndcg(found: DataFrame, truth: DataFrame, k: Int,
+           queryCol: String = "query_id",
+           itemCol: String = "corpus_id",
+           rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val f = found.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("__q"), col(itemCol).as("__i"),
+        col(rankCol).cast("long").as("__fr"))
+    val tr = truth.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("__q"), col(itemCol).as("__i"),
+        col(rankCol).cast("long").as("__tr"))
+    val dcg = f.join(tr, Seq("__q", "__i"), "left")
+      .groupBy(col("__q"))
+      .agg(sum(coalesce(lit(k + 1) - col("__tr"), lit(0L)) /
+        log2(col("__fr") + 1)).as("__dcg"))
+    // ideal DCG: the truth list in its own order — (k+1-i)/log2(i+1)
+    val idcg = tr.groupBy(col("__q"))
+      .agg(sum((lit(k + 1) - col("__tr")) /
+        log2(col("__tr") + 1)).as("__idcg"))
+    dcg.join(idcg, Seq("__q"), "full_outer")
+      .select(col("__q").as(queryCol),
+        round(when(col("__idcg") > 0,
+          coalesce(col("__dcg"), lit(0.0)) / col("__idcg"))
+          .otherwise(lit(0.0)), 4).as(s"ndcg_at_$k"))
+  }
 }

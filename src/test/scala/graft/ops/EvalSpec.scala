@@ -72,4 +72,35 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got == Map(1L -> ((1.0, 1.0)), 2L -> ((0.0, 0.0))), got.toString)
   }
+
+  test("ndcg: perfect order 1.0, position swaps discount, misses score 0") {
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2),
+      (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1)).toDF("query_id", "corpus_id", "rank")
+    val found = Seq(
+      (1L, 10L, 1), (1L, 11L, 2),   // q1: truth order exactly -> 1.0
+      (2L, 21L, 1), (2L, 20L, 2),   // q2: swapped -> < 1.0
+      (3L, 99L, 1)                  // q3: nothing relevant -> 0.0
+    ).toDF("query_id", "corpus_id", "rank")
+    val got = Eval.ndcg(found, truth, k = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0, got.toString)
+    // q2: rel(21)=1 at pos 1, rel(20)=2 at pos 2
+    //   dcg  = 1/log2(2) + 2/log2(3); idcg = 2/log2(2) + 1/log2(3)
+    val dcg = 1.0 / 1.0 + 2.0 / (math.log(3) / math.log(2))
+    val idcg = 2.0 / 1.0 + 1.0 / (math.log(3) / math.log(2))
+    assert(got(2L) == math.rint(dcg / idcg * 1e4) / 1e4, got.toString)
+    assert(got(3L) == 0.0, got.toString)
+  }
+
+  test("ndcg: short truth list can still reach 1; empty truth scores 0") {
+    // q1 has ONE true neighbor; finding it first is ideal -> 1.0 even
+    // though k=3. q2 exists only on the found side -> idcg 0 -> 0.0.
+    val truth = Seq((1L, 10L, 1)).toDF("query_id", "corpus_id", "rank")
+    val found = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("query_id", "corpus_id", "rank")
+    val got = Eval.ndcg(found, truth, k = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 0.0), got.toString)
+  }
 }
