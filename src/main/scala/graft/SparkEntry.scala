@@ -962,6 +962,101 @@ object SparkEntry {
         coOrderPartEdges(s, d, slice = true), "a", "b")
       .orderBy(col("node"))
 
+  /** Degree assortativity ([[graft.ops.Graph.degreeAssortativity]],
+    * Newman 2002) of the co-purchase graph — strongly negative by
+    * construction (customers connect only to suppliers: a bipartite
+    * hub-leaf shape), which is exactly the one-number summary that
+    * tells a planner the graph's joins live in the skewed regime.
+    */
+  private def qGraphAssortativity(s: SparkSession, d: String): DataFrame =
+    graft.ops.Graph.degreeAssortativity(
+      stagedCoPurchaseEdges(s, d), "src", "dst")
+
+  /** Drift detection ([[graft.ops.Drift]]): chi-square homogeneity of
+    * the language distribution between the even- and odd-doc_id
+    * corpus halves — the categorical "did the new shard shift?"
+    * monitor. One row: (n_categories, dof, chi2).
+    */
+  private def qDriftChi2(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    graft.ops.Drift.chiSquare(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "lang")
+  }
+
+  /** Population Stability Index ([[graft.ops.Drift.psiBinned]]) of
+    * order totals between the even- and odd-orderkey halves, binned
+    * by the REFERENCE half's deciles (midpoint-safe 6dp cutoffs, the
+    * q_prof_bins convention) — the numeric score-drift monitor,
+    * surfaced per bin so the shifted bin is visible.
+    */
+  private def qDriftPsi(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    graft.ops.Drift.psiBinned(
+        o.filter(col("o_orderkey") % 2 === 0),
+        o.filter(col("o_orderkey") % 2 === 1), "o_totalprice", k = 10)
+      .orderBy(col("bin"))
+  }
+
+  /** Jensen-Shannon divergence ([[graft.ops.Drift.jsDivergence]])
+    * between the two corpus halves' token distributions — the
+    * vocabulary-drift monitor (symmetric, finite on one-sided
+    * tokens, lives in [0, 1] in base 2).
+    */
+  private def qDriftJs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    def toks(half: Int) = docs.filter(col("doc_id") % 2 === half)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    graft.ops.Drift.jsDivergence(toks(0), toks(1), "tok")
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic
+    * ([[graft.ops.Drift.ksStatistic]]) over the same order-total
+    * split — the exact CDF-gap companion to the binned PSI (PSI sees
+    * only the 10 bins; KS sees every value).
+    */
+  private def qDriftKs(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    graft.ops.Drift.ksStatistic(
+      o.filter(col("o_orderkey") % 2 === 0),
+      o.filter(col("o_orderkey") % 2 === 1), "o_totalprice")
+  }
+
+  /** CDC changelog apply ([[graft.ops.Cdc.applyChangeLog]]): a
+    * deterministic full-row-image changelog derived from orders
+    * (version = orderkey; op cycles U/D/I on orderkey % 10; every
+    * 10th-bucket-9 change INSERTS a brand-new 1e6-offset key) folded
+    * onto the customer snapshot — highest version per key wins,
+    * winning deletes drop the key, untouched customers pass through.
+    */
+  private def qCdcApply(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "customer")
+    val changes = t(s, d, "orders").select(
+      when(col("o_orderkey") % 10 === 9, col("o_custkey") + 1000000L)
+        .otherwise(col("o_custkey")).as("c_custkey"),
+      concat(lit("CDC#"),
+        lpad(col("o_orderkey").cast("string"), 9, "0")).as("c_name"),
+      (col("o_custkey") % 25).cast("int").as("c_nationkey"),
+      round(col("o_totalprice") / 100, 2).as("c_acctbal"),
+      lit("CDC").as("c_mktsegment"),
+      col("o_orderkey").as("version"),
+      when(col("o_orderkey") % 10 === 7, "D")
+        .when(col("o_orderkey") % 10 === 9, "I")
+        .otherwise("U").as("op"))
+    graft.ops.Cdc.applyChangeLog(base, changes,
+        keyCols = Seq("c_custkey"), versionCol = "version", opCol = "op")
+      .orderBy(col("c_custkey"))
+  }
+
+  /** PMI collocations ([[graft.ops.TextAnalysis.collocations]],
+    * Church & Hanks 1990): the 50 adjacent word pairs most over-
+    * represented vs their unigram frequencies (count >= 5) — the
+    * phrase-mining/vocab-building step of a tokenizer pipeline.
+    */
+  private def qTextCollocations(s: SparkSession, d: String): DataFrame =
+    graft.ops.TextAnalysis.collocations(
+      t(s, d, "documents"), "text", minCount = 5, topN = 50)
+
   /** Per-group winsorization ([[graft.ops.Profile.winsorize]]): event
     * values clamped into their type's [p5, p95] band, surfacing only
     * the rows the clamp moved — outlier TAMING where [[qOutliers]]
@@ -2586,6 +2681,13 @@ object SparkEntry {
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_adamic_adar" -> qGraphAdamicAdar,
     "q_graph_clustering_coef" -> qGraphClusteringCoef,
+    "q_graph_assortativity" -> qGraphAssortativity,
+    "q_drift_chi2" -> qDriftChi2,
+    "q_drift_psi" -> qDriftPsi,
+    "q_drift_js" -> qDriftJs,
+    "q_drift_ks" -> qDriftKs,
+    "q_cdc_apply" -> qCdcApply,
+    "q_text_collocations" -> qTextCollocations,
     "q_winsorize" -> qWinsorize,
     "q_entity_resolution" -> qEntityResolution,
     "q_win_session_native" -> qSessionNative,
@@ -3776,6 +3878,95 @@ object SparkEntry {
         "SELECT d.node, d.deg, COALESCE(tc.n_triangles, 0) AS n_triangles, " +
         "round(2.0 * COALESCE(tc.n_triangles, 0) / (d.deg * (d.deg - 1)), 6) AS clustering_coef " +
         "FROM deg d LEFT JOIN tc USING (node) ORDER BY d.node"),
+    // assortativity: degree join onto both edge directions, then the
+    // explicit covar/sqrt(var) Pearson (NULL on degree-regular graphs)
+    "q_graph_assortativity" ->
+      ("WITH e AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node), " +
+        "be AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e), " +
+        "x AS (SELECT CAST(da.deg AS DOUBLE) AS dx, CAST(db.deg AS DOUBLE) AS dy FROM be JOIN deg da ON be.a = da.node JOIN deg db ON be.b = db.node) " +
+        "SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges, " +
+        "round(CASE WHEN var_pop(dx) > 0 AND var_pop(dy) > 0 THEN covar_pop(dx, dy) / (sqrt(var_pop(dx)) * sqrt(var_pop(dy))) END, 4) AS assortativity FROM x"),
+    // chi-square drift: per-category expected = row_total*side_total/
+    // grand, both cells' (o-e)^2/e summed — identical cell arithmetic
+    "q_drift_chi2" ->
+      ("WITH r AS (SELECT lang AS category, CAST(COUNT(*) AS BIGINT) AS nr FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY lang), " +
+        "c AS (SELECT lang AS category, CAST(COUNT(*) AS BIGINT) AS nc FROM documents WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY lang), " +
+        "j AS (SELECT COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc FROM r FULL OUTER JOIN c ON r.category = c.category), " +
+        "t AS (SELECT CAST(SUM(nr) AS BIGINT) AS tr, CAST(SUM(nc) AS BIGINT) AS tc FROM j), " +
+        "x AS (SELECT nr, nc, (CAST(nr + nc AS DOUBLE) * tr) / CAST(tr + tc AS DOUBLE) AS er, " +
+        "(CAST(nr + nc AS DOUBLE) * tc) / CAST(tr + tc AS DOUBLE) AS ec FROM j, t) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_categories, CAST(COUNT(*) - 1 AS BIGINT) AS dof, " +
+        "round(SUM(CASE WHEN er > 0 THEN (CAST(nr AS DOUBLE) - er) * (CAST(nr AS DOUBLE) - er) / er ELSE 0 END + " +
+        "CASE WHEN ec > 0 THEN (CAST(nc AS DOUBLE) - ec) * (CAST(nc AS DOUBLE) - ec) / ec ELSE 0 END), 4) AS chi2 FROM x"),
+    // PSI: ref-decile bins with midpoint-safe 6dp cutoffs (q_prof_bins
+    // convention); bin = 1 + #cuts the value exceeds = Spark's
+    // first-match CASE; eps floor keeps one-sided bins finite
+    "q_drift_psi" ->
+      ("WITH cu AS (SELECT [floor(x * 1000000 + 0.5) / 1000000 FOR x IN quantile_cont(CAST(o_totalprice AS DOUBLE), [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])] AS cuts " +
+        "FROM orders WHERE o_orderkey % 2 = 0), " +
+        "b AS (SELECT CAST(1 + len(list_filter(cuts, c -> o_totalprice > c)) AS BIGINT) AS bin, o_orderkey % 2 = 0 AS is_ref " +
+        "FROM orders, cu WHERE o_totalprice IS NOT NULL), " +
+        "g AS (SELECT bin, CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref, " +
+        "CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur FROM b GROUP BY bin), " +
+        "t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr, CAST(SUM(n_cur) AS BIGINT) AS tc FROM g) " +
+        "SELECT bin, n_ref, n_cur, " +
+        "round((greatest(n_cur / tc, 1e-6) - greatest(n_ref / tr, 1e-6)) * ln(greatest(n_cur / tc, 1e-6) / greatest(n_ref / tr, 1e-6)), 6) AS psi_term " +
+        "FROM g, t ORDER BY bin"),
+    // JS divergence: token shares per half, 0*log(0/x)=0 convention,
+    // base-2 so the value lives in [0, 1]
+    "q_drift_js" ->
+      ("WITH ru AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents WHERE doc_id % 2 = 0), " +
+        "cu AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents WHERE doc_id % 2 = 1), " +
+        "r AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS nr FROM ru GROUP BY tok), " +
+        "c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS nc FROM cu GROUP BY tok), " +
+        "j AS (SELECT COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc FROM r FULL OUTER JOIN c ON r.tok = c.tok), " +
+        "t AS (SELECT CAST(SUM(nr) AS BIGINT) AS tr, CAST(SUM(nc) AS BIGINT) AS tc FROM j), " +
+        "s AS (SELECT CASE WHEN tr > 0 THEN CAST(nr AS DOUBLE) / tr ELSE 0 END AS p, " +
+        "CASE WHEN tc > 0 THEN CAST(nc AS DOUBLE) / tc ELSE 0 END AS q FROM j, t) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_categories, " +
+        "round(SUM((CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2)) ELSE 0 END + " +
+        "CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2)) ELSE 0 END) / 2), 4) AS js_divergence FROM s"),
+    // KS: exact two-sample CDF gap — per-distinct-value counts, one
+    // cumulative window, max |F_ref - F_cur|
+    "q_drift_ks" ->
+      ("WITH a AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL), " +
+        "b AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL), " +
+        "ga AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nr FROM a GROUP BY v), " +
+        "gb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nc FROM b GROUP BY v), " +
+        "j AS (SELECT COALESCE(ga.v, gb.v) AS v, COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc FROM ga FULL OUTER JOIN gb ON ga.v = gb.v), " +
+        "w AS (SELECT CAST(SUM(nr) OVER (ORDER BY v) AS BIGINT) AS cr, CAST(SUM(nc) OVER (ORDER BY v) AS BIGINT) AS cc, " +
+        "CAST(SUM(nr) OVER () AS BIGINT) AS tr, CAST(SUM(nc) OVER () AS BIGINT) AS tc FROM j) " +
+        "SELECT MAX(tr) AS n_ref, MAX(tc) AS n_cur, " +
+        "round(MAX(CASE WHEN tr > 0 AND tc > 0 THEN abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc) END), 6) AS ks FROM w"),
+    // CDC apply: highest-version row image wins per key, winning D
+    // drops the key, anti-join passes untouched base rows through
+    "q_cdc_apply" ->
+      ("WITH ch AS (SELECT CASE WHEN o_orderkey % 10 = 9 THEN o_custkey + 1000000 ELSE o_custkey END AS c_custkey, " +
+        "'CDC#' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0') AS c_name, " +
+        "CAST(o_custkey % 25 AS INT) AS c_nationkey, " +
+        "round(o_totalprice / 100, 2) AS c_acctbal, " +
+        "'CDC' AS c_mktsegment, o_orderkey AS version, " +
+        "CASE WHEN o_orderkey % 10 = 7 THEN 'D' WHEN o_orderkey % 10 = 9 THEN 'I' ELSE 'U' END AS op FROM orders), " +
+        "w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY version DESC, op DESC) AS rn FROM ch), " +
+        "win AS (SELECT * FROM w WHERE rn = 1) " +
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer cb " +
+        "WHERE NOT EXISTS (SELECT 1 FROM win WHERE win.c_custkey = cb.c_custkey) " +
+        "UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM win WHERE op <> 'D' " +
+        "ORDER BY c_custkey"),
+    // PMI collocations: bigram/unigram counts, pmi = ln(c*N/(ca*cb)),
+    // top-50 by (4dp pmi, pair) so the cutoff is deterministic
+    "q_text_collocations" ->
+      ("WITH tw AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+        "u AS (SELECT unnest(ws) AS w FROM tw), " +
+        "uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY w), " +
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM u), " +
+        "g AS (SELECT ws[i] AS word_a, ws[i+1] AS word_b FROM tw, LATERAL unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2), " +
+        "gc AS (SELECT word_a, word_b, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY word_a, word_b HAVING COUNT(*) >= 5) " +
+        "SELECT word_a, word_b, gc.c AS n_pair, " +
+        "round(ln(gc.c * n.n / (ca.c * cb.c)), 4) AS pmi " +
+        "FROM gc JOIN uc ca ON ca.w = word_a JOIN uc cb ON cb.w = word_b CROSS JOIN n " +
+        "ORDER BY pmi DESC, word_a, word_b LIMIT 50"),
     // winsorize: midpoint-safe 6dp quantile cutoffs (q_prof_bins
     // convention), surfacing only rows the clamp moved
     "q_winsorize" ->

@@ -266,4 +266,40 @@ object Graph {
     scored.join(e, scored("node_a") === e("a") && scored("node_b") === e("b"),
       "left_anti")
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every undirected edge (each edge counted
+    * in both directions, the standard convention) — positive means
+    * hubs attach to hubs (social-network shape), negative means
+    * hubs attach to leaves (bipartite / hub-and-spoke shape, e.g. a
+    * customer-supplier co-purchase graph). The one-number structural
+    * summary that says which join-skew regime the graph lives in.
+    *
+    * Scale shape: one degree aggregate, two (edge ⋈ degree)
+    * equi-joins to put deg(src)/deg(dst) on each edge row, then a
+    * single covariance/variance aggregate to one row — the explicit
+    * covar/sqrt(var) form (the [[Profile.groupCorr]] convention) so
+    * a degree-regular graph yields NULL, not NaN. Output: one row
+    * (n_edges, assortativity).
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val both = e.select(col("a"), col("b"))
+      .union(e.select(col("b").as("a"), col("a").as("b")))
+    val withDeg = both
+      .join(deg.select(col("node").as("a"), col("deg").as("__dx")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("__dy")), Seq("b"))
+      .select(col("__dx").cast("double").as("__dx"),
+        col("__dy").cast("double").as("__dy"))
+    withDeg.agg(
+      (count(lit(1)) / 2).cast("long").as("n_edges"),
+      round(when(var_pop(col("__dx")) > 0 && var_pop(col("__dy")) > 0,
+        covar_pop(col("__dx"), col("__dy")) /
+          (sqrt(var_pop(col("__dx"))) * sqrt(var_pop(col("__dy"))))), 4)
+        .as("assortativity"))
+  }
 }

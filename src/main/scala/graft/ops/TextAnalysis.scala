@@ -415,6 +415,51 @@ object TextAnalysis {
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
 
+  /** Collocation mining by pointwise mutual information (Church &
+    * Hanks 1990): adjacent word pairs that co-occur far more than
+    * their unigram frequencies predict — PMI = ln(c(ab) * N /
+    * (c(a) * c(b))) with N the corpus token count — the standard
+    * phrase/multi-word-expression detector (a vocab-building step:
+    * high-PMI pairs become single tokens). `minCount` drops the
+    * hapax pairs whose PMI is maximal but meaningless (the known
+    * low-frequency bias of PMI); the top `topN` by (4dp-rounded PMI,
+    * pair) surface.
+    *
+    * Scale shape: identical to [[bigramLogProb]]'s count economics —
+    * bigrams pre-aggregate per (doc, gram) map-side, then only
+    * (gram, count) / (token, count) pairs shuffle; the corpus total
+    * is a one-row broadcast and the top-N is a TakeOrdered, so no
+    * stage ever carries text.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Int,
+                   topN: Int): DataFrame = {
+    require(minCount >= 1 && topN >= 1, "minCount, topN >= 1")
+    val low = lower(trim(col(textCol)))
+    val toks = df.select(explode(split(low, "\\s+")).as("__tok"))
+    val uniFreq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__uc"))
+    val total = toks.agg(count(lit(1)).cast("double").as("__n"))
+    val grams = df
+      .select(split(low, "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"))
+      .select(element_at(col("__toks"), col("__i")).as("word_a"),
+        element_at(col("__toks"), col("__i") + 1).as("word_b"))
+    grams.groupBy(col("word_a"), col("word_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .join(uniFreq.select(col("__tok").as("word_a"),
+        col("__uc").as("__ca")), Seq("word_a"))
+      .join(uniFreq.select(col("__tok").as("word_b"),
+        col("__uc").as("__cb")), Seq("word_b"))
+      .crossJoin(broadcast(total))
+      .select(col("word_a"), col("word_b"), col("n_pair"),
+        round(log(col("n_pair") * col("__n") /
+          (col("__ca") * col("__cb"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("word_a"), col("word_b"))
+      .limit(topN)
+  }
+
   /** Gopher-style within-document repetition signals (Rae et al. 2021,
     * "Scaling Language Models", Table A1): duplicate-line fraction and
     * duplicate word-n-gram fractions — boilerplate/spam detectors that

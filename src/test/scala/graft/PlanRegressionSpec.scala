@@ -639,4 +639,45 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
       s"only (source, count) rows may move:\n$shufflePart")
     assert(p.contains("partial_count") || p.contains("count"), p)
   }
+
+  test("CDC apply: window-limited winner pick, key anti-join, no cartesian") {
+    val p = plan("q_cdc_apply")
+    // rn=1 must push into the sort as a group limit; untouched base
+    // rows ride a key anti-join — a refactor to a per-key collect or
+    // a NOT IN nested loop would surface here
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("drift detectors shuffle counts, never text") {
+    val p = plan("q_drift_js")
+    val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shufflePart.contains("text#"),
+      s"only (token, count) rows may move:\n$shufflePart")
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("KS statistic windows over the distinct-value table, not the rows") {
+    val p = plan("q_drift_ks")
+    // per-value counts must partially aggregate BEFORE the ordered
+    // window — the de-optimization is a global sort of raw rows
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("assortativity: degree joins stay equi-joins, one-row final aggregate") {
+    val p = plan("q_graph_assortativity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), s"covar/var must combine map-side:\n$p")
+  }
+
+  test("collocations: top-N is a TakeOrdered over count rows, text never shuffles") {
+    val p = plan("q_text_collocations")
+    val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shufflePart.contains("text#"),
+      s"only gram/token count rows may move:\n$shufflePart")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

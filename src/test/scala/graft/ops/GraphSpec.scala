@@ -145,4 +145,25 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       1L -> ((4L, 2L, 0.333333)), 2L -> ((3L, 2L, 0.666667)),
       3L -> ((2L, 1L, 1.0)), 4L -> ((2L, 1L, 1.0))), got.toString)
   }
+
+  test("degreeAssortativity: star -1, regular graph NULL, mixed hand value") {
+    // perfect hub-and-spoke: every edge joins deg 3 to deg 1 -> -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val Array(s) = Graph.degreeAssortativity(star, "src", "dst").collect()
+    assert(s.getLong(0) == 3 && s.getDouble(1) == -1.0, s.toString)
+    // triangle: every node deg 2, zero variance -> NULL (not NaN)
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val Array(t) = Graph.degreeAssortativity(tri, "src", "dst").collect()
+    assert(t.getLong(0) == 3 && t.isNullAt(1), t.toString)
+    // triangle + pendant on node 3: hand-computed r = -0.3125/0.4375
+    val mixed = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("src", "dst")
+    val Array(m) = Graph.degreeAssortativity(mixed, "src", "dst").collect()
+    assert(m.getLong(0) == 4 && m.getDouble(1) == -0.7143, m.toString)
+    // duplicate + reversed edges collapse before degrees are counted
+    val dup = Seq((0L, 1L), (1L, 0L), (0L, 1L), (0L, 2L), (0L, 3L))
+      .toDF("src", "dst")
+    assert(Graph.degreeAssortativity(dup, "src", "dst")
+      .collect()(0).getDouble(1) == -1.0)
+  }
 }

@@ -507,4 +507,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       ("raw", 3L), ("quality_gate", 2L), ("exact_dedup", 1L),
       ("decontaminated", 1L)), got.toString)
   }
+
+  test("collocations: hand-computed PMI, minCount gate, deterministic top-N") {
+    // tokens: a x3, b x3, c x1, N = 7; bigrams: (a,b) x3, (b,a) x1,
+    // (b,c) x1. pmi(a,b) = ln(3*7/9) = pmi(b,c) = ln(7/3) -> the tie
+    // breaks on word_a; pmi(b,a) = ln(7/9) < 0 ranks last.
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val two = TextAnalysis.collocations(docs, "text", minCount = 2, topN = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val pmiAb = math.floor(math.log(3.0 * 7 / 9) * 1e4 + 0.5) / 1e4
+    assert(two == Seq(("a", "b", 3L, pmiAb)), two.toString)
+    val top = TextAnalysis.collocations(docs, "text", minCount = 1, topN = 2)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(top.map(r => (r._1, r._2)) == Seq(("a", "b"), ("b", "c")),
+      top.toString)
+  }
 }
