@@ -962,6 +962,38 @@ object SparkEntry {
         coOrderPartEdges(s, d, slice = true), "a", "b")
       .orderBy(col("node"))
 
+  /** Label-propagation communities
+    * ([[graft.ops.Graph.labelPropagation]], Raghavan et al. 2007) on
+    * the sliced co-order graph, two deterministic min-tie-break
+    * rounds — the oracle unrolls both votes (round 1 over distinct
+    * neighbor pairs degenerates to min-neighbor; round 2 is a true
+    * frequency argmax).
+    */
+  private def qGraphCommunities(s: SparkSession, d: String): DataFrame =
+    graft.ops.Graph.labelPropagation(coOrderPartEdges(s, d, slice = true),
+        "a", "b", iters = 2)
+      .orderBy(col("node"))
+
+  /** Key-skew diagnostic ([[graft.ops.Profile.giniConcentration]]):
+    * Gini coefficient of events-per-user — the "should this join be
+    * salted" number, computed over the keys table, not the rows.
+    */
+  private def qSkewGini(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profile.giniConcentration(
+      ev(s, d).select(col("user_id")), "user_id")
+
+  /** Robust outliers ([[graft.ops.Profile.robustOutliers]], modified
+    * z-score > 3.5): the median/MAD companion to [[qOutliers]] —
+    * immune to the tail dragging its own yardstick. Events values
+    * are heavy-tailed enough that every type flags rows at the
+    * canonical 3.5.
+    */
+  private def qOutliersRobust(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profile.robustOutliers(
+        ev(s, d).select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", threshold = 3.5)
+      .orderBy(col("event_id"))
+
   /** Degree assortativity ([[graft.ops.Graph.degreeAssortativity]],
     * Newman 2002) of the co-purchase graph — strongly negative by
     * construction (customers connect only to suppliers: a bipartite
@@ -2682,6 +2714,9 @@ object SparkEntry {
     "q_graph_adamic_adar" -> qGraphAdamicAdar,
     "q_graph_clustering_coef" -> qGraphClusteringCoef,
     "q_graph_assortativity" -> qGraphAssortativity,
+    "q_graph_communities" -> qGraphCommunities,
+    "q_skew_gini" -> qSkewGini,
+    "q_outliers_robust" -> qOutliersRobust,
     "q_drift_chi2" -> qDriftChi2,
     "q_drift_psi" -> qDriftPsi,
     "q_drift_js" -> qDriftJs,
@@ -3887,6 +3922,38 @@ object SparkEntry {
         "x AS (SELECT CAST(da.deg AS DOUBLE) AS dx, CAST(db.deg AS DOUBLE) AS dy FROM be JOIN deg da ON be.a = da.node JOIN deg db ON be.b = db.node) " +
         "SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges, " +
         "round(CASE WHEN var_pop(dx) > 0 AND var_pop(dy) > 0 THEN covar_pop(dx, dy) / (sqrt(var_pop(dx)) * sqrt(var_pop(dy))) END, 4) AS assortativity FROM x"),
+    // label propagation, both rounds unrolled: round 1 over distinct
+    // neighbor pairs = min neighbor (all vote counts are 1 under the
+    // label-asc tie-break); round 2 a true (count desc, label asc)
+    // argmax over the round-1 labels
+    "q_graph_communities" ->
+      ("WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0 AND l_partkey % 4 = 0), " +
+        "e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "adj AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e), " +
+        "l1 AS (SELECT node, MIN(nbr) AS community FROM adj GROUP BY node), " +
+        "v2 AS (SELECT adj.node AS node, l1.community AS community FROM adj JOIN l1 ON adj.nbr = l1.node), " +
+        "c2 AS (SELECT node, community, COUNT(*) AS n FROM v2 GROUP BY node, community), " +
+        "w2 AS (SELECT node, community, ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, community) AS rn FROM c2) " +
+        "SELECT node, community FROM w2 WHERE rn = 1 ORDER BY node"),
+    // Gini over per-key counts: sorted-rank formula, integer-valued
+    // double terms (exact below 2^53, so sum order cannot wobble)
+    "q_skew_gini" ->
+      ("WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events WHERE user_id IS NOT NULL GROUP BY user_id), " +
+        "r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM c) " +
+        "SELECT MAX(n) AS n_keys, CAST(SUM(x) AS BIGINT) AS n_rows, " +
+        "round(SUM((2.0 * i - n - 1) * x) / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6) AS gini FROM r"),
+    // robust outliers: median + MAD cutoffs, both midpoint-safe 6dp
+    // (the q_prof_bins convention); modified z rounded at 4dp
+    "q_outliers_robust" ->
+      ("WITH m AS (SELECT event_type, floor(quantile_cont(CAST(value AS DOUBLE), 0.5) * 1000000 + 0.5) / 1000000 AS med " +
+        "FROM events WHERE value IS NOT NULL GROUP BY event_type), " +
+        "d AS (SELECT event_id, e.event_type, value, med FROM events e JOIN m ON e.event_type = m.event_type), " +
+        "md AS (SELECT event_type, floor(quantile_cont(abs(CAST(value AS DOUBLE) - med), 0.5) * 1000000 + 0.5) / 1000000 AS mad " +
+        "FROM d WHERE value IS NOT NULL GROUP BY event_type) " +
+        "SELECT event_id, d.event_type, value, round(0.6745 * (CAST(value AS DOUBLE) - med) / mad, 4) AS modified_z " +
+        "FROM d JOIN md ON d.event_type = md.event_type " +
+        "WHERE mad > 0 AND 0.6745 * abs(CAST(value AS DOUBLE) - med) > 3.5 * mad " +
+        "ORDER BY event_id"),
     // chi-square drift: per-category expected = row_total*side_total/
     // grand, both cells' (o-e)^2/e summed — identical cell arithmetic
     "q_drift_chi2" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-iteration PageRank (Brin & Page 1998) as the engine's
@@ -265,6 +266,51 @@ object Graph {
     // prediction = NEW links only: drop pairs already adjacent
     scored.join(e, scored("node_a") === e("a") && scored("node_b") === e("b"),
       "left_anti")
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007), the
+    * near-linear community detector: every node starts as its own
+    * community; each round it adopts the label most frequent among
+    * its neighbors, ties broken by MIN label — the deterministic
+    * variant (classic LPA breaks ties randomly; the min rule makes
+    * every engine replay the same communities, the same determinism
+    * trade the dedup-cluster min-label closure makes). Fixed `iters`
+    * rounds, no convergence check — the bounded-superstep posture of
+    * [[pageRank]].
+    *
+    * Scale shape per round: one (adjacency ⋈ labels) equi-join on the
+    * neighbor key, one (node, label) count aggregate (map-side
+    * partial), one per-node arg-max window (WindowGroupLimit pushes
+    * rank<=1 into the sort). Labels are consumed once per round but
+    * the plan would still deepen linearly with `iters`, so each
+    * round's label table pins with localCheckpoint (or `checkpoint()`
+    * under `checkpointDir`, the [[pageRank]] knob).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters in [1, 64]")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    val adj = e.select(col("a").as("node"), col("b").as("nbr"))
+      .union(e.select(col("b").as("node"), col("a").as("nbr")))
+    var labels = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("__n").desc, col("community"))
+    for (_ <- 1 to iters) {
+      labels = pin(adj
+        .join(labels.select(col("node").as("nbr"), col("community")),
+          Seq("nbr"))
+        .groupBy(col("node"), col("community"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("community")))
+    }
+    labels
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of

@@ -218,4 +218,72 @@ object Profile {
         round((col(valueCol) - col("__mu")) / col("__sigma"), 4))
       .drop("__mu", "__sigma")
   }
+
+  /** Per-group robust outliers by modified z-score (Iglewicz &
+    * Hoaglin 1993): 0.6745 * (x - median) / MAD, flagged beyond
+    * `threshold` (their recommended 3.5). Where [[outliers]]' mean/
+    * stddev are themselves dragged by the tail they're hunting (one
+    * huge value inflates sigma until nothing else flags), median and
+    * MAD have a 50% breakdown point — the right detector when the
+    * contamination isn't rare.
+    *
+    * Scale shape: TWO group aggregates (median; then median absolute
+    * deviation, which needs the median on the row first), each
+    * broadcast back onto the scan — groups-sized frames, the
+    * [[winsorize]] economics. Both cutoffs round midpoint-safe to
+    * 6dp, the modified z to 4dp. Zero-MAD groups (over half the
+    * values identical) yield no outliers by convention — the score
+    * is undefined there.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     threshold: Double = 3.5): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000d + 0.5d) / 1000000d
+    val v = col(valueCol).cast("double")
+    val med = df.filter(v.isNotNull).groupBy(col(groupCol))
+      .agg(r6(percentile(v, lit(0.5))).as("__med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val mad = withMed.filter(v.isNotNull).groupBy(col(groupCol))
+      .agg(r6(percentile(abs(v - col("__med")), lit(0.5))).as("__mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .filter(col("__mad") > 0 &&
+        lit(0.6745) * abs(v - col("__med")) > lit(threshold) * col("__mad"))
+      .withColumn("modified_z",
+        round(lit(0.6745) * (v - col("__med")) / col("__mad"), 4))
+      .drop("__med", "__mad")
+  }
+
+  /** Gini coefficient of the per-key row-count distribution — the
+    * one-number "how skewed is this join/grouping key" diagnostic
+    * (0 = perfectly even, → 1 = one key owns everything), the
+    * planning signal that decides whether [[graft.ops.Skew]]-style
+    * salting is worth its overhead. Computed by the sorted-rank
+    * formula G = sum_i (2i - n - 1) x_(i) / (n * sum x); ties in x
+    * contribute identically under any tie order, so the result is
+    * deterministic and (integer-valued terms, exact in doubles below
+    * 2^53) replays bit-for-bit on any engine.
+    *
+    * Scale shape: the per-key count aggregate shuffles (key, count)
+    * rows only; the rank window then runs over the KEYS table, not
+    * the data — same bounded-cardinality posture as
+    * [[Drift.ksStatistic]]. Output: one row (n_keys, n_rows, gini).
+    */
+  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__x"))
+    val wRank = Window.orderBy(col("__x"), col(keyCol))
+    val wAll = Window.orderBy(col("__x"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = c.select(col("__x"),
+      row_number().over(wRank).as("__i"),
+      count(lit(1)).over(wAll).as("__n"))
+    ranked.agg(
+      max(col("__n")).as("n_keys"),
+      sum(col("__x")).as("n_rows"),
+      round(sum((lit(2.0) * col("__i") - col("__n") - 1) * col("__x")) /
+        (max(col("__n")).cast("double") * sum(col("__x")).cast("double")), 6)
+        .as("gini"))
+  }
 }

@@ -673,6 +673,25 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_"), s"covar/var must combine map-side:\n$p")
   }
 
+  test("label propagation pins per-round labels — final plan reads the checkpoint") {
+    val p = plan("q_graph_communities")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("gini ranks the keys table, not the rows (partial count first)") {
+    val p = plan("q_skew_gini")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("robust outlier cutoffs broadcast back onto the row scan") {
+    val p = plan("q_outliers_robust")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("collocations: top-N is a TakeOrdered over count rows, text never shuffles") {
     val p = plan("q_text_collocations")
     val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")

@@ -166,4 +166,40 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(Graph.degreeAssortativity(dup, "src", "dst")
       .collect()(0).getDouble(1) == -1.0)
   }
+
+  private def communities(edges: Seq[(Long, Long)],
+                          iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("labelPropagation: disjoint triangles converge to their min member") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (11L, 12L), (12L, 13L), (11L, 13L))
+    val got = communities(e, iters = 2)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L), got.toString)
+  }
+
+  test("labelPropagation round 1 is min-neighbor; frequency wins round 2") {
+    // star 0-{1,2,3}: round 1 -> center takes 1, leaves take 0
+    val star = communities(Seq((0L, 1L), (0L, 2L), (0L, 3L)), iters = 1)
+    assert(star == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L),
+      star.toString)
+    // path 1-2-3 plus 3-4, 3-5: node 3's neighbors after round 1 carry
+    // labels {1 (from 2), 3, 3} -> frequency beats the smaller label
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L))
+    val r1 = communities(e, 1)
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 3L),
+      r1.toString)
+    val r2 = communities(e, 2)
+    assert(r2(3L) == 3L, s"count-2 label 3 must beat label 1: $r2")
+  }
+
+  test("labelPropagation is deterministic across runs") {
+    val rnd = new scala.util.Random(7)
+    val e = (1 to 80).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+    assert(communities(e, 3) == communities(e, 3))
+  }
 }

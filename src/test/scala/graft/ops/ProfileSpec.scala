@@ -159,4 +159,38 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       Profile.winsorize(df, "grp", "v", 0.9, 0.1))
   }
+
+  test("robustOutliers: median/MAD immune where mean/stddev saturates") {
+    // 20 values at 10 +/- small noise, one at 1000: the spike's
+    // modified z is ~1100 while the worst inlier sits near 1.2 —
+    // with mean/stddev the spike inflates sigma to ~216 and its own
+    // z to only ~4.4, barely over the line
+    val rows = ((1 to 10).map(i => ("g", 10.0 - i * 0.1)) ++
+      (1 to 10).map(i => ("g", 10.0 + i * 0.1)) :+ (("g", 1000.0)))
+      .toDF("grp", "v")
+    val got = Profile.robustOutliers(rows, "grp", "v", threshold = 3.5)
+      .select("v", "modified_z").as[(Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1000.0), got.mkString(","))
+  }
+
+  test("robustOutliers: zero-MAD groups flag nothing; nulls drop") {
+    val rows = (Seq.fill(5)(("a", Option(1.0))) :+ (("a", Option(99.0))) :+
+      (("a", Option.empty[Double]))).toDF("grp", "v")
+    // over half the values identical -> MAD 0 -> undefined score
+    assert(Profile.robustOutliers(rows, "grp", "v").isEmpty)
+  }
+
+  test("giniConcentration: 0 on uniform keys, hand value on skew, ~1 on a hog") {
+    val uniform = (1 to 40).map(i => (i % 4).toString).toDF("k")
+    val Array(u) = Profile.giniConcentration(uniform, "k").collect()
+    assert(u.getLong(0) == 4 && u.getLong(1) == 40 && u.getDouble(2) == 0.0)
+    // counts (1, 3): G = ((2*1-3)*1 + (2*2-3)*3) / (2 * 4) = 2/8
+    val skew = (Seq("a") ++ Seq.fill(3)("b")).toDF("k")
+    assert(Profile.giniConcentration(skew, "k").collect()(0)
+      .getDouble(2) == 0.25)
+    // one key owns 1000 of 1009 rows -> Gini approaches 1
+    val hog = (Seq.fill(1000)("h") ++ (1 to 9).map(_.toString)).toDF("k")
+    val g = Profile.giniConcentration(hog, "k").collect()(0).getDouble(2)
+    assert(g > 0.85, g.toString)
+  }
 }
