@@ -671,6 +671,12 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_"), s"covar/var must combine map-side:\n$p")
+    // materialized = true: degrees come straight off the staged
+    // parquet scan — the canonical-dedup path would pin with
+    // localCheckpoint and read back an ExistingRDD instead
+    assert(!p.contains("Scan ExistingRDD"),
+      s"staged edges must not be re-canonicalized:\n$p")
+    assert(p.contains("Scan parquet"), p)
   }
 
   test("label propagation pins per-round labels — final plan reads the checkpoint") {
