@@ -1084,6 +1084,27 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** First-order Markov transition matrix
+    * ([[graft.ops.Funnel.transitionMatrix]]) over each user's
+    * event-time-ordered sequence — the "what usually follows a view"
+    * behavioral summary; event_id breaks timestamp ties so the
+    * sequence replays identically on any engine.
+    */
+  private def qMarkovTransitions(s: SparkSession, d: String): DataFrame =
+    graft.ops.Funnel.transitionMatrix(ev(s, d),
+        "user_id", "ts", "event_type", "event_id")
+      .orderBy(col("from_type"), col("to_type"))
+
+  /** Readability scoring ([[graft.ops.TextAnalysis.readability]]):
+    * Flesch reading ease + Flesch-Kincaid grade per doc with the
+    * deterministic vowel-group syllable heuristic — the grade-band
+    * curation gate, pure codegen row expressions on the scan.
+    */
+  private def qTextReadability(s: SparkSession, d: String): DataFrame =
+    graft.ops.TextAnalysis.readability(t(s, d, "documents"),
+        "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** PMI collocations ([[graft.ops.TextAnalysis.collocations]],
     * Church & Hanks 1990): the 50 adjacent word pairs most over-
     * represented vs their unigram frequencies (count >= 5) — the
@@ -2726,6 +2747,8 @@ object SparkEntry {
     "q_drift_js" -> qDriftJs,
     "q_drift_ks" -> qDriftKs,
     "q_cdc_apply" -> qCdcApply,
+    "q_markov_transitions" -> qMarkovTransitions,
+    "q_text_readability" -> qTextReadability,
     "q_text_collocations" -> qTextCollocations,
     "q_winsorize" -> qWinsorize,
     "q_entity_resolution" -> qEntityResolution,
@@ -4026,6 +4049,24 @@ object SparkEntry {
         "WHERE NOT EXISTS (SELECT 1 FROM win WHERE win.c_custkey = cb.c_custkey) " +
         "UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM win WHERE op <> 'D' " +
         "ORDER BY c_custkey"),
+    // Markov transitions: lead() over the (user, ts, event_id) order,
+    // counts + floor-quantized 6dp row-normalized probability
+    "q_markov_transitions" ->
+      ("WITH p AS (SELECT event_type AS from_type, LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events), " +
+        "c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type), " +
+        "t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY from_type) " +
+        "SELECT c.from_type, c.to_type, n, floor(CAST(n AS DOUBLE) / tot * 1000000 + 0.5) / 1000000 AS p " +
+        "FROM c JOIN t USING (from_type) ORDER BY from_type, to_type"),
+    // readability: vowel-group syllables (floored at 1/word),
+    // [.!?]+ sentences (floored at 1), floor-quantized 4dp scores
+    "q_text_readability" ->
+      ("WITH x AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS w, " +
+        "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS s, " +
+        "greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE), CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)) AS sy FROM documents) " +
+        "SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences, CAST(sy AS BIGINT) AS n_syllables, " +
+        "floor((206.835 - 1.015 * (w / s) - 84.6 * (sy / w)) * 10000 + 0.5) / 10000 AS flesch_ease, " +
+        "floor((0.39 * (w / s) + 11.8 * (sy / w) - 15.59) * 10000 + 0.5) / 10000 AS fk_grade " +
+        "FROM x ORDER BY doc_id"),
     // PMI collocations: bigram/unigram counts, pmi = ln(c*N/(ca*cb)),
     // top-50 by (4dp pmi, pair) so the cutoff is deterministic
     "q_text_collocations" ->

@@ -85,4 +85,38 @@ object Funnel {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: (from_type, to_type, n, p) where p row-normalizes the
+    * from_type — the behavioral-model summary behind "what usually
+    * follows a view", next-event prediction baselines, and anomaly
+    * scoring of improbable paths. Adjacency is per user in event-time
+    * order, with `tieCol` breaking equal timestamps so the sequence
+    * (and therefore the matrix) is deterministic under any partition
+    * order.
+    *
+    * Scale shape: ONE user-partitioned ordered window (the sessionize
+    * exchange) builds adjacent pairs with lead(); everything after is
+    * (type, type, count) aggregation — a types²-sized frame. p is a
+    * floor-quantized 6dp ratio (the midpoint-safe convention) of two
+    * exact counts.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val c = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("from_type")).agg(sum(col("n")).as("__tot"))
+    c.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (floor(col("n").cast("double") / col("__tot") * 1000000d + 0.5d) /
+          1000000d).as("p"))
+  }
 }

@@ -415,6 +415,40 @@ object TextAnalysis {
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
 
+  /** Readability scores (Flesch 1948 reading ease + Flesch-Kincaid
+    * 1975 grade level) with a deterministic syllable heuristic:
+    * syllables = vowel-group count ([aeiouy]+ runs in the lowered
+    * text), floored at one per word so vowel-less scripts degrade to
+    * the one-syllable-per-word baseline instead of dividing by zero;
+    * sentences = [.!?]+ run count, floored at 1. The classic
+    * text-difficulty gate of a curation pipeline (e.g. "keep
+    * grade 6-12 prose"), entirely codegen row expressions riding the
+    * scan — no joins, no shuffles beyond the caller's.
+    *
+    * Both scores floor-quantize to 4dp (the midpoint-safe
+    * convention): the formulas are double ratios and round(x, n)
+    * HALF_UPs a decimal string Spark-side vs the binary double in
+    * SQL.
+    */
+  def readability(df: DataFrame, textCol: String,
+                  idCol: String): DataFrame = {
+    val low = lower(col(textCol))
+    val words = size(split(trim(col(textCol)), "\\s+")).cast("double")
+    val sents = greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+      .cast("double")
+    val syls = greatest(regexp_count(low, lit("[aeiouy]+")).cast("double"),
+      words)
+    def q4(c: Column) = floor(c * 10000d + 0.5d) / 10000d
+    df.select(col(idCol),
+      words.cast("long").as("n_words"),
+      sents.cast("long").as("n_sentences"),
+      syls.cast("long").as("n_syllables"),
+      q4(lit(206.835) - lit(1.015) * (words / sents) -
+        lit(84.6) * (syls / words)).as("flesch_ease"),
+      q4(lit(0.39) * (words / sents) + lit(11.8) * (syls / words) -
+        lit(15.59)).as("fk_grade"))
+  }
+
   /** Collocation mining by pointwise mutual information (Church &
     * Hanks 1990): adjacent word pairs that co-occur far more than
     * their unigram frequencies predict — PMI = ln(c(ab) * N /

@@ -698,6 +698,23 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("readability rides the scan — only the ORDER BY exchanges") {
+    val p = plan("q_text_readability")
+    // all-expression op: exactly one exchange (the presentation sort),
+    // no Generate/aggregate/join — scores are Project-level arithmetic
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 exchange, found $exchanges:\n$p")
+    assert(!p.contains("Generate") && !p.contains("Join") &&
+      !p.contains("HashAggregate"), p)
+  }
+
+  test("markov transitions: one user window, then type-pair count rows only") {
+    val p = plan("q_markov_transitions")
+    assert("hashpartitioning\\(user_id".r.findFirstIn(p).nonEmpty, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("collocations: top-N is a TakeOrdered over count rows, text never shuffles") {
     val p = plan("q_text_collocations")
     val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")

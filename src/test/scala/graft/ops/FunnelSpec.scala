@@ -70,4 +70,31 @@ class FunnelSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String, Long)].collect().toSeq
     assert(none == Seq((1L, "view", 0L), (2L, "click", 0L)))
   }
+
+  test("transitionMatrix: per-user adjacency, row-normalized, tie by id") {
+    // user 1: a,b,a,b -> (a,b)x2, (b,a)x1; user 2: a,c -> (a,c)x1;
+    // user 3: single event contributes nothing
+    val rows = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"),
+      (1L, 3L, 30L, "a"), (1L, 4L, 40L, "b"),
+      (2L, 5L, 10L, "a"), (2L, 6L, 20L, "c"),
+      (3L, 7L, 10L, "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Funnel.transitionMatrix(rows, "user_id", "ts",
+        "event_type", "event_id")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val twoThirds = math.floor(2.0 / 3 * 1e6 + 0.5) / 1e6
+    val third = math.floor(1.0 / 3 * 1e6 + 0.5) / 1e6
+    assert(got == Map(
+      ("a", "b") -> ((2L, twoThirds)), ("a", "c") -> ((1L, third)),
+      ("b", "a") -> ((1L, 1.0))), got.toString)
+    // equal timestamps: the tie column decides the sequence
+    val tied = Seq((1L, 1L, 10L, "x"), (1L, 2L, 10L, "y"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val t = Funnel.transitionMatrix(tied, "user_id", "ts",
+        "event_type", "event_id")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(t == Seq(("x", "y", 1L, 1.0)), t.toString)
+  }
 }

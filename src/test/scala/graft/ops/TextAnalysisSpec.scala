@@ -508,6 +508,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       ("decontaminated", 1L)), got.toString)
   }
 
+  test("readability: hand-counted ingredients, vowel-less floor, negatives ok") {
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"),   // 5 words, 2 sentences, 5 syllable groups
+      (2L, "zzz zzz"),                // no vowels -> syllables floor at words
+      (3L, "a")                       // minimal: 1/1/1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def flesch(w: Double, s: Double, sy: Double) =
+      q4(206.835 - 1.015 * (w / s) - 84.6 * (sy / w))
+    def fk(w: Double, s: Double, sy: Double) =
+      q4(0.39 * (w / s) + 11.8 * (sy / w) - 15.59)
+    assert(got(1L) == ((1L, 5L, 2L, 5L, flesch(5, 2, 5), fk(5, 2, 5))),
+      got(1L).toString)
+    assert(got(2L) == ((2L, 2L, 1L, 2L, flesch(2, 1, 2), fk(2, 1, 2))),
+      got(2L).toString)
+    assert(got(3L) == ((3L, 1L, 1L, 1L, flesch(1, 1, 1), fk(1, 1, 1))))
+    // simple prose scores higher (easier) than dense polysyllabic text
+    val pair = Seq((1L, "The cat sat on the mat."),
+      (2L, "Multisyllabic terminological obfuscation intensifies."))
+      .toDF("doc_id", "text")
+    val f = TextAnalysis.readability(pair, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(f(1L) > f(2L), f.toString)
+  }
+
   test("collocations: hand-computed PMI, minCount gate, deterministic top-N") {
     // tokens: a x3, b x3, c x1, N = 7; bigrams: (a,b) x3, (b,a) x1,
     // (b,c) x1. pmi(a,b) = ln(3*7/9) = pmi(b,c) = ln(7/3) -> the tie
