@@ -1891,6 +1891,25 @@ object SparkEntry {
         "source", "n_tokens", Seq(0.5, 0.95), accuracy = 1000)
       .orderBy(col("source"))
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]], the DPR
+    * contrastive-training selection step): per anchor, the 5 most
+    * similar corpus vectors with a DIFFERENT label — boundary
+    * negatives that carry gradient where random negatives don't.
+    */
+  private def qSimHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-corpus QA ([[Similarity.corpusStats]]): the one-row
+    * shard health report — norm spread plus the Ethayarajh-style
+    * anisotropy ratio (centroid norm / mean norm) that flags a
+    * collapsing embedding space before cosine stops discriminating.
+    */
+  private def qEmbStats(s: SparkSession, d: String): DataFrame =
+    Similarity.corpusStats(t(s, d, "embeddings"), "embedding", dim = 64)
+
   private def qSimTopK(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -2783,6 +2802,8 @@ object SparkEntry {
     "q_decon_ngram_bloom" -> qDeconNgramBloom,
     "q_text_zipf" -> qTextZipf,
     "q_emb_pool" -> qEmbPool,
+    "q_emb_stats" -> qEmbStats,
+    "q_sim_hard_negatives" -> qSimHardNegatives,
     "q_dedup_savings" -> qDedupSavings,
     "q_text_fertility" -> qTextFertility,
     "q_decon_spans" -> qDeconSpans,
@@ -3335,6 +3356,28 @@ object SparkEntry {
       ("SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim_idx, " +
         "round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean_val " +
         "FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2 ORDER BY label, dim_idx"),
+    // embedding QA: row norms replay bit-for-bit (double accumulation
+    // in array order on both engines); centroid-derived scalars
+    // floor-quantize at 4dp, absorbing partial-aggregation sum order
+    "q_emb_stats" ->
+      ("WITH n AS (SELECT sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm, len(embedding) AS d FROM embeddings WHERE embedding IS NOT NULL), " +
+        "c AS (SELECT i, AVG(CAST(embedding[i] AS DOUBLE)) AS m FROM embeddings, range(1, 65) t(i) WHERE embedding IS NOT NULL GROUP BY i), " +
+        "cn AS (SELECT CAST(sqrt(SUM(m * m)) AS DOUBLE) AS cnorm FROM c) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, CAST(MAX(d) AS BIGINT) AS dim, " +
+        "floor(AVG(nm) * 10000 + 0.5) / 10000 AS norm_mean, " +
+        "floor(MIN(nm) * 10000 + 0.5) / 10000 AS norm_min, " +
+        "floor(MAX(nm) * 10000 + 0.5) / 10000 AS norm_max, " +
+        "floor(MAX(cnorm) * 10000 + 0.5) / 10000 AS centroid_norm, " +
+        "floor(MAX(cnorm) / AVG(nm) * 10000 + 0.5) / 10000 AS anisotropy " +
+        "FROM n, cn"),
+    // hard negatives: the q_sim_topk ranking replay with the label
+    // inequality inside the candidate filter
+    "q_sim_hard_negatives" ->
+      ("SELECT query_id, query_label, corpus_id, neg_label, rank FROM (" +
+        "SELECT p.vec_id AS query_id, p.label AS query_label, c.vec_id AS corpus_id, c.label AS neg_label, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank " +
+        "FROM embeddings c, embeddings p WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id AND c.label <> p.label) " +
+        "WHERE rank <= 5 ORDER BY query_id, rank"),
     // NFC normalization: DuckDB nfc_normalize + C0 strip replay over
     // the deterministically dirtied fixture (decomposed accents + BEL)
     "q_text_normalize" ->

@@ -430,4 +430,73 @@ object Similarity {
       .agg(pool.name("centroid"))
       .toDF(groupCol, "centroid")
   }
+
+  /** Hard-negative mining for contrastive training (the in-batch /
+    * cross-batch negative-selection step of embedding-model
+    * pipelines, e.g. DPR, Karpukhin et al. 2020): for each probe
+    * anchor, the k corpus items MOST similar to it whose `labelCol`
+    * DIFFERS — the negatives close enough to the decision boundary to
+    * carry gradient, where random negatives are trivially separable.
+    * Same kernel economics as [[bruteForceTopK]] (broadcast probes,
+    * codegen dot, per-query WindowGroupLimit); the label filter runs
+    * BEFORE ranking, so the window already sees negatives only. Ranks
+    * break ties on corpus id — engine-replayable order.
+    */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        col(labelCol).as("neg_label"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+      .repartition(col("corpus_id"))
+    val p = probes.select(col(idCol).as("query_id"),
+        col(labelCol).as("query_label"), col(vecCol).as("__pv"))
+      .withColumn("__pn", norm(col("__pv")))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("corpus_id") =!= col("query_id") &&
+        col("neg_label") =!= col("query_label"))
+      .withColumn("cosine",
+        safeCosine(dot(col("__cv"), col("__pv")), col("__cn"), col("__pn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("corpus_id"),
+        col("neg_label"), col("rank"))
+  }
+
+  /** Embedding-corpus QA stats — the one-row health report an
+    * embedding pipeline should publish per shard: vector count, dim,
+    * L2-norm spread (a collapsed or exploding norm distribution is
+    * the first sign of a broken encoder), the corpus centroid's norm,
+    * and the anisotropy ratio centroid_norm / mean_norm
+    * (Ethayarajh 2019: ~0 for a well-spread space, → 1 when every
+    * vector points the same way and cosine similarity stops
+    * discriminating).
+    *
+    * Scale shape: ONE pass — norms are a codegen row expression
+    * folded by a single aggregate; the centroid is the
+    * [[graft.functions.VectorMeanAggregator]] buffer (dim doubles per
+    * task, never a per-dim explode). The dim-length centroid reduces
+    * to its norm driver-side (the equiDepthBins one-row-action
+    * pattern). Surfaced doubles floor-quantize at 4dp.
+    */
+  def corpusStats(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val cen = meanPool(emb.withColumn("__g", lit(1L)), "__g", vecCol, dim)
+      .head().getSeq[Double](1)
+    // array-order sum: deterministic, engine-replayable
+    val cnorm = math.sqrt(cen.foldLeft(0.0)((s, x) => s + x * x))
+    def q4(c: Column) = floor(c * 10000d + 0.5d) / 10000d
+    emb.filter(col(vecCol).isNotNull)
+      .select(norm(col(vecCol)).as("__n"), size(col(vecCol)).as("__d"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        max(col("__d")).cast("long").as("dim"),
+        q4(avg(col("__n"))).as("norm_mean"),
+        q4(min(col("__n"))).as("norm_min"),
+        q4(max(col("__n"))).as("norm_max"),
+        q4(lit(cnorm)).as("centroid_norm"),
+        q4(lit(cnorm) / avg(col("__n"))).as("anisotropy"))
+  }
 }

@@ -698,6 +698,21 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("hard negatives broadcast the probes and keep the codegen kernel") {
+    val p = plan("q_sim_hard_negatives")
+    assert(p.contains("vector_dot"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("embedding stats aggregate in one pass — no per-dim explode") {
+    val p = plan("q_emb_stats")
+    // the centroid rides the VectorMeanAggregator buffer; a posexplode
+    // regression would shuffle dim rows per vector
+    assert(!p.contains("Generate"), s"no per-dim explode allowed:\n$p")
+    assert(p.contains("vector_norm"), p)
+  }
+
   test("readability rides the scan — only the ORDER BY exchanges") {
     val p = plan("q_text_readability")
     // all-expression op: exactly one exchange (the presentation sort),

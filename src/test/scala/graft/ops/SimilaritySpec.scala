@@ -311,4 +311,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // integer-valued floats sum exactly in double: bit-equal means
     assert(a == b)
   }
+
+  test("hardNegatives excludes self and same-label, ranks by similarity") {
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),      // anchor
+      (2L, Seq(1.0f, 0.01f), 0),     // most similar but SAME label
+      (3L, Seq(0.9f, 0.1f), 1),      // closest negative -> rank 1
+      (4L, Seq(0.0f, 1.0f), 1),      // orthogonal negative -> rank 2
+      (5L, Seq(1.0f, 0.0f), 1))      // identical vector, different id
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(rows,
+        rows.filter(col("vec_id") === 1), k = 3)
+      .as[(Long, Int, Long, Int, Int)].collect().toSeq
+    // 5 is cosine 1.0 (rank 1), then 3, then 4; 2 never appears
+    assert(got == Seq((1L, 0, 5L, 1, 1), (1L, 0, 3L, 1, 2),
+      (1L, 0, 4L, 1, 3)), got.toString)
+  }
+
+  test("corpusStats: hand norms; colinear corpus anisotropy 1, opposed 0") {
+    val colinear = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(6.0f, 8.0f)))
+      .toDF("vec_id", "embedding")
+    val Array(r) = Similarity.corpusStats(colinear, "embedding", dim = 2)
+      .collect()
+    // norms 5 and 10; centroid (4.5, 6) has norm 7.5 = mean norm
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2, r.toString)
+    assert(r.getDouble(2) == 7.5 && r.getDouble(3) == 5.0 &&
+      r.getDouble(4) == 10.0, r.toString)
+    assert(r.getDouble(5) == 7.5 && r.getDouble(6) == 1.0, r.toString)
+    val opposed = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val Array(o) = Similarity.corpusStats(opposed, "embedding", dim = 2)
+      .collect()
+    assert(o.getDouble(5) == 0.0 && o.getDouble(6) == 0.0, o.toString)
+  }
 }
