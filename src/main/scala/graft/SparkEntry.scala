@@ -982,6 +982,16 @@ object SparkEntry {
     graft.ops.Profile.giniConcentration(
       ev(s, d).select(col("user_id")), "user_id")
 
+  /** Join dry-run ([[graft.ops.Profile.joinProfile]]): exact output
+    * size + per-side skew of orders ⋈ lineitem computed from two
+    * count aggregates and a keys-sized join — the 100-TB "should we
+    * salt this" answer without paying for the join.
+    */
+  private def qJoinProfile(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profile.joinProfile(
+      t(s, d, "orders"), "o_orderkey",
+      t(s, d, "lineitem"), "l_orderkey")
+
   /** Robust outliers ([[graft.ops.Profile.robustOutliers]], modified
     * z-score > 3.5): the median/MAD companion to [[qOutliers]] —
     * immune to the tail dragging its own yardstick. Events values
@@ -2760,6 +2770,7 @@ object SparkEntry {
     "q_graph_assortativity" -> qGraphAssortativity,
     "q_graph_communities" -> qGraphCommunities,
     "q_skew_gini" -> qSkewGini,
+    "q_join_profile" -> qJoinProfile,
     "q_outliers_robust" -> qOutliersRobust,
     "q_drift_chi2" -> qDriftChi2,
     "q_drift_psi" -> qDriftPsi,
@@ -4012,6 +4023,15 @@ object SparkEntry {
         "r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM c) " +
         "SELECT MAX(n) AS n_keys, CAST(SUM(x) AS BIGINT) AS n_rows, " +
         "round(SUM((2.0 * i - n - 1) * x) / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6) AS gini FROM r"),
+    // join profile: per-side count tables, exact join_rows =
+    // sum(nl*nr) over shared keys — all integer arithmetic
+    "q_join_profile" ->
+      ("WITH l AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey), " +
+        "r AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey), " +
+        "ls AS (SELECT CAST(SUM(n) AS BIGINT) AS n_left, CAST(COUNT(*) AS BIGINT) AS ndv_left, MAX(n) AS max_freq_left FROM l), " +
+        "rs AS (SELECT CAST(SUM(n) AS BIGINT) AS n_right, CAST(COUNT(*) AS BIGINT) AS ndv_right, MAX(n) AS max_freq_right FROM r), " +
+        "sh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shared_keys, CAST(COALESCE(SUM(l.n * r.n), 0) AS BIGINT) AS join_rows FROM l JOIN r USING (k)) " +
+        "SELECT n_left, n_right, ndv_left, ndv_right, n_shared_keys, join_rows, max_freq_left, max_freq_right FROM ls, rs, sh"),
     // robust outliers: median + MAD cutoffs, both midpoint-safe 6dp
     // (the q_prof_bins convention); modified z floor-quantized at 4dp
     // (the MMR convention — z lands on exact midpoints at sf0.1)

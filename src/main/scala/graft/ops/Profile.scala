@@ -257,6 +257,39 @@ object Profile {
       .drop("__med", "__mad")
   }
 
+  /** Join profile: predict an equi-join's output size and skew
+    * WITHOUT materializing the join — the planning dry-run for a
+    * 100-TB join. Exact arithmetic: per-side key-count tables join on
+    * the key and the output size is sum(n_left * n_right) over shared
+    * keys, so the "estimate" is exact while the work is two count
+    * aggregates plus a keys-sized equi-join (never the |output| rows
+    * the real join would shuffle). max-frequency columns expose the
+    * hot keys that decide whether [[graft.ops.Skew]] salting or an
+    * AQE skew split is warranted before anyone pays for the real
+    * thing. Null keys never match an equi-join and are excluded.
+    * Output: one row (n_left, n_right, ndv_left, ndv_right,
+    * n_shared_keys, join_rows, max_freq_left, max_freq_right).
+    */
+  def joinProfile(left: DataFrame, leftKey: String,
+                  right: DataFrame, rightKey: String): DataFrame = {
+    def side(df: DataFrame, k: String) =
+      df.filter(col(k).isNotNull)
+        .groupBy(col(k).as("__k")).agg(count(lit(1)).as("__n"))
+    val l = side(left, leftKey)
+    val r = side(right, rightKey)
+    val lStats = l.agg(sum(col("__n")).as("n_left"),
+      count(lit(1)).as("ndv_left"), max(col("__n")).as("max_freq_left"))
+    val rStats = r.agg(sum(col("__n")).as("n_right"),
+      count(lit(1)).as("ndv_right"), max(col("__n")).as("max_freq_right"))
+    val shared = l.join(r.select(col("__k"), col("__n").as("__m")), Seq("__k"))
+      .agg(count(lit(1)).as("n_shared_keys"),
+        coalesce(sum(col("__n") * col("__m")), lit(0L)).as("join_rows"))
+    lStats.crossJoin(rStats).crossJoin(shared) // three one-row frames
+      .select(col("n_left"), col("n_right"), col("ndv_left"),
+        col("ndv_right"), col("n_shared_keys"), col("join_rows"),
+        col("max_freq_left"), col("max_freq_right"))
+  }
+
   /** Gini coefficient of the per-key row-count distribution — the
     * one-number "how skewed is this join/grouping key" diagnostic
     * (0 = perfectly even, → 1 = one key owns everything), the

@@ -686,6 +686,17 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("join profile never materializes the join — keys-sized work only") {
+    val p = plan("q_join_profile")
+    // both sides partially count BEFORE anything joins; the only join
+    // is the count-table equi-join (plus one-row stat combines)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).length <= 1,
+      s"only the keys-table equi-join may appear:\n$p")
+  }
+
   test("gini ranks the keys table, not the rows (partial count first)") {
     val p = plan("q_skew_gini")
     assert(p.contains("partial_count"), p)

@@ -180,6 +180,23 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(Profile.robustOutliers(rows, "grp", "v").isEmpty)
   }
 
+  test("joinProfile: exact join size without the join; hot keys surface") {
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")          // key 1 hot x3
+    val r = Seq(1L, 1L, 2L, 4L).toDF("k2")
+    val Array(p) = Profile.joinProfile(l, "k", r, "k2").collect()
+    // shared keys {1, 2}: join rows = 3*2 + 1*1 = 7
+    assert(p.getLong(0) == 5 && p.getLong(1) == 4, p.toString)
+    assert(p.getLong(2) == 3 && p.getLong(3) == 3, p.toString)
+    assert(p.getLong(4) == 2 && p.getLong(5) == 7, p.toString)
+    assert(p.getLong(6) == 3 && p.getLong(7) == 2, p.toString)
+    // prediction equals the real join's count
+    assert(l.join(r, col("k") === col("k2")).count() == 7)
+    // disjoint keys: zero shared, zero rows (COALESCE, not NULL)
+    val Array(z) = Profile.joinProfile(l, "k",
+      Seq(9L).toDF("k2"), "k2").collect()
+    assert(z.getLong(4) == 0 && z.getLong(5) == 0, z.toString)
+  }
+
   test("giniConcentration: 0 on uniform keys, hand value on skew, ~1 on a hog") {
     val uniform = (1 to 40).map(i => (i % 4).toString).toDF("k")
     val Array(u) = Profile.giniConcentration(uniform, "k").collect()
