@@ -82,10 +82,8 @@ object Drift {
     val cuts = ref.agg(percentile(col(valueCol).cast("double"),
         typedLit((1 until k).map(_.toDouble / k))).as("__c"))
       .head().getSeq[Double](0)
-      .map(c => math.floor(c * 1e6 + 0.5) / 1e6)
-    val bin = cuts.zipWithIndex.foldRight(lit(k): Column) {
-      case ((c, i), acc) => when(col(valueCol) <= c, i + 1).otherwise(acc)
-    }
+      .map(Quantize.qd(_, 6))
+    val bin = Quantize.binByCuts(col(valueCol), cuts)
     def binned(df: DataFrame) = df.filter(col(valueCol).isNotNull)
       .groupBy(bin.cast("long").as("bin"))
       .agg(count(lit(1)).as("n"))

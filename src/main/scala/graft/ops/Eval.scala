@@ -147,10 +147,17 @@ object Eval {
       .groupBy(col("__q"))
       .agg(sum(coalesce(lit(k + 1) - col("__tr"), lit(0L)) /
         log2(col("__fr") + 1)).as("__dcg"))
-    // ideal DCG: the truth list in its own order — (k+1-i)/log2(i+1)
-    val idcg = tr.groupBy(col("__q"))
+    // ideal DCG: the truth relevances RE-PACKED to positions 1..n
+    // (row_number over the truth order), not the raw truth ranks — a
+    // caller passing a filtered ranking whose ranks don't start at 1
+    // would otherwise get idcg < dcg and nDCG > 1. For contiguous
+    // 1-based truth ranks (the gated entry) this is the identity.
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__q")).orderBy(col("__tr"))
+    val idcg = tr.withColumn("__pos", row_number().over(wq))
+      .groupBy(col("__q"))
       .agg(sum((lit(k + 1) - col("__tr")) /
-        log2(col("__tr") + 1)).as("__idcg"))
+        log2(col("__pos") + 1)).as("__idcg"))
     dcg.join(idcg, Seq("__q"), "full_outer")
       .select(col("__q").as(queryCol),
         round(when(col("__idcg") > 0,

@@ -116,7 +116,6 @@ object Funnel {
     val tot = c.groupBy(col("from_type")).agg(sum(col("n")).as("__tot"))
     c.join(tot, Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n"),
-        (floor(col("n").cast("double") / col("__tot") * 1000000d + 0.5d) /
-          1000000d).as("p"))
+        Quantize.q(col("n").cast("double") / col("__tot"), 6).as("p"))
   }
 }

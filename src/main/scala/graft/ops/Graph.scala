@@ -80,6 +80,12 @@ object Graph {
     // fine for short jobs, but NOT recomputable after executor loss.
     // With a reliable dir the blocks go to the checkpoint filesystem
     // and survive failures — the cluster-grade option for long runs.
+    // CAVEAT (Spark API limit): the checkpoint dir is a GLOBAL
+    // SparkContext setting — it persists after this call and two
+    // concurrent jobs passing different dirs race to set it. Pass
+    // one application-wide dir, and clean it up yourself (Spark only
+    // auto-deletes under spark.cleaner.referenceTracking
+    // .cleanCheckpoints=true).
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
@@ -171,9 +177,21 @@ object Graph {
   def triangleCounts(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame = {
     val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
-    val deg = e.select(col("a").as("node"))
+    triangleCountsOn(e, degreesOf(e))
+  }
+
+  /** Degrees of a canonical (a < b, deduped) edge set. */
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Wedge-join kernel over an ALREADY canonical, already pinned edge
+    * set with its degree table — so [[clusteringCoefficient]] (which
+    * needs both anyway) doesn't re-canonicalize, re-pin, and
+    * re-aggregate degrees a second time inside this call.
+    */
+  private def triangleCountsOn(e: DataFrame, deg: DataFrame): DataFrame = {
     // orient by (deg, node) rank: lower -> higher
     val withDeg = e
       .join(deg.select(col("node").as("a"), col("deg").as("__da")), Seq("a"))
@@ -218,11 +236,9 @@ object Graph {
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
                             dstCol: String): DataFrame = {
     val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
-    val deg = e.select(col("a").as("node"))
-      .union(e.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val deg = degreesOf(e)
     deg.filter(col("deg") >= 2)
-      .join(triangleCounts(e, "a", "b"), Seq("node"))
+      .join(triangleCountsOn(e, deg), Seq("node"))
       .select(col("node"), col("deg"), col("n_triangles"),
         round(lit(2.0) * col("n_triangles") /
           (col("deg") * (col("deg") - 1)), 6).as("clustering_coef"))
@@ -290,6 +306,8 @@ object Graph {
                        iters: Int,
                        checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
+    // global-checkpoint-dir caveat: see rankLoop — one app-wide dir,
+    // caller-managed cleanup
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()

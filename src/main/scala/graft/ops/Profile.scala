@@ -137,14 +137,12 @@ object Profile {
     val cuts = df.agg(percentile(col(valueCol).cast("double"),
         typedLit((1 until k).map(_.toDouble / k))).as("__c"))
       .head().getSeq[Double](0)
-      // midpoint-safe 6dp: floor(c*1e6 + 0.5)/1e6 — the same binary
-      // double arithmetic any SQL engine replays with
+      // midpoint-safe 6dp ([[Quantize.qd]]): the same binary double
+      // arithmetic any SQL engine replays with
       // floor(c*1000000 + 0.5)/1000000, unlike decimal-string
       // HALF_UP which can disagree within ~1 ulp of a midpoint
-      .map(c => math.floor(c * 1e6 + 0.5) / 1e6)
-    val bin = cuts.zipWithIndex.foldRight(lit(k): org.apache.spark.sql.Column) {
-      case ((c, i), acc) => when(col(valueCol) <= c, i + 1).otherwise(acc)
-    }
+      .map(Quantize.qd(_, 6))
+    val bin = Quantize.binByCuts(col(valueCol), cuts)
     df.filter(col(valueCol).isNotNull)
       .groupBy(bin.cast("long").as("bin"))
       .agg(count(lit(1)).as("n_rows"),
@@ -183,16 +181,22 @@ object Profile {
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 loQ: Double, hiQ: Double): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "0 <= loQ < hiQ <= 1")
-    def r6(c: org.apache.spark.sql.Column) =
-      floor(c * 1000000d + 0.5d) / 1000000d
     val cuts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol)).agg(
-        r6(percentile(col(valueCol).cast("double"), lit(loQ))).as("__lo"),
-        r6(percentile(col(valueCol).cast("double"), lit(hiQ))).as("__hi"))
+        Quantize.q(percentile(col(valueCol).cast("double"), lit(loQ)), 6)
+          .as("__lo"),
+        Quantize.q(percentile(col(valueCol).cast("double"), lit(hiQ)), 6)
+          .as("__hi"))
+    // NULL values stay NULL (greatest/least SKIP nulls, so an
+    // unguarded clamp would silently impute missing values at lo)
     df.join(broadcast(cuts), Seq(groupCol))
       .withColumn("value_w",
-        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
-      .withColumn("clamped", col("value_w") =!= col(valueCol).cast("double"))
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol).cast("double"), col("__lo")),
+            col("__hi"))))
+      .withColumn("clamped",
+        coalesce(col("value_w") =!= col(valueCol).cast("double"),
+          lit(false)))
       .drop("__lo", "__hi")
   }
 
@@ -240,20 +244,18 @@ object Profile {
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      threshold: Double = 3.5): DataFrame = {
     require(threshold > 0, "threshold must be positive")
-    def r6(c: org.apache.spark.sql.Column) =
-      floor(c * 1000000d + 0.5d) / 1000000d
     val v = col(valueCol).cast("double")
     val med = df.filter(v.isNotNull).groupBy(col(groupCol))
-      .agg(r6(percentile(v, lit(0.5))).as("__med"))
+      .agg(Quantize.q(percentile(v, lit(0.5)), 6).as("__med"))
     val withMed = df.join(broadcast(med), Seq(groupCol))
     val mad = withMed.filter(v.isNotNull).groupBy(col(groupCol))
-      .agg(r6(percentile(abs(v - col("__med")), lit(0.5))).as("__mad"))
+      .agg(Quantize.q(percentile(abs(v - col("__med")), lit(0.5)), 6)
+        .as("__mad"))
     withMed.join(broadcast(mad), Seq(groupCol))
       .filter(col("__mad") > 0 &&
         lit(0.6745) * abs(v - col("__med")) > lit(threshold) * col("__mad"))
       .withColumn("modified_z",
-        floor(lit(0.6745) * (v - col("__med")) / col("__mad") * 10000d +
-          0.5d) / 10000d)
+        Quantize.q(lit(0.6745) * (v - col("__med")) / col("__mad"), 4))
       .drop("__med", "__mad")
   }
 

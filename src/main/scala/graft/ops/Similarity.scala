@@ -475,19 +475,22 @@ object Similarity {
     * vector points the same way and cosine similarity stops
     * discriminating).
     *
-    * Scale shape: ONE pass — norms are a codegen row expression
-    * folded by a single aggregate; the centroid is the
-    * [[graft.functions.VectorMeanAggregator]] buffer (dim doubles per
-    * task, never a per-dim explode). The dim-length centroid reduces
-    * to its norm driver-side (the equiDepthBins one-row-action
-    * pattern). Surfaced doubles floor-quantize at 4dp.
+    * Scale shape: TWO cheap scans — the centroid is one pass through
+    * the [[graft.functions.VectorMeanAggregator]] buffer (dim doubles
+    * per task, never a per-dim explode; the dim-length result reduces
+    * to its norm driver-side, the equiDepthBins one-row-action
+    * pattern), then the norm stats fold in a second single-aggregate
+    * pass (norms are a codegen row expression). Fusing them would
+    * need a typed-plus-untyped mixed aggregate for a column-scan the
+    * first pass already leaves page-cached. Surfaced doubles
+    * floor-quantize at 4dp.
     */
   def corpusStats(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
     val cen = meanPool(emb.withColumn("__g", lit(1L)), "__g", vecCol, dim)
       .head().getSeq[Double](1)
     // array-order sum: deterministic, engine-replayable
     val cnorm = math.sqrt(cen.foldLeft(0.0)((s, x) => s + x * x))
-    def q4(c: Column) = floor(c * 10000d + 0.5d) / 10000d
+    def q4(c: Column) = Quantize.q(c, 4)
     emb.filter(col(vecCol).isNotNull)
       .select(norm(col(vecCol)).as("__n"), size(col(vecCol)).as("__d"))
       .agg(

@@ -438,7 +438,7 @@ object TextAnalysis {
       .cast("double")
     val syls = greatest(regexp_count(low, lit("[aeiouy]+")).cast("double"),
       words)
-    def q4(c: Column) = floor(c * 10000d + 0.5d) / 10000d
+    def q4(c: Column) = Quantize.q(c, 4)
     df.select(col(idCol),
       words.cast("long").as("n_words"),
       sents.cast("long").as("n_sentences"),

@@ -23,14 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object DriftMonitor {
 
-  /** First-match decile CASE, identical to psiBinned's binning:
-    * bin i+1 for value <= cuts(i), else k. Cuts must be the
-    * midpoint-safe 6dp-rounded reference quantiles.
+  /** First-match decile CASE ([[graft.ops.Quantize.binByCuts]] — the
+    * SAME expression psiBinned bins with, so batch reference and
+    * streaming monitor can never disagree on a boundary). Cuts must
+    * be the midpoint-safe 6dp-rounded reference quantiles.
     */
   private def binExpr(valueCol: String, cuts: Seq[Double]): Column =
-    cuts.zipWithIndex.foldRight(lit(cuts.size + 1): Column) {
-      case ((c, i), acc) => when(col(valueCol) <= c, i + 1).otherwise(acc)
-    }.cast("long")
+    graft.ops.Quantize.binByCuts(col(valueCol), cuts).cast("long")
 
   /** Streaming stage: per (tumbling window, reference bin) value
     * counts. Works identically on a batch frame (backfill parity —
@@ -68,8 +67,18 @@ object DriftMonitor {
     require(refShares.nonEmpty && eps > 0, "refShares nonempty, eps > 0")
     def termD(p: Double, q: Double) = (p - q) * math.log(p / q)
     val allAbsent = refShares.map(q0 => termD(eps, math.max(q0, eps))).sum
+    val k = refShares.size
+    // a bin outside refShares' range is a caller contract violation
+    // (k vs k-1 cutoffs off-by-one) — fail LOUDLY instead of letting
+    // element_at's NULL floor to eps and masquerade as massive drift
+    val inRange = col("bin").between(1, k)
     val q = greatest(
-      element_at(typedLit(refShares), col("bin").cast("int")), lit(eps))
+      when(inRange,
+        element_at(typedLit(refShares), col("bin").cast("int")))
+        .otherwise(raise_error(concat(
+          lit(s"psiOf: bin out of refShares range 1..$k: "),
+          col("bin").cast("string")))),
+      lit(eps))
     // window total via an analytic window, NOT a join back onto the
     // same frame: psiOf must stay legal over a streaming sink table,
     // whose lineage cannot appear on both sides of a join
@@ -80,7 +89,7 @@ object DriftMonitor {
     binned.withColumn("__tot", sum(col("n")).over(w))
       .groupBy(col("window_start"))
       .agg(max(col("__tot")).as("n_events"),
-        (floor((sum(term(p) - term(lit(eps))) + lit(allAbsent)) *
-          1000000d + 0.5d) / 1000000d).as("psi"))
+        graft.ops.Quantize.q(
+          sum(term(p) - term(lit(eps))) + lit(allAbsent), 6).as("psi"))
   }
 }

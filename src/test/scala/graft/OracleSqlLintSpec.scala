@@ -27,6 +27,25 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OracleSqlLintSpec extends AnyFunSuite {
 
+  /** Blank the CONTENT of single-quoted SQL string literals (keeping
+    * length, so indices stay aligned) before any paren scanning — a
+    * parenthesis inside a quoted regex ('([^/]+)$', '[(]') would
+    * otherwise corrupt the bracket matching and could silently pass
+    * an uncast SUM. Handles '' escapes by treating them as two
+    * adjacent literals (the blanked result is identical).
+    */
+  private def stripLiterals(sql: String): String = {
+    val out = sql.toCharArray
+    var i = 0
+    var inLit = false
+    while (i < out.length) {
+      if (out(i) == '\'') inLit = !inLit
+      else if (inLit) out(i) = ' '
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Names of the function calls enclosing position `idx`. */
   private def enclosingStack(sql: String, idx: Int): List[String] = {
     var stack = List.empty[String]
@@ -62,7 +81,8 @@ class OracleSqlLintSpec extends AnyFunSuite {
   }
 
   /** Non-conforming SUM sites in one SQL string (argument prefixes). */
-  private def sumViolations(sql: String): Seq[String] = {
+  private def sumViolations(rawSql: String): Seq[String] = {
+    val sql = stripLiterals(rawSql)
     val sumRe = "(?i)\\bsum\\s*\\(".r
     sumRe.findAllMatchIn(sql).toSeq.flatMap { m =>
       val openIdx = m.end - 1
@@ -146,5 +166,17 @@ class OracleSqlLintSpec extends AnyFunSuite {
       "WITH c AS (SELECT CAST(SUM(n_tokens) OVER (PARTITION BY source " +
         "ORDER BY r) AS BIGINT) AS cum_tokens FROM tk) " +
         "SELECT cum_tokens FROM c").isEmpty)
+  }
+
+  test("parens inside string literals cannot corrupt the scan") {
+    // the unbalanced '(' in the regex literal would desync
+    // matchingParen and hide the uncast SUM without stripLiterals
+    assert(sumViolations(
+      "SELECT split_part(name, '(', 1) AS g, SUM(n) AS total " +
+        "FROM t GROUP BY g").nonEmpty)
+    // and a cast site with a parenthesized literal still conforms
+    assert(sumViolations(
+      "SELECT regexp_extract(p, '([^/]+)$', 1) AS f, " +
+        "CAST(SUM(n) AS BIGINT) AS total FROM t GROUP BY f").isEmpty)
   }
 }

@@ -93,6 +93,17 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == 0.0, got.toString)
   }
 
+  test("ndcg stays in [0,1] when truth ranks are non-contiguous") {
+    // a filtered truth ranking whose ranks don't start at 1: the
+    // ideal re-packs relevance to positions 1..n, so finding the only
+    // true item first is STILL 1.0 (raw-rank idcg would yield 2.0)
+    val truth = Seq((1L, 10L, 3)).toDF("query_id", "corpus_id", "rank")
+    val found = Seq((1L, 10L, 1)).toDF("query_id", "corpus_id", "rank")
+    val got = Eval.ndcg(found, truth, k = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0), got.toString)
+  }
+
   test("ndcg: short truth list can still reach 1; empty truth scores 0") {
     // q1 has ONE true neighbor; finding it first is ideal -> 1.0 even
     // though k=3. q2 exists only on the found side -> idcg 0 -> 0.0.

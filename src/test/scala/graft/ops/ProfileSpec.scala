@@ -160,6 +160,18 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       Profile.winsorize(df, "grp", "v", 0.9, 0.1))
   }
 
+  test("winsorize: NULL values stay NULL, never imputed at the cutoff") {
+    val df = ((1 to 10).map(i => ("g", Option(i.toDouble))) :+
+      (("g", Option.empty[Double]))).toDF("grp", "v")
+    val out = Profile.winsorize(df, "grp", "v", 0.1, 0.9)
+    val nullRow = out.filter($"v".isNull).collect()
+    assert(nullRow.length == 1)
+    // greatest/least skip NULLs: an unguarded clamp would return lo
+    assert(nullRow(0).isNullAt(out.columns.indexOf("value_w")),
+      nullRow(0).toString)
+    assert(nullRow(0).getBoolean(out.columns.indexOf("clamped")) == false)
+  }
+
   test("robustOutliers: median/MAD immune where mean/stddev saturates") {
     // 20 values at 10 +/- small noise, one at 1000: the spike's
     // modified z is ~1100 while the worst inlier sits near 1.2 —

@@ -38,6 +38,19 @@ class DriftMonitorSpec extends AnyFunSuite with SparkTestBase {
     assert(psiShift > 0.25, "a wholesale shift must clear the alert bar")
   }
 
+  test("psiOf fails loudly when a bin exceeds the refShares range") {
+    // k-vs-cutoffs off-by-one: bins go to 3 but only 2 shares passed —
+    // the eps floor would otherwise fake a massive drift silently
+    val counts = Seq((tsOf("2024-01-01 10:00:00"), 3L, 5L))
+      .toDF("window_start", "bin", "n")
+    val e = intercept[Exception] {
+      DriftMonitor.psiOf(counts, refShares).collect()
+    }
+    assert(e.getMessage.contains("refShares range") ||
+      Option(e.getCause).exists(_.getMessage.contains("refShares range")),
+      e.toString)
+  }
+
   test("streaming: watermark finalizes a window's counts exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_drift_ev_").toString
     val cp = java.nio.file.Files.createTempDirectory("graft_drift_cp_").toString
