@@ -2693,6 +2693,107 @@ object SparkEntry {
     cat
   }
 
+  /** Grouped OLS ([[graft.ops.Stats.groupedOls]]): per return flag,
+    * the least-squares fit of extended price on quantity — slope /
+    * intercept / R² via the one-pass REGR_* closed form both engines
+    * implement identically. One map-side partial aggregate; scales
+    * like COUNT(*).
+    */
+  private def qStatOls(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.groupedOls(t(s, d, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice")
+      .orderBy(col("l_returnflag"))
+
+  /** Mutual information ([[graft.ops.Stats.mutualInformation]])
+    * between order status and order priority — the "how entangled are
+    * these two facets" diagnostic before stratifying on both. One
+    * joint-count aggregate; marginals re-aggregate from the joint.
+    */
+  private def qStatMi(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.mutualInformation(t(s, d, "orders"),
+      "o_orderstatus", "o_orderpriority")
+
+  /** Welch's t ([[graft.ops.Stats.welchTTest]]): did returned ('R')
+    * and accepted ('A') line items differ in extended price? One
+    * conditional aggregate to a single row — the two-sample check a
+    * pipeline runs after any filter/mix change.
+    */
+  private def qStatTtest(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.welchTTest(t(s, d, "lineitem"), "l_returnflag",
+      "l_extendedprice", "R", "A")
+
+  /** Multi-source BFS ([[graft.ops.Graph.shortestPaths]]): hop
+    * distance of every part within 3 hops of seed parts {4, 8} in the
+    * sliced co-order graph (symmetric — both directions fed, the
+    * staged-table contract). The oracle replays the frontier
+    * expansion as a bounded recursive CTE with MIN(dist).
+    */
+  private def qGraphSssp(s: SparkSession, d: String): DataFrame = {
+    val e = coOrderPartEdges(s, d, slice = true)
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    graft.ops.Graph.shortestPaths(sym, "a", "b",
+        sources = Seq(4L, 8L), maxHops = 3)
+      .orderBy(col("node"))
+  }
+
+  /** Fixed-round k-core peel ([[graft.ops.Graph.kCorePeel]]): three
+    * rounds of dropping degree-<3 parts from the sliced co-order
+    * graph — the density filter that isolates its clique kernel.
+    * Survivor degrees are exact integers; the oracle unrolls the
+    * identical three peels as a CTE chain.
+    */
+  private def qGraphKcore(s: SparkSession, d: String): DataFrame =
+    graft.ops.Graph.kCorePeel(coOrderPartEdges(s, d, slice = true),
+        "a", "b", k = 3, rounds = 3)
+      .orderBy(col("node"))
+
+  /** Exact all-pairs similarity join
+    * ([[graft.ops.AllPairs.jaccardThresholdJoin]], Bayardo et al.
+    * 2007): every document pair with token-set Jaccard >= 0.5, found
+    * through rarest-first prefix filtering — zero recall loss, no
+    * all-pairs product (plan-guarded). The oracle brute-forces the
+    * same pairs through an exploded token equi-join.
+    */
+  private def qSimAllpairs(s: SparkSession, d: String): DataFrame =
+    graft.ops.AllPairs.jaccardThresholdJoin(t(s, d, "documents"),
+        "doc_id", "text", tau = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Lag-1 autocorrelation ([[graft.ops.TimeSeries.lagAutocorr]]) of
+    * event values per user — the burstiness/periodicity one-number
+    * diagnostic. One key exchange feeds both the lag window and the
+    * correlation aggregate.
+    */
+  private def qTsAcf(s: SparkSession, d: String): DataFrame =
+    graft.ops.TimeSeries.lagAutocorr(t(s, d, "events"), "user_id",
+        "ts", "event_id", "value", lagK = 1, minPairs = 5)
+      .orderBy(col("user_id"))
+
+  /** Windowed EWMA ([[graft.ops.TimeSeries.windowedEwma]]): per
+    * event, the exponentially-weighted average of the trailing 8
+    * values in its user's stream (alpha 0.3) — bounded-frame
+    * exponential smoothing, embarrassingly parallel. The oracle
+    * replays the same trailing frame via a row-number band join.
+    */
+  private def qTsEwma(s: SparkSession, d: String): DataFrame =
+    // alpha 0.25: w = 0.75 is a dyadic rational, so every weight
+    // w^k is EXACTLY representable and both engines compute
+    // bit-identical weights (an alpha like 0.3 would make w itself
+    // differ by 1 ulp between `1 - 0.3` and a 0.7 literal)
+    graft.ops.TimeSeries.windowedEwma(t(s, d, "events"), "user_id",
+        "ts", "event_id", "value", alpha = 0.25, window = 8)
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+
+  /** Dataset card ([[graft.ops.Curation.datasetCard]], Gebru et al.
+    * 2018): the one-page numeric datasheet of the documents corpus —
+    * volume, token counts, language/source diversity, top-language
+    * concentration, exact-dup rate. One scan-pass aggregate.
+    */
+  private def qCorpusCard(s: SparkSession, d: String): DataFrame =
+    graft.ops.Curation.datasetCard(t(s, d, "documents"), "text",
+        "lang", "source")
+      .orderBy(col("metric"))
+
   // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2870,6 +2971,15 @@ object SparkEntry {
     "q_pipeline_batch_sql" -> qPipelineBatchSql,
     "q_pipeline_stream" -> qPipelineStream,
     "q_pipeline_interactive" -> qPipelineInteractive,
+    "q_stat_ols" -> qStatOls,
+    "q_stat_mi" -> qStatMi,
+    "q_stat_ttest" -> qStatTtest,
+    "q_graph_sssp" -> qGraphSssp,
+    "q_graph_kcore" -> qGraphKcore,
+    "q_sim_allpairs" -> qSimAllpairs,
+    "q_ts_acf" -> qTsAcf,
+    "q_ts_ewma" -> qTsEwma,
+    "q_corpus_card" -> qCorpusCard,
   )
 
   private val stopList = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by']"
@@ -4230,6 +4340,106 @@ object SparkEntry {
         "(2, '{\"q\":\"Summarize.\"}'), " +
         "(3, '{\"f\":\"Inner?\"}'), " +
         "(4, '{\"q\":\"Extract key facts for class invoice.\"}')) t(id, canon_json) ORDER BY id"),
+    // grouped OLS: the ANSI REGR_* closed form, identical in DuckDB
+    "q_stat_ols" ->
+      ("SELECT l_returnflag, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs, " +
+        "round(regr_slope(l_extendedprice, l_quantity), 5) AS slope, " +
+        "round(regr_intercept(l_extendedprice, l_quantity), 5) AS intercept, " +
+        "round(regr_r2(l_extendedprice, l_quantity), 5) AS r2 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // mutual information: joint counts once, marginals re-aggregated,
+    // entropy sums to one row; NMI from the ROUNDED mi/h values so
+    // both engines derive it from identical inputs
+    "q_stat_mi" ->
+      ("WITH j AS (SELECT CAST(o_orderstatus AS VARCHAR) AS x, CAST(o_orderpriority AS VARCHAR) AS y, CAST(COUNT(*) AS DOUBLE) AS nxy FROM orders GROUP BY x, y), " +
+        "n AS (SELECT SUM(nxy) AS n FROM j), " +
+        "mx AS (SELECT x, SUM(nxy) AS nx FROM j GROUP BY x), " +
+        "my AS (SELECT y, SUM(nxy) AS ny FROM j GROUP BY y), " +
+        "mi AS (SELECT CAST(MAX(n.n) AS BIGINT) AS n_rows, round(SUM((nxy / n.n) * ln(nxy * n.n / (nx * ny))), 6) AS mi_nats FROM j JOIN mx USING (x) JOIN my USING (y), n), " +
+        "hx AS (SELECT round(-SUM((nx / n.n) * ln(nx / n.n)), 6) AS h_x FROM mx, n), " +
+        "hy AS (SELECT round(-SUM((ny / n.n) * ln(ny / n.n)), 6) AS h_y FROM my, n) " +
+        "SELECT n_rows, mi_nats, h_x, h_y, " +
+        "round(CASE WHEN h_x > 0 AND h_y > 0 THEN mi_nats / sqrt(h_x * h_y) END, 6) AS nmi " +
+        "FROM mi, hx, hy"),
+    // Welch's t: conditional moments in one aggregate, the
+    // Welch-Satterthwaite df from the same moments
+    "q_stat_ttest" ->
+      ("WITH m AS (SELECT COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_a, " +
+        "COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_b, " +
+        "AVG(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS ma, " +
+        "AVG(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS mb, " +
+        "var_samp(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS va, " +
+        "var_samp(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS vb " +
+        "FROM lineitem WHERE l_returnflag IN ('R', 'A') AND l_extendedprice IS NOT NULL) " +
+        "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, " +
+        "round(ma, 5) AS mean_a, round(mb, 5) AS mean_b, " +
+        "round(CASE WHEN n_a >= 2 AND n_b >= 2 AND (va / n_a + vb / n_b) > 0 THEN (ma - mb) / sqrt(va / n_a + vb / n_b) END, 4) AS t_stat, " +
+        "round(CASE WHEN n_a >= 2 AND n_b >= 2 AND (va / n_a + vb / n_b) > 0 THEN pow(va / n_a + vb / n_b, 2) / (pow(va / n_a, 2) / (n_a - 1) + pow(vb / n_b, 2) / (n_b - 1)) END, 4) AS df_welch " +
+        "FROM m"),
+    // multi-source BFS: bounded recursive CTE, MIN(dist) = first reach
+    "q_graph_sssp" ->
+      ("WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0 AND l_partkey % 4 = 0), " +
+        "e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
+        "d(node, dist) AS (SELECT CAST(node AS BIGINT), CAST(dist AS BIGINT) FROM (VALUES (4, 0), (8, 0)) t(node, dist) " +
+        "UNION SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node WHERE d.dist < 3) " +
+        "SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM d GROUP BY node ORDER BY node"),
+    // k-core: the three peels unrolled — degree gate, edge restriction
+    "q_graph_kcore" ->
+      ("WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0 AND l_partkey % 4 = 0), " +
+        "e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "d1 AS (SELECT node FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY node HAVING COUNT(*) >= 3), " +
+        "e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM d1) AND b IN (SELECT node FROM d1)), " +
+        "d2 AS (SELECT node FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY node HAVING COUNT(*) >= 3), " +
+        "e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM d2) AND b IN (SELECT node FROM d2)), " +
+        "d3 AS (SELECT node FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY node HAVING COUNT(*) >= 3), " +
+        "e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM d3) AND b IN (SELECT node FROM d3)) " +
+        "SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) GROUP BY node ORDER BY node"),
+    // all-pairs Jaccard >= tau: brute-force exploded-token equi-join —
+    // the engine's prefix filter changes WORK, never the pair set
+    "q_sim_allpairs" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks FROM documents WHERE len(trim(text)) > 0), " +
+        "e AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "j AS (SELECT id_a, id_b, round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard " +
+        "FROM p JOIN t ta ON ta.doc_id = p.id_a JOIN t tb ON tb.doc_id = p.id_b) " +
+        "SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b"),
+    // lag-1 autocorrelation: lag window + explicit covar/sqrt(var)
+    // Pearson (NULL on zero-variance series, the groupCorr convention)
+    "q_ts_acf" ->
+      ("WITH r AS (SELECT user_id, value AS x, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS xl FROM events), " +
+        "p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "round(CASE WHEN var_pop(x) > 0 AND var_pop(xl) > 0 THEN covar_pop(x, xl) / (sqrt(var_pop(x)) * sqrt(var_pop(xl))) END, 4) AS acf " +
+        "FROM r WHERE xl IS NOT NULL GROUP BY user_id) " +
+        "SELECT user_id, n_pairs, acf FROM p WHERE n_pairs >= 5 ORDER BY user_id"),
+    // windowed EWMA: trailing 8-row frame replayed as a row-number
+    // band join; denominator is the closed-form geometric series
+    "q_ts_ewma" ->
+      ("WITH r AS (SELECT user_id, event_id, ts, value, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) " +
+        "SELECT a.user_id, a.ts, a.event_id, " +
+        "round(SUM(b.value * pow(0.75, a.rn - b.rn)) / ((1 - pow(0.75, LEAST(a.rn, 8))) / 0.25), 6) AS ewma " +
+        "FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 7 AND a.rn " +
+        "GROUP BY a.user_id, a.ts, a.event_id, a.rn ORDER BY a.user_id, a.ts, a.event_id"),
+    // dataset card: one aggregate pass + the top-language share
+    "q_corpus_card" ->
+      ("WITH b AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, " +
+        "CAST(SUM(length(text)) AS DOUBLE) AS total_chars, " +
+        "CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS total_tokens, " +
+        "round(AVG(len(string_split_regex(trim(text), '\\s+'))), 6) AS mean_tokens, " +
+        "CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs, " +
+        "CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources, " +
+        "CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) AS uniq FROM documents), " +
+        "tl AS (SELECT MAX(n) AS top, SUM(n) AS al FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang)) " +
+        "SELECT metric, value FROM (" +
+        "SELECT 'n_docs' AS metric, n_docs AS value FROM b " +
+        "UNION ALL SELECT 'total_chars', total_chars FROM b " +
+        "UNION ALL SELECT 'total_tokens', total_tokens FROM b " +
+        "UNION ALL SELECT 'mean_tokens', mean_tokens FROM b " +
+        "UNION ALL SELECT 'n_langs', n_langs FROM b " +
+        "UNION ALL SELECT 'n_sources', n_sources FROM b " +
+        "UNION ALL SELECT 'top_lang_share', round(top / al, 6) FROM tl " +
+        "UNION ALL SELECT 'exact_dup_rate', round(1.0 - uniq / n_docs, 6) FROM b" +
+        ") ORDER BY metric"),
   )
 
   /** Exact 3-shingle Jaccard pairs at J >= 0.5 over ALL documents —

@@ -114,4 +114,43 @@ object Curation {
       .select(col("stage_id"), col("stage"), col("n_docs"),
         round(col("n_docs") / col("__raw"), 4).as("pct_of_raw"))
   }
+
+  /** Dataset card: the one-page numeric datasheet (Gebru et al.,
+    * "Datasheets for Datasets", 2018) a corpus release ships with —
+    * size, token volume, language/source diversity, concentration of
+    * the top language, and the exact-duplicate rate. Output:
+    * (metric, value) rows, values as doubles (counts exact,
+    * ratios 6dp).
+    *
+    * Scale shape: ONE aggregate over the scan computes every count
+    * (distinct counts included — Spark expands multi-distinct into
+    * one expand + partial-agg pass), so the card costs a single
+    * table pass regardless of corpus size; the top-language share is
+    * a groups-sized second aggregate. Nothing wide ever shuffles —
+    * text contributes only its md5 and its whitespace token count.
+    */
+  def datasetCard(df: DataFrame, textCol: String,
+                  langCol: String, sourceCol: String): DataFrame = {
+    val tokCount = size(split(trim(col(textCol)), "\\s+"))
+      .cast("double")
+    val base = df.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(length(col(textCol))).cast("double").as("total_chars"),
+      sum(tokCount).as("total_tokens"),
+      round(avg(tokCount), 6).as("mean_tokens"),
+      countDistinct(col(langCol)).cast("double").as("n_langs"),
+      countDistinct(col(sourceCol)).cast("double").as("n_sources"),
+      countDistinct(md5(col(textCol))).cast("double").as("__uniq"))
+    val topLang = df.groupBy(col(langCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .agg(max(col("__n")).as("__top"),
+        sum(col("__n")).as("__all"))
+    base.crossJoin(broadcast(topLang)).select(expr(
+      "stack(8, 'n_docs', n_docs, 'total_chars', total_chars, " +
+        "'total_tokens', total_tokens, 'mean_tokens', mean_tokens, " +
+        "'n_langs', n_langs, 'n_sources', n_sources, " +
+        "'top_lang_share', round(__top / __all, 6), " +
+        "'exact_dup_rate', round(1.0 - __uniq / n_docs, 6)) " +
+        "AS (metric, value)"))
+  }
 }

@@ -331,6 +331,99 @@ object Graph {
     labels
   }
 
+  /** Multi-source BFS hop distance: for every node reachable from
+    * `sources` within `maxHops` directed hops, the MINIMUM hop count
+    * — the "how far is everything from these seeds" primitive behind
+    * neighborhood sampling, blast-radius analysis and seed-expansion
+    * labeling. Edges are treated as DIRECTED over (srcCol, dstCol);
+    * pass a symmetric edge table for undirected semantics (the
+    * [[pageRank]] staged-table contract). Output: (node, dist) with
+    * dist 0 on the seeds themselves.
+    *
+    * Scale shape — frontier BFS, the textbook Pregel lowering: each
+    * hop is ONE (frontier ⋈ edges) equi-join plus ONE anti-join
+    * against the settled set, so per-hop work is proportional to the
+    * edges incident to the CURRENT frontier, never |E|·hops. The
+    * settled set and frontier pin per round (localCheckpoint, or
+    * `checkpoint()` under `checkpointDir` — the [[pageRank]] knob);
+    * an empty frontier short-circuits the remaining rounds (one
+    * cheap isEmpty job per hop, on the frontier — the smallest frame
+    * in the loop).
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    sources: Seq[Long], maxHops: Int,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    require(maxHops >= 1 && maxHops <= 64, "maxHops in [1, 64]")
+    // global-checkpoint-dir caveat: see rankLoop — one app-wide dir,
+    // caller-managed cleanup
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    var settled = pin(sources.distinct.toDF("node")
+      .select(col("node"), lit(0L).as("dist")))
+    var frontier = settled.select(col("node"))
+    var hop = 1L
+    var live = true
+    while (live && hop <= maxHops) {
+      val reached = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = pin(reached.join(settled.select(col("node")),
+        Seq("node"), "left_anti"))
+      if (fresh.isEmpty) live = false
+      else {
+        settled = pin(settled.union(
+          fresh.select(col("node"), lit(hop).as("dist"))))
+        frontier = fresh
+        hop += 1
+      }
+    }
+    settled
+  }
+
+  /** Fixed-round k-core peel (Seidman 1983's k-core by bounded
+    * iteration): `rounds` times, drop every node whose degree in the
+    * CURRENT graph is below `k` and restrict the edge set to the
+    * survivors — the standard "strip the fringe" density filter that
+    * isolates the tightly-connected kernel of a co-occurrence graph
+    * (spam rings, core vocabularies, hub communities). Bounded
+    * supersteps rather than peel-to-fixpoint, the [[pageRank]] /
+    * [[labelPropagation]] posture: any engine replaying the same
+    * `rounds` gets the identical node set. Output: (node, deg) —
+    * survivors of the last peel with their degree in the peeled
+    * graph (a node whose last neighbor was peeled disappears with
+    * the edge that carried it).
+    *
+    * Scale shape per round: one degree aggregate (map-side partial)
+    * plus two semi-joins restricting the edge set — all on node
+    * keys, edge payload never widens; the shrinking edge table pins
+    * per round so the `rounds`-deep plan never re-derives earlier
+    * peels.
+    */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(rounds >= 1 && rounds <= 64, "rounds in [1, 64]")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    var e = pin(canonicalEdges(edges, srcCol, dstCol))
+    for (_ <- 1 to rounds) {
+      val keep = degreesOf(e).filter(col("deg") >= k)
+        .select(col("node"))
+      e = pin(e
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+    }
+    degreesOf(e)
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over every undirected edge (each edge counted
     * in both directions, the standard convention) — positive means

@@ -128,6 +128,11 @@ class OracleSqlLintSpec extends AnyFunSuite {
     *    arithmetic / ORDER BY, never surfaced as integers.
     *  - q_validate (1): COALESCE(SUM(n), 0) compared `= 0` through a
     *    subquery paren the comparison rule can't see across.
+    *  - q_stat_mi (3): SUM(nxy) marginal/total sums — nxy is
+    *    CAST(COUNT(*) AS DOUBLE) by construction, consumed only in
+    *    probability ratios.
+    *  - q_corpus_card (1): SUM(n) AS al — n is CAST(COUNT(*) AS
+    *    DOUBLE), consumed only in the top/al share ratio.
     */
   private val allowedCounts = Map(
     "q_corpus_temperature" -> 1,
@@ -136,7 +141,9 @@ class OracleSqlLintSpec extends AnyFunSuite {
     "q_eval_langid" -> 3,
     "q_hybrid_search" -> 5,
     "q_rag_retrieve" -> 5,
-    "q_validate" -> 1)
+    "q_validate" -> 1,
+    "q_stat_mi" -> 3,
+    "q_corpus_card" -> 1)
 
   test("every surfaced integer SUM in oracle SQL is BIGINT-cast") {
     val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {

@@ -748,4 +748,81 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
       s"only gram/token count rows may move:\n$shufflePart")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("grouped OLS is ONE partial aggregate — no join, no window") {
+    val p = plan("q_stat_ols")
+    assert(p.contains("partial_regr_slope") || p.contains("partial_"),
+      s"REGR_* must combine map-side:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"a closed-form fit needs no join:\n$p")
+  }
+
+  test("mutual information scans the raw table exactly once") {
+    val p = plan("q_stat_mi")
+    // marginals re-aggregate from the (checkpointed) joint table; a
+    // regression to per-marginal scans would read orders 3x
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"raw scans must be behind the joint pin:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("Welch t-test is one conditional aggregate to one row") {
+    val p = plan("q_stat_ttest")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // the group filter pushes into the scan (Or-of-equalities shape)
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("all-pairs join: no cartesian; text never enters the prefix exchange") {
+    val p = plan("q_sim_allpairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    // raw text is cut at the tokenization pin; only token sets (the
+    // verify payload), prefix rows and id pairs may move
+    assert(!shufflePart.contains("text#"),
+      s"raw text may never ride an exchange:\n$shufflePart")
+  }
+
+  test("BFS final plan reads per-hop checkpoints — lineage truncated") {
+    val p = plan("q_graph_sssp")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("k-core peel reads per-round checkpoints; degrees aggregate partially") {
+    val p = plan("q_graph_kcore")
+    // the per-round semi-join restriction lives BEHIND the round pin —
+    // the surfaced plan must be degree-count over the checkpoint
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("EWMA is one key exchange + bounded frame — no self-join") {
+    val p = plan("q_ts_ewma")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"the trailing frame must not be a band join:\n$p")
+    assert("hashpartitioning\\(user_id".r.findFirstIn(p).nonEmpty, p)
+  }
+
+  test("ACF reuses the lag window's partitioning for the aggregate") {
+    val p = plan("q_ts_acf")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // ONE hash exchange on the key serves window + groupBy (the sort
+    // for the final ORDER BY is a range exchange, not hash)
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 user_id exchange, found $hashEx:\n$p")
+  }
+
+  test("dataset card: text contributes hash/length only — never shuffles") {
+    val p = plan("q_corpus_card")
+    val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shufflePart.contains("text#"),
+      s"only hashed/counted projections may move:\n$shufflePart")
+    assert(p.contains("partial_"), p)
+  }
 }

@@ -209,4 +209,64 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       .filter { case (a, b) => a != b }
     assert(communities(e, 3) == communities(e, 3))
   }
+
+  private def sssp(edges: Seq[(Long, Long)], sources: Seq[Long],
+                   maxHops: Int): Map[Long, Long] =
+    Graph.shortestPaths(edges.toDF("src", "dst"), "src", "dst",
+        sources, maxHops)
+      .as[(Long, Long)].collect().toMap
+
+  test("shortestPaths: path graph hand distances, hop bound respected") {
+    // directed path 1->2->3->4->5
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val d = sssp(e, Seq(1L), maxHops = 3)
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), d.toString)
+  }
+
+  test("shortestPaths: multi-source takes the MIN distance; cycles terminate") {
+    // cycle 1->2->3->1 plus 3->4; sources {1, 4}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val d = sssp(e, Seq(1L, 4L), maxHops = 10)
+    assert(d == Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 2L), d.toString)
+  }
+
+  test("shortestPaths: direction respected; unreachable nodes absent") {
+    val e = Seq((2L, 1L), (3L, 4L)) // edge INTO the source only
+    val d = sssp(e, Seq(1L), maxHops = 5)
+    assert(d == Map(1L -> 0L), d.toString)
+  }
+
+  test("shortestPaths: early exit on an exhausted frontier matches full run") {
+    val e = Seq((1L, 2L))
+    assert(sssp(e, Seq(1L), 64) == Map(1L -> 0L, 2L -> 1L))
+  }
+
+  private def kcore(edges: Seq[(Long, Long)], k: Int,
+                    rounds: Int): Map[Long, Long] =
+    Graph.kCorePeel(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("kCorePeel: triangle survives k=2, pendant chain peels off round by round") {
+    // triangle 1-2-3 with a tail 3-4-5
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    // round 1 drops 5 (deg 1); round 2 drops 4 (deg 1 after 5 left)
+    val r1 = kcore(e, k = 2, rounds = 1)
+    assert(r1.keySet == Set(1L, 2L, 3L, 4L), r1.toString)
+    val r2 = kcore(e, k = 2, rounds = 2)
+    assert(r2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), r2.toString)
+    // already at fixpoint: more rounds change nothing
+    assert(kcore(e, 2, 4) == r2)
+  }
+
+  test("kCorePeel: k above the max degree empties the graph") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(kcore(e, k = 3, rounds = 2).isEmpty)
+  }
+
+  test("kCorePeel: duplicate/reversed edges and self-loops don't inflate degrees") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L), (2L, 3L), (1L, 3L))
+    // canonical: 1-2, 2-3, 1-3 — a triangle, all deg 2
+    val r = kcore(e, k = 2, rounds = 1)
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), r.toString)
+  }
 }
