@@ -2765,7 +2765,7 @@ object SparkEntry {
     * correlation aggregate.
     */
   private def qTsAcf(s: SparkSession, d: String): DataFrame =
-    graft.ops.TimeSeries.lagAutocorr(t(s, d, "events"), "user_id",
+    graft.ops.TimeSeries.lagAutocorr(ev(s, d), "user_id",
         "ts", "event_id", "value", lagK = 1, minPairs = 5)
       .orderBy(col("user_id"))
 
@@ -2780,9 +2780,42 @@ object SparkEntry {
     // w^k is EXACTLY representable and both engines compute
     // bit-identical weights (an alpha like 0.3 would make w itself
     // differ by 1 ulp between `1 - 0.3` and a 0.7 literal)
-    graft.ops.TimeSeries.windowedEwma(t(s, d, "events"), "user_id",
+    graft.ops.TimeSeries.windowedEwma(ev(s, d), "user_id",
         "ts", "event_id", "value", alpha = 0.25, window = 8)
       .orderBy(col("user_id"), col("ts"), col("event_id"))
+
+  /** CUSUM change-point ([[graft.ops.TimeSeries.cusumChangePoint]],
+    * Page 1954): per user, where the event-value series most departs
+    * from its mean level — max |cumulative deviation| and the event
+    * at the peak. One key exchange serves all three window passes.
+    */
+  private def qTsCusum(s: SparkSession, d: String): DataFrame =
+    graft.ops.TimeSeries.cusumChangePoint(ev(s, d), "user_id",
+        "ts", "event_id", "value")
+      .orderBy(col("user_id"))
+
+  /** Hour-of-day seasonal profile
+    * ([[graft.ops.TimeSeries.seasonalProfile]]): per event type, the
+    * 24-cell multiplicative seasonality table (hourly mean / overall
+    * mean). One raw aggregate; the per-type mean re-aggregates from
+    * the hourly cells.
+    */
+  private def qTsSeasonal(s: SparkSession, d: String): DataFrame =
+    graft.ops.TimeSeries.seasonalProfile(ev(s, d), "event_type",
+        "ts", "value")
+      .orderBy(col("event_type"), col("hour"))
+
+  /** Dominant principal component
+    * ([[graft.ops.Pca.dominantComponent]]): 4-step power iteration
+    * over the embeddings — covariance-free matvecs (one codegen dot
+    * scan + one (dim+1)-double aggregation buffer per step), 8dp
+    * per-iteration rounding so the oracle replays the identical
+    * recurrence as an unrolled CTE chain.
+    */
+  private def qEmbPca(s: SparkSession, d: String): DataFrame =
+    graft.ops.Pca.dominantComponent(t(s, d, "embeddings"), "embedding",
+        dim = 64, iters = 4)
+      .orderBy(col("dim_idx"))
 
   /** Dataset card ([[graft.ops.Curation.datasetCard]], Gebru et al.
     * 2018): the one-page numeric datasheet of the documents corpus —
@@ -2979,6 +3012,9 @@ object SparkEntry {
     "q_sim_allpairs" -> qSimAllpairs,
     "q_ts_acf" -> qTsAcf,
     "q_ts_ewma" -> qTsEwma,
+    "q_ts_cusum" -> qTsCusum,
+    "q_ts_seasonal" -> qTsSeasonal,
+    "q_emb_pca" -> qEmbPca,
     "q_corpus_card" -> qCorpusCard,
   )
 
@@ -4420,6 +4456,26 @@ object SparkEntry {
         "round(SUM(b.value * pow(0.75, a.rn - b.rn)) / ((1 - pow(0.75, LEAST(a.rn, 8))) / 0.25), 6) AS ewma " +
         "FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 7 AND a.rn " +
         "GROUP BY a.user_id, a.ts, a.event_id, a.rn ORDER BY a.user_id, a.ts, a.event_id"),
+    // CUSUM: mean/count windows, midpoint-safe 6dp cumulative sum,
+    // first-peak arg-max (ties by ts, id)
+    "q_ts_cusum" ->
+      ("WITH m AS (SELECT user_id, event_id, ts, value, AVG(value) OVER (PARTITION BY user_id) AS mu, COUNT(*) OVER (PARTITION BY user_id) AS n FROM events), " +
+        "s AS (SELECT user_id, event_id, ts, n, floor(SUM(value - mu) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) * 1000000 + 0.5) / 1000000 AS cs FROM m), " +
+        "r AS (SELECT user_id, CAST(n AS BIGINT) AS n_events, abs(cs) AS cusum_max, event_id AS change_point_id, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY abs(cs) DESC, ts, event_id) AS rn FROM s) " +
+        "SELECT user_id, n_events, cusum_max, change_point_id FROM r WHERE rn = 1 ORDER BY user_id"),
+    // seasonal profile: hourly sum/count cells, per-type mean
+    // re-aggregated from the cells (mean = sv/n on both engines)
+    "q_ts_seasonal" ->
+      ("WITH h AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sv FROM events GROUP BY event_type, hour), " +
+        "a AS (SELECT event_type, SUM(sv) / SUM(n_events) AS ma FROM h GROUP BY event_type) " +
+        "SELECT h.event_type, hour, n_events, round(sv / n_events, 4) AS mean_value, " +
+        "round(CASE WHEN abs(a.ma) > 0 THEN (sv / n_events) / a.ma END, 4) AS seasonal_index " +
+        "FROM h JOIN a USING (event_type) ORDER BY h.event_type, hour"),
+    // dominant principal component: the 4-step power iteration
+    // unrolled as a CTE chain (8dp per-iteration rounding — the
+    // pageRank recurrence contract applied to linear algebra)
+    "q_emb_pca" -> pcaOracleSql(iters = 4),
     // dataset card: one aggregate pass + the top-language share
     "q_corpus_card" ->
       ("WITH b AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, " +
@@ -4441,6 +4497,38 @@ object SparkEntry {
         "UNION ALL SELECT 'exact_dup_rate', round(1.0 - uniq / n_docs, 6) FROM b" +
         ") ORDER BY metric"),
   )
+
+  /** DuckDB replay of [[graft.ops.Pca.dominantComponent]]'s power
+    * iteration, unrolled: v0 = 1/sqrt(64) (exact), per iteration the
+    * covariance-free matvec w = (Σ x·c - μ·Σc)/n with c = x·v - μ·v,
+    * Rayleigh estimate λ = v·w, then v = floor-8dp(w/|w|). Scalar
+    * CTEs are referenced as subselects to keep the join graph
+    * unambiguous.
+    */
+  private def pcaOracleSql(iters: Int): String = {
+    val base =
+      "WITH e AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), " +
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings), " +
+        "mu AS MATERIALIZED (SELECT d, floor(AVG(x) * 100000000 + 0.5) / 100000000 AS m FROM e GROUP BY d), " +
+        "tv AS MATERIALIZED (SELECT (SELECT SUM(x * x) FROM e) / (SELECT n FROM nn) - (SELECT SUM(m * m) FROM mu) AS tvar), " +
+        "v0 AS MATERIALIZED (SELECT d, 0.125 AS val FROM mu)"
+    val its = (1 to iters).map { k =>
+      val p = k - 1
+      s"mv$k AS MATERIALIZED (SELECT SUM(mu.m * v$p.val) AS mv FROM mu JOIN v$p USING (d)), " +
+        s"c$k AS MATERIALIZED (SELECT vec_id, dotv - (SELECT mv FROM mv$k) AS c FROM (SELECT e.vec_id, SUM(e.x * v$p.val) AS dotv FROM e JOIN v$p USING (d) GROUP BY e.vec_id)), " +
+        s"s$k AS MATERIALIZED (SELECT SUM(c) AS sc FROM c$k), " +
+        s"u$k AS MATERIALIZED (SELECT e.d, SUM(e.x * c$k.c) AS xc FROM e JOIN c$k USING (vec_id) GROUP BY e.d), " +
+        s"w$k AS MATERIALIZED (SELECT u$k.d, (u$k.xc - mu.m * (SELECT sc FROM s$k)) / (SELECT n FROM nn) AS w FROM u$k JOIN mu USING (d)), " +
+        s"lam$k AS MATERIALIZED (SELECT SUM(v$p.val * w$k.w) AS lam FROM v$p JOIN w$k USING (d)), " +
+        s"nr$k AS MATERIALIZED (SELECT sqrt(SUM(w * w)) AS nrm FROM w$k), " +
+        s"v$k AS MATERIALIZED (SELECT d, floor(w / (SELECT nrm FROM nr$k) * 100000000 + 0.5) / 100000000 AS val FROM w$k)"
+    }.mkString(", ", ", ", " ")
+    base + its +
+      "SELECT CAST(d AS BIGINT) AS dim_idx, floor(val * 1000000 + 0.5) / 1000000 AS loading, " +
+      s"floor((SELECT lam FROM lam$iters) * 1000000 + 0.5) / 1000000 AS eigenvalue, " +
+      s"CASE WHEN (SELECT tvar FROM tv) > 0 THEN floor((SELECT lam FROM lam$iters) / (SELECT tvar FROM tv) * 1000000 + 0.5) / 1000000 END AS explained_ratio " +
+      s"FROM v$iters ORDER BY dim_idx"
+  }
 
   /** Exact 3-shingle Jaccard pairs at J >= 0.5 over ALL documents —
     * the shared ground truth for both approximate near-dup entries

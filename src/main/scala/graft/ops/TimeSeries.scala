@@ -75,6 +75,77 @@ object TimeSeries {
     * the correlation is the explicit covar_pop/sqrt(var·var) form —
     * a map-side partial aggregate per key.
     */
+  /** CUSUM change-point score (Page 1954): per key, the cumulative
+    * sum of deviations from the key's mean, S_i = sum_{j<=i}(x_j - m),
+    * peaks where the series' level shifts — the classic
+    * "did this metric change regime, and WHEN" detector. Output per
+    * key: (key, n_events, cusum_max, <id at the peak>) where
+    * cusum_max = max_i |S_i| (6dp) and the peak position is the
+    * FIRST (ts, id) attaining it (deterministic under ties). A flat
+    * series scores ~0; a single level shift scores ~|shift|·n/4 at
+    * the shift point.
+    *
+    * Scale shape: ONE hash exchange on the key serves the mean
+    * window, the ordered cumulative window and the arg-max rank —
+    * three window passes over co-partitioned data, no joins, no
+    * row explosion. The cumulative sum rounds to 6dp BEFORE the
+    * arg-max so engines agreeing to ~1e-10 (sum-order wobble in the
+    * mean) pick the same peak.
+    */
+  def cusumChangePoint(df: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, valCol: String): DataFrame = {
+    val wAll = Window.partitionBy(col(keyCol))
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = df.select(col(keyCol), col(tsCol), col(idCol),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__dev", col("__v") - avg(col("__v")).over(wAll))
+      // midpoint-safe 6dp (floor(x*1e6 + 0.5)/1e6, the winsorize
+      // convention) — decimal-vs-binary round() divergence on a
+      // cumsum that grazes a midpoint would flip the arg-max
+      .withColumn("__s",
+        floor(sum(col("__dev")).over(wOrd) * 1e6 + 0.5) / 1e6)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(abs(col("__s")).desc, col(tsCol), col(idCol))))
+    ranked.filter(col("__rn") === 1)
+      .select(col(keyCol), col("__n").as("n_events"),
+        abs(col("__s")).as("cusum_max"),
+        col(idCol).as("change_point_id"))
+  }
+
+  /** Hour-of-day seasonal profile per series key: for every
+    * (key, hour) cell, the event count, mean value, and the seasonal
+    * index mean_hour / mean_key — the multiplicative seasonality
+    * table a capacity planner or anomaly thresholder reads (index
+    * 2.0 = "this hour runs twice the series' average"). Keys whose
+    * overall mean is 0 yield NULL indices rather than a division
+    * blow-up.
+    *
+    * Scale shape: ONE groupBy(key, hour) sum/count aggregate touches
+    * the raw table; the per-key overall mean RE-AGGREGATES from the
+    * (keys × 24)-row hourly table and broadcasts back — the
+    * marginal-from-joint economics of [[Stats.mutualInformation]].
+    */
+  def seasonalProfile(df: DataFrame, keyCol: String,
+                      tsCol: String, valCol: String): DataFrame = {
+    val hourly = df.groupBy(col(keyCol),
+        hour(col(tsCol)).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valCol).cast("double")).as("__sv"))
+      .localCheckpoint() // consumed twice: cells + per-key roll-up
+    val overall = hourly.groupBy(col(keyCol))
+      .agg((sum(col("__sv")) / sum(col("n_events"))).as("__ma"))
+    hourly.join(broadcast(overall), Seq(keyCol))
+      .select(col(keyCol), col("hour"), col("n_events"),
+        round(col("__sv") / col("n_events"), 4).as("mean_value"),
+        round(when(abs(col("__ma")) > 0,
+          (col("__sv") / col("n_events")) / col("__ma")), 4)
+          .as("seasonal_index"))
+  }
+
   def lagAutocorr(df: DataFrame, keyCol: String, tsCol: String,
                   idCol: String, valCol: String, lagK: Int,
                   minPairs: Int = 3): DataFrame = {

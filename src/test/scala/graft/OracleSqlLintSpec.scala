@@ -133,6 +133,15 @@ class OracleSqlLintSpec extends AnyFunSuite {
     *    probability ratios.
     *  - q_corpus_card (1): SUM(n) AS al — n is CAST(COUNT(*) AS
     *    DOUBLE), consumed only in the top/al share ratio.
+    *  - q_emb_pca (26): every SUM in the unrolled power iteration is
+    *    pure double linear algebra (x is CAST(... AS DOUBLE) at the
+    *    unnest; v/w/m/c derive from it); nothing integer surfaces —
+    *    the count changes with `iters`, which is the point: touching
+    *    the recurrence forces a re-audit here.
+    *  - q_ts_cusum (1): SUM(value - mu) cumulative window — doubles,
+    *    floor-quantized downstream.
+    *  - q_ts_seasonal (2): SUM(value) (double) and SUM(n_events)
+    *    consumed only as the mean's divisor, never surfaced.
     */
   private val allowedCounts = Map(
     "q_corpus_temperature" -> 1,
@@ -143,7 +152,10 @@ class OracleSqlLintSpec extends AnyFunSuite {
     "q_rag_retrieve" -> 5,
     "q_validate" -> 1,
     "q_stat_mi" -> 3,
-    "q_corpus_card" -> 1)
+    "q_corpus_card" -> 1,
+    "q_emb_pca" -> 26,
+    "q_ts_cusum" -> 1,
+    "q_ts_seasonal" -> 2)
 
   test("every surfaced integer SUM in oracle SQL is BIGINT-cast") {
     val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {

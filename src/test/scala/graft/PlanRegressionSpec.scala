@@ -818,6 +818,29 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(hashEx == 1, s"expected 1 user_id exchange, found $hashEx:\n$p")
   }
 
+  test("CUSUM: all three window passes share one key exchange, no join") {
+    val p = plan("q_ts_cusum")
+    assert(!p.contains("Join"), p)
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 user_id exchange, found $hashEx:\n$p")
+  }
+
+  test("seasonal profile: raw table scanned once (marginals from the pinned cells)") {
+    val p = plan("q_ts_seasonal")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"roll-up must re-aggregate the hourly cells:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("PCA surfaces a driver-sized local result — matvecs stay behind the loop") {
+    val p = plan("q_emb_pca")
+    // the entry's surfaced plan is the O(dim) loadings table; the
+    // per-iteration scans are separate jobs (the PQ-codebook posture).
+    // A regression that made the surfaced plan re-derive the scan
+    // (e.g. a per-dim explode join) would show parquet/Join here.
+    assert(!p.contains("Scan parquet") && !p.contains("Join"), p)
+  }
+
   test("dataset card: text contributes hash/length only — never shuffles") {
     val p = plan("q_corpus_card")
     val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
