@@ -2749,14 +2749,21 @@ object SparkEntry {
 
   /** Exact all-pairs similarity join
     * ([[graft.ops.AllPairs.jaccardThresholdJoin]], Bayardo et al.
-    * 2007): every document pair with token-set Jaccard >= 0.5, found
-    * through rarest-first prefix filtering — zero recall loss, no
-    * all-pairs product (plan-guarded). The oracle brute-forces the
-    * same pairs through an exploded token equi-join.
+    * 2007 + PPJoin positional filter): every document pair with
+    * 3-shingle Jaccard >= 0.8 — the corpus's planted near-dup
+    * contract, the same truth family q_dedup_minhash gates on —
+    * found through rarest-first prefix filtering with zero recall
+    * loss and no all-pairs product (plan-guarded). Shingles at a
+    * near-dup tau keep the ANSWER sparse (O(N) planted pairs);
+    * unigram tokens at tau 0.5 on this template corpus would make
+    * >70% of all N^2/2 pairs TRUE results — a near-cross-join by
+    * semantics that no exact algorithm can dodge (see the operator
+    * scaladoc). The oracle brute-forces the same pairs through an
+    * exploded shingle equi-join.
     */
   private def qSimAllpairs(s: SparkSession, d: String): DataFrame =
     graft.ops.AllPairs.jaccardThresholdJoin(t(s, d, "documents"),
-        "doc_id", "text", tau = 0.5)
+        "doc_id", "text", tau = 0.8, shingle = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Lag-1 autocorrelation ([[graft.ops.TimeSeries.lagAutocorr]]) of
@@ -2771,7 +2778,7 @@ object SparkEntry {
 
   /** Windowed EWMA ([[graft.ops.TimeSeries.windowedEwma]]): per
     * event, the exponentially-weighted average of the trailing 8
-    * values in its user's stream (alpha 0.3) — bounded-frame
+    * values in its user's stream (alpha 0.25) — bounded-frame
     * exponential smoothing, embarrassingly parallel. The oracle
     * replays the same trailing frame via a row-number band join.
     */
@@ -4431,15 +4438,20 @@ object SparkEntry {
         "d3 AS (SELECT node FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY node HAVING COUNT(*) >= 3), " +
         "e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM d3) AND b IN (SELECT node FROM d3)) " +
         "SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) GROUP BY node ORDER BY node"),
-    // all-pairs Jaccard >= tau: brute-force exploded-token equi-join —
-    // the engine's prefix filter changes WORK, never the pair set
+    // all-pairs 3-shingle Jaccard >= 0.8: brute-force exploded-shingle
+    // equi-join — the engine's prefix/positional filters change WORK,
+    // never the pair set. The threshold test is the exact integer form
+    // (intersect >= tau * union) on BOTH sides; rounding is display-only
     "q_sim_allpairs" ->
-      ("WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks FROM documents WHERE len(trim(text)) > 0), " +
-        "e AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
-        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "j AS (SELECT id_a, id_b, round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard " +
+      ("WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents WHERE len(trim(text)) > 0), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) END AS sh FROM w), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM t), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "j AS (SELECT id_a, id_b, CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) AS i, " +
+        "CAST(len(list_distinct(list_concat(ta.sh, tb.sh))) AS DOUBLE) AS u " +
         "FROM p JOIN t ta ON ta.doc_id = p.id_a JOIN t tb ON tb.doc_id = p.id_b) " +
-        "SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b"),
+        "SELECT id_a, id_b, round(i / u, 4) AS jaccard FROM j WHERE i >= 0.8 * u ORDER BY id_a, id_b"),
     // lag-1 autocorrelation: lag window + explicit covar/sqrt(var)
     // Pearson (NULL on zero-variance series, the groupCorr convention)
     "q_ts_acf" ->

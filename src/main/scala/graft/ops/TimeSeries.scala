@@ -53,8 +53,7 @@ object TimeSeries {
         sequence(n - 1, lit(0), lit(-1)), // exponents n-1 .. 0
         (v: Column, e: Column) => v * pow(lit(w), e.cast("double"))),
       lit(0.0), (acc: Column, x: Column) => acc + x)
-    df.select(col(keyCol), col(tsCol), col(idCol),
-        col(valCol).cast("double").as("__v"), vals.as("__vals"))
+    df.select(col(keyCol), col(tsCol), col(idCol), vals.as("__vals"))
       .select(col(keyCol), col(tsCol), col(idCol),
         round(weighted /
           ((lit(1.0) - pow(lit(w), n.cast("double"))) / (1.0 - w)), 6)
