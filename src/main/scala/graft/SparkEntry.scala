@@ -2824,6 +2824,18 @@ object SparkEntry {
         dim = 64, iters = 4)
       .orderBy(col("dim_idx"))
 
+  /** Top-3 principal components ([[graft.ops.Pca.components]],
+    * Hotelling deflation): the All-but-the-Top (Mu & Viswanath 2018)
+    * denoising recipe removes the top-D directions, not one — each
+    * component is the same covariance-free power iteration against C
+    * minus the rank-(j-1) correction Σ λ₈ᵢ(vᵢ·v)vᵢ held as O(dim)
+    * driver state. The oracle unrolls all three deflated recurrences.
+    */
+  private def qEmbPcaTop3(s: SparkSession, d: String): DataFrame =
+    graft.ops.Pca.components(t(s, d, "embeddings"), "embedding",
+        dim = 64, m = 3, iters = 4)
+      .orderBy(col("component"), col("dim_idx"))
+
   /** Dataset card ([[graft.ops.Curation.datasetCard]], Gebru et al.
     * 2018): the one-page numeric datasheet of the documents corpus —
     * volume, token counts, language/source diversity, top-language
@@ -3022,6 +3034,7 @@ object SparkEntry {
     "q_ts_cusum" -> qTsCusum,
     "q_ts_seasonal" -> qTsSeasonal,
     "q_emb_pca" -> qEmbPca,
+    "q_emb_pca_top3" -> qEmbPcaTop3,
     "q_corpus_card" -> qCorpusCard,
   )
 
@@ -4488,6 +4501,8 @@ object SparkEntry {
     // unrolled as a CTE chain (8dp per-iteration rounding — the
     // pageRank recurrence contract applied to linear algebra)
     "q_emb_pca" -> pcaOracleSql(iters = 4),
+    "q_emb_pca_top3" ->
+      pcaOracleSql(iters = 4, comps = 3, withComponentCol = true),
     // dataset card: one aggregate pass + the top-language share
     "q_corpus_card" ->
       ("WITH b AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, " +
@@ -4510,36 +4525,60 @@ object SparkEntry {
         ") ORDER BY metric"),
   )
 
-  /** DuckDB replay of [[graft.ops.Pca.dominantComponent]]'s power
-    * iteration, unrolled: v0 = 1/sqrt(64) (exact), per iteration the
-    * covariance-free matvec w = (Σ x·c - μ·Σc)/n with c = x·v - μ·v,
-    * Rayleigh estimate λ = v·w, then v = floor-8dp(w/|w|). Scalar
+  /** DuckDB replay of [[graft.ops.Pca.components]]' deflated power
+    * iteration, unrolled: per component j, v0 = 1/sqrt(64) (exact),
+    * per iteration the covariance-free matvec w = (Σ x·c - μ·Σc)/n
+    * with c = x·v - μ·v MINUS the Hotelling corrections
+    * λ8_l·(v_l·v)·v_l for every already-recovered component l < j,
+    * Rayleigh estimate λ = v·w, then v = floor-8dp(w/|w|). Deflation
+    * eigenvalues round to 8dp on BOTH engines before reuse. Scalar
     * CTEs are referenced as subselects to keep the join graph
-    * unambiguous.
+    * unambiguous. `comps` = 1 with `withComponentCol` = false is the
+    * dominant-component (q_emb_pca) surface, byte-identical to the
+    * pre-deflation oracle.
     */
-  private def pcaOracleSql(iters: Int): String = {
+  private def pcaOracleSql(iters: Int, comps: Int = 1,
+                           withComponentCol: Boolean = false): String = {
     val base =
       "WITH e AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), " +
         "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings), " +
         "mu AS MATERIALIZED (SELECT d, floor(AVG(x) * 100000000 + 0.5) / 100000000 AS m FROM e GROUP BY d), " +
-        "tv AS MATERIALIZED (SELECT (SELECT SUM(x * x) FROM e) / (SELECT n FROM nn) - (SELECT SUM(m * m) FROM mu) AS tvar), " +
-        "v0 AS MATERIALIZED (SELECT d, 0.125 AS val FROM mu)"
-    val its = (1 to iters).map { k =>
-      val p = k - 1
-      s"mv$k AS MATERIALIZED (SELECT SUM(mu.m * v$p.val) AS mv FROM mu JOIN v$p USING (d)), " +
-        s"c$k AS MATERIALIZED (SELECT vec_id, dotv - (SELECT mv FROM mv$k) AS c FROM (SELECT e.vec_id, SUM(e.x * v$p.val) AS dotv FROM e JOIN v$p USING (d) GROUP BY e.vec_id)), " +
-        s"s$k AS MATERIALIZED (SELECT SUM(c) AS sc FROM c$k), " +
-        s"u$k AS MATERIALIZED (SELECT e.d, SUM(e.x * c$k.c) AS xc FROM e JOIN c$k USING (vec_id) GROUP BY e.d), " +
-        s"w$k AS MATERIALIZED (SELECT u$k.d, (u$k.xc - mu.m * (SELECT sc FROM s$k)) / (SELECT n FROM nn) AS w FROM u$k JOIN mu USING (d)), " +
-        s"lam$k AS MATERIALIZED (SELECT SUM(v$p.val * w$k.w) AS lam FROM v$p JOIN w$k USING (d)), " +
-        s"nr$k AS MATERIALIZED (SELECT sqrt(SUM(w * w)) AS nrm FROM w$k), " +
-        s"v$k AS MATERIALIZED (SELECT d, floor(w / (SELECT nrm FROM nr$k) * 100000000 + 0.5) / 100000000 AS val FROM w$k)"
+        "tv AS MATERIALIZED (SELECT (SELECT SUM(x * x) FROM e) / (SELECT n FROM nn) - (SELECT SUM(m * m) FROM mu) AS tvar)"
+    val body = (1 to comps).map { j =>
+      val v0 = s"v${j}_0 AS MATERIALIZED (SELECT d, 0.125 AS val FROM mu)"
+      val its = (1 to iters).map { k =>
+        val v = s"v${j}_${k - 1}"
+        val defDots = (1 until j).map { l =>
+          s"dt${j}_${k}_$l AS MATERIALIZED (SELECT SUM(a.val * b.val) AS dd FROM fv$l a JOIN $v b USING (d)), "
+        }.mkString
+        val defJoin = (1 until j).map(l => s" JOIN fv$l USING (d)").mkString
+        val defSub = (1 until j).map { l =>
+          s" - (SELECT lam8 FROM fl$l) * (SELECT dd FROM dt${j}_${k}_$l) * fv$l.val"
+        }.mkString
+        s"mv${j}_$k AS MATERIALIZED (SELECT SUM(mu.m * $v.val) AS mv FROM mu JOIN $v USING (d)), " +
+          s"c${j}_$k AS MATERIALIZED (SELECT vec_id, dotv - (SELECT mv FROM mv${j}_$k) AS c FROM (SELECT e.vec_id, SUM(e.x * $v.val) AS dotv FROM e JOIN $v USING (d) GROUP BY e.vec_id)), " +
+          s"s${j}_$k AS MATERIALIZED (SELECT SUM(c) AS sc FROM c${j}_$k), " +
+          s"u${j}_$k AS MATERIALIZED (SELECT e.d, SUM(e.x * c${j}_$k.c) AS xc FROM e JOIN c${j}_$k USING (vec_id) GROUP BY e.d), " +
+          defDots +
+          s"w${j}_$k AS MATERIALIZED (SELECT u${j}_$k.d, (u${j}_$k.xc - mu.m * (SELECT sc FROM s${j}_$k)) / (SELECT n FROM nn)$defSub AS w FROM u${j}_$k JOIN mu USING (d)$defJoin), " +
+          s"lam${j}_$k AS MATERIALIZED (SELECT SUM($v.val * w${j}_$k.w) AS lam FROM $v JOIN w${j}_$k USING (d)), " +
+          s"nr${j}_$k AS MATERIALIZED (SELECT sqrt(SUM(w * w)) AS nrm FROM w${j}_$k), " +
+          s"v${j}_$k AS MATERIALIZED (SELECT d, floor(w / (SELECT nrm FROM nr${j}_$k) * 100000000 + 0.5) / 100000000 AS val FROM w${j}_$k)"
+      }.mkString(", ")
+      val fin =
+        s"fv$j AS MATERIALIZED (SELECT d, val FROM v${j}_$iters), " +
+          s"fl$j AS MATERIALIZED (SELECT floor(lam * 100000000 + 0.5) / 100000000 AS lam8 FROM lam${j}_$iters)"
+      s"$v0, $its, $fin"
     }.mkString(", ", ", ", " ")
-    base + its +
-      "SELECT CAST(d AS BIGINT) AS dim_idx, floor(val * 1000000 + 0.5) / 1000000 AS loading, " +
-      s"floor((SELECT lam FROM lam$iters) * 1000000 + 0.5) / 1000000 AS eigenvalue, " +
-      s"CASE WHEN (SELECT tvar FROM tv) > 0 THEN floor((SELECT lam FROM lam$iters) / (SELECT tvar FROM tv) * 1000000 + 0.5) / 1000000 END AS explained_ratio " +
-      s"FROM v$iters ORDER BY dim_idx"
+    val sel = (1 to comps).map { j =>
+      val compCol = if (withComponentCol) s"CAST($j AS BIGINT) AS component, " else ""
+      s"SELECT ${compCol}CAST(d AS BIGINT) AS dim_idx, floor(val * 1000000 + 0.5) / 1000000 AS loading, " +
+        s"floor((SELECT lam FROM lam${j}_$iters) * 1000000 + 0.5) / 1000000 AS eigenvalue, " +
+        s"CASE WHEN (SELECT tvar FROM tv) > 0 THEN floor((SELECT lam FROM lam${j}_$iters) / (SELECT tvar FROM tv) * 1000000 + 0.5) / 1000000 END AS explained_ratio " +
+        s"FROM fv$j"
+    }.mkString(" UNION ALL ")
+    val ord = if (withComponentCol) "component, dim_idx" else "dim_idx"
+    s"$base$body$sel ORDER BY $ord"
   }
 
   /** Exact 3-shingle Jaccard pairs at J >= 0.5 over ALL documents —

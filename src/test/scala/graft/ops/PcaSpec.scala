@@ -48,6 +48,48 @@ class PcaSpec extends AnyFunSuite with SparkTestBase {
     assert(r.head._3 == 9.0 && r.head._4 == 0.9, r.head.toString)
   }
 
+  test("top-m deflation recovers the axes in variance order, orthogonal") {
+    // axis variances: dim0 = 9, dim2 = 4, dim3 = 1 (mean zero each)
+    val vecs = Seq(
+      Array(3f, 0f, 2f, 1f), Array(-3f, 0f, -2f, -1f),
+      Array(3f, 0f, -2f, 1f), Array(-3f, 0f, 2f, -1f),
+      Array(3f, 0f, 2f, -1f), Array(-3f, 0f, -2f, 1f),
+      Array(3f, 0f, -2f, -1f), Array(-3f, 0f, 2f, 1f))
+    val r = Pca.components(vecs.map(Tuple1(_)).toDF("embedding"),
+        "embedding", dim = 4, m = 3, iters = 12)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, rows) =>
+        (c, rows.sortBy(_._2).map(_._3), rows.head._4, rows.head._5) }
+    assert(r.map(_._1) == Seq(1L, 2L, 3L))
+    val Seq((_, l1, e1, x1), (_, l2, e2, _), (_, l3, e3, _)) = r
+    // axes recovered in order dim0, dim2, dim3
+    assert(math.abs(l1(0)) == 1.0 && math.abs(l1(2)) < 1e-3, l1.toString)
+    assert(math.abs(l2(2)) > 0.999 && math.abs(l2(0)) < 1e-3, l2.toString)
+    assert(math.abs(l3(3)) > 0.999, l3.toString)
+    // eigenvalues descend toward the axis variances; ratios sum to ~1
+    assert(e1 > e2 && e2 > e3, s"$e1 $e2 $e3")
+    assert(math.abs(e1 - 9.0) < 1e-3 && math.abs(e2 - 4.0) < 1e-2 &&
+      math.abs(e3 - 1.0) < 1e-2, s"$e1 $e2 $e3")
+    assert(math.abs(x1 - 0.642857) < 1e-3, x1.toString) // 9/14
+    // orthogonality up to convergence
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (p, q) => p * q }.sum
+    assert(math.abs(dot(l1, l2)) < 1e-3 && math.abs(dot(l1, l3)) < 1e-3 &&
+      math.abs(dot(l2, l3)) < 1e-2)
+  }
+
+  test("components(m=1) matches dominantComponent exactly") {
+    val vecs = (1 to 20).map(i =>
+      Array(i.toFloat, (i % 3).toFloat, (i % 7).toFloat, 1f))
+    val dom = run(vecs, 4).toSeq
+    val one = Pca.components(vecs.map(Tuple1(_)).toDF("embedding"),
+        "embedding", 4, m = 1, iters = 4)
+      .drop("component")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(dom == one)
+  }
+
   test("deterministic across runs; degenerate constant input rejected") {
     val vecs = (1 to 20).map(i =>
       Array(i.toFloat, (i % 3).toFloat, (i % 7).toFloat, 1f))
