@@ -30,6 +30,29 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** THE single entry point for the reliable-checkpoint knob shared
+    * by every iterative loop here ([[pageRank]], [[labelPropagation]],
+    * [[shortestPaths]], [[kCorePeel]]): returns the per-round lineage
+    * pin. Default (None) pins with `localCheckpoint` — executor-
+    * memory blocks, fast in local[N], but NOT recomputable after
+    * executor loss. With a reliable dir (HDFS/object store) the pin
+    * is `checkpoint()`: blocks go to the checkpoint filesystem and
+    * survive failures — the cluster-grade option for long runs, at a
+    * write+read per round.
+    *
+    * CAVEAT (Spark API limit, documented ONCE here): the checkpoint
+    * dir is a GLOBAL SparkContext setting — it persists after the
+    * call, and two concurrent jobs passing different dirs race to
+    * set it. Pass one application-wide dir, and clean it up yourself
+    * (Spark only auto-deletes under
+    * spark.cleaner.referenceTracking.cleanCheckpoints=true).
+    */
+  private def withCheckpointDir(edges: DataFrame,
+                                checkpointDir: Option[String]): DataFrame => DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    df => if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+  }
+
   /** (node, rank) after `iters` rounds of the damped recurrence
     * r(v) = (1-d)/N + d * (sum over in-edges u->v of r(u)/outdeg(u)
     *         + danglingMass/N).
@@ -75,20 +98,9 @@ object Graph {
                        materialized: Boolean = false,
                        checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
-    // pin = the per-round lineage truncation. localCheckpoint (the
-    // default) stores blocks in executor memory: fast in local[N] and
-    // fine for short jobs, but NOT recomputable after executor loss.
-    // With a reliable dir the blocks go to the checkpoint filesystem
-    // and survive failures — the cluster-grade option for long runs.
-    // CAVEAT (Spark API limit): the checkpoint dir is a GLOBAL
-    // SparkContext setting — it persists after this call and two
-    // concurrent jobs passing different dirs race to set it. Pass
-    // one application-wide dir, and clean it up yourself (Spark only
-    // auto-deletes under spark.cleaner.referenceTracking
-    // .cleanCheckpoints=true).
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // pin = the per-round lineage truncation; local-vs-reliable and
+    // the global-dir caveat live in withCheckpointDir (the one place)
+    val pin = withCheckpointDir(edges, checkpointDir)
     // null endpoints carry no graph meaning and would otherwise
     // create a phantom null node on one side only.
     // Cost profile (measured at 30x): building + dedup'ing the edge
@@ -306,11 +318,7 @@ object Graph {
                        iters: Int,
                        checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
-    // global-checkpoint-dir caveat: see rankLoop — one app-wide dir,
-    // caller-managed cleanup
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val pin = withCheckpointDir(edges, checkpointDir)
     val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
     val adj = e.select(col("a").as("node"), col("b").as("nbr"))
       .union(e.select(col("b").as("node"), col("a").as("nbr")))
@@ -355,11 +363,7 @@ object Graph {
                     checkpointDir: Option[String] = None): DataFrame = {
     require(sources.nonEmpty, "need at least one source")
     require(maxHops >= 1 && maxHops <= 64, "maxHops in [1, 64]")
-    // global-checkpoint-dir caveat: see rankLoop — one app-wide dir,
-    // caller-managed cleanup
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val pin = withCheckpointDir(edges, checkpointDir)
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -409,9 +413,7 @@ object Graph {
                 checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k >= 1")
     require(rounds >= 1 && rounds <= 64, "rounds in [1, 64]")
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val pin = withCheckpointDir(edges, checkpointDir)
     var e = pin(canonicalEdges(edges, srcCol, dstCol))
     for (_ <- 1 to rounds) {
       val keep = degreesOf(e).filter(col("deg") >= k)

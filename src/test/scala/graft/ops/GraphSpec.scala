@@ -91,6 +91,20 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val pR = Graph.personalizedPageRank(e, "src", "dst", Seq(1L), iters = 2,
       checkpointDir = Some(dir)).as[(Long, Double)].collect().toMap
     assert(q == pR, s"$q vs $pR")
+    // same contract for the other loops sharing the withCheckpointDir
+    // pin: BFS shortest paths and the k-core peel
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L), (4L, 5L),
+      (1L, 3L)).toDF("src", "dst")
+    val bfsL = Graph.shortestPaths(g, "src", "dst", Seq(1L), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    val bfsR = Graph.shortestPaths(g, "src", "dst", Seq(1L), maxHops = 3,
+      checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+    assert(bfsL == bfsR, s"$bfsL vs $bfsR")
+    val kcL = Graph.kCorePeel(g, "src", "dst", k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    val kcR = Graph.kCorePeel(g, "src", "dst", k = 2, rounds = 2,
+      checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+    assert(kcL == kcR, s"$kcL vs $kcR")
   }
   test("triangleCounts: hand-computed counts, zero for triangle-free nodes") {
     // K4 on {1,2,3,4} minus edge (3,4), plus pendant 5-1: triangles
