@@ -77,8 +77,27 @@ object FuzzyJoin {
     require(overlap.isEmpty,
       s"left/right column names must be disjoint, both have: $overlap")
     // phase 1: candidate generation over distinct KEY STRINGS only.
-    // The variant fan-out, its equi-join, and the shared-variant
-    // dedup all carry two short strings — never the callers' payload.
+    val pairs = candidateKeyPairs(left, right, leftCol, rightCol, maxDist)
+      .withColumn("dist", levenshtein(col(leftCol), col(rightCol)))
+      .filter(col("dist") <= maxDist)
+    // phase 2: verified key pairs rejoin the original frames — plain
+    // hash equi-joins on the key strings, preserving brute-force join
+    // multiplicity exactly
+    left.join(pairs, Seq(leftCol)).join(right, Seq(rightCol))
+  }
+
+  /** Deduped (leftCol, rightCol) candidate key pairs surviving the
+    * delete-variant blocking — everything BEFORE the levenshtein
+    * verify. The variant fan-out, its equi-join, and the shared-
+    * variant dedup all carry two short strings — never the callers'
+    * payload. Exposed (package-private) so the candidate-multiplicity
+    * economics are measurable (tools.CandidateEconomics, SCALE.md):
+    * a quadratic candidate equi-join is invisible to plan-shape
+    * guards.
+    */
+  private[graft] def candidateKeyPairs(left: DataFrame, right: DataFrame,
+                                       leftCol: String, rightCol: String,
+                                       maxDist: Int): DataFrame = {
     val lk = left.select(col(leftCol)).filter(col(leftCol).isNotNull)
       .distinct()
       .withColumn("__variant",
@@ -87,16 +106,10 @@ object FuzzyJoin {
       .distinct()
       .withColumn("__variant",
         explode(deleteVariants(col(rightCol), maxDist)))
-    val pairs = lk.join(rk, "__variant")
+    lk.join(rk, "__variant")
       .drop("__variant")
       // a pair sharing k variants appears k times: distinct BEFORE the
       // levenshtein verify so each candidate is checked once
       .distinct()
-      .withColumn("dist", levenshtein(col(leftCol), col(rightCol)))
-      .filter(col("dist") <= maxDist)
-    // phase 2: verified key pairs rejoin the original frames — plain
-    // hash equi-joins on the key strings, preserving brute-force join
-    // multiplicity exactly
-    left.join(pairs, Seq(leftCol)).join(right, Seq(rightCol))
   }
 }
