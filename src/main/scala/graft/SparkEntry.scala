@@ -2836,6 +2836,30 @@ object SparkEntry {
         dim = 64, m = 3, iters = 4)
       .orderBy(col("component"), col("dim_idx"))
 
+  /** All-but-the-Top anisotropy removal
+    * ([[graft.ops.Pca.removeTopComponents]], Mu & Viswanath 2018):
+    * strip the mean and the top-2 principal directions from every
+    * embedding — the standard post-processing that restores cosine
+    * discrimination on collapsed spaces. Surfaced as per-vector
+    * norms before/after (6dp): the correction itself is map-side
+    * codegen dots against broadcast literals, no shuffle.
+    */
+  private def qEmbAbtt(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorExpressions.vector_dot
+    val emb = t(s, d, "embeddings")
+    val fixed = graft.ops.Pca.removeTopComponents(emb, "vec_id",
+      "embedding", dim = 64, m = 2, iters = 4)
+    emb.join(fixed, Seq("vec_id"))
+      .select(col("vec_id"),
+        graft.ops.Quantize.q(
+          sqrt(vector_dot(col("embedding"), col("embedding"))), 6)
+          .as("norm_before"),
+        graft.ops.Quantize.q(
+          sqrt(vector_dot(col("corrected"), col("corrected"))), 6)
+          .as("norm_after"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Dataset card ([[graft.ops.Curation.datasetCard]], Gebru et al.
     * 2018): the one-page numeric datasheet of the documents corpus —
     * volume, token counts, language/source diversity, top-language
@@ -3035,6 +3059,7 @@ object SparkEntry {
     "q_ts_seasonal" -> qTsSeasonal,
     "q_emb_pca" -> qEmbPca,
     "q_emb_pca_top3" -> qEmbPcaTop3,
+    "q_emb_abtt" -> qEmbAbtt,
     "q_corpus_card" -> qCorpusCard,
   )
 
@@ -4503,6 +4528,7 @@ object SparkEntry {
     "q_emb_pca" -> pcaOracleSql(iters = 4),
     "q_emb_pca_top3" ->
       pcaOracleSql(iters = 4, comps = 3, withComponentCol = true),
+    "q_emb_abtt" -> abttOracleSql(iters = 4, comps = 2),
     // dataset card: one aggregate pass + the top-language share
     "q_corpus_card" ->
       ("WITH b AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, " +
@@ -4539,6 +4565,24 @@ object SparkEntry {
     */
   private def pcaOracleSql(iters: Int, comps: Int = 1,
                            withComponentCol: Boolean = false): String = {
+    val sel = (1 to comps).map { j =>
+      val compCol = if (withComponentCol) s"CAST($j AS BIGINT) AS component, " else ""
+      s"SELECT ${compCol}CAST(d AS BIGINT) AS dim_idx, floor(val * 1000000 + 0.5) / 1000000 AS loading, " +
+        s"floor((SELECT lam FROM lam${j}_$iters) * 1000000 + 0.5) / 1000000 AS eigenvalue, " +
+        s"CASE WHEN (SELECT tvar FROM tv) > 0 THEN floor((SELECT lam FROM lam${j}_$iters) / (SELECT tvar FROM tv) * 1000000 + 0.5) / 1000000 END AS explained_ratio " +
+        s"FROM fv$j"
+    }.mkString(" UNION ALL ")
+    val ord = if (withComponentCol) "component, dim_idx" else "dim_idx"
+    s"${pcaCtes(iters, comps)}$sel ORDER BY $ord"
+  }
+
+  /** The shared deflated-power-iteration CTE chain (see
+    * [[pcaOracleSql]]): defines e/nn/mu/tv plus, per component j,
+    * the unrolled iterates ending in fv$j (8dp loadings) and fl$j
+    * (8dp eigenvalue) — the prefix both the loadings surface and the
+    * All-but-the-Top correction build on.
+    */
+  private def pcaCtes(iters: Int, comps: Int): String = {
     val base =
       "WITH e AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), " +
         "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings), " +
@@ -4570,15 +4614,31 @@ object SparkEntry {
           s"fl$j AS MATERIALIZED (SELECT floor(lam * 100000000 + 0.5) / 100000000 AS lam8 FROM lam${j}_$iters)"
       s"$v0, $its, $fin"
     }.mkString(", ", ", ", " ")
-    val sel = (1 to comps).map { j =>
-      val compCol = if (withComponentCol) s"CAST($j AS BIGINT) AS component, " else ""
-      s"SELECT ${compCol}CAST(d AS BIGINT) AS dim_idx, floor(val * 1000000 + 0.5) / 1000000 AS loading, " +
-        s"floor((SELECT lam FROM lam${j}_$iters) * 1000000 + 0.5) / 1000000 AS eigenvalue, " +
-        s"CASE WHEN (SELECT tvar FROM tv) > 0 THEN floor((SELECT lam FROM lam${j}_$iters) / (SELECT tvar FROM tv) * 1000000 + 0.5) / 1000000 END AS explained_ratio " +
-        s"FROM fv$j"
-    }.mkString(" UNION ALL ")
-    val ord = if (withComponentCol) "component, dim_idx" else "dim_idx"
-    s"$base$body$sel ORDER BY $ord"
+    s"$base$body"
+  }
+
+  /** DuckDB replay of [[graft.ops.Pca.removeTopComponents]]: the
+    * [[pcaCtes]] recurrence prefix, then per vector the 8dp projection
+    * coefficients c_l = v_l·x − v_l·μ and the left-to-right corrected
+    * coordinates y = x − μ − c₁v₁ − … — per-dim values are
+    * bit-identical to the engine (identical 8dp operands, identical
+    * op order), norms quantize at 6dp.
+    */
+  private def abttOracleSql(iters: Int, comps: Int): String = {
+    val cs = (1 to comps).map { l =>
+      s"cc$l AS MATERIALIZED (SELECT e.vec_id, floor((SUM(e.x * fv$l.val) - (SELECT SUM(mu.m * fv$l.val) FROM mu JOIN fv$l USING (d))) * 100000000 + 0.5) / 100000000 AS cl " +
+        s"FROM e JOIN fv$l USING (d) GROUP BY e.vec_id)"
+    }.mkString(", ")
+    val corrJoins = (1 to comps).map(l => s" JOIN fv$l USING (d)").mkString +
+      (1 to comps).map(l => s" JOIN cc$l USING (vec_id)").mkString
+    val corrExpr = "e.x - mu.m" +
+      (1 to comps).map(l => s" - cc$l.cl * fv$l.val").mkString
+    pcaCtes(iters, comps) +
+      s", $cs, " +
+      s"corr AS MATERIALIZED (SELECT e.vec_id, $corrExpr AS y, e.x FROM e JOIN mu USING (d)$corrJoins) " +
+      "SELECT vec_id, floor(sqrt(SUM(x * x)) * 1000000 + 0.5) / 1000000 AS norm_before, " +
+      "floor(sqrt(SUM(y * y)) * 1000000 + 0.5) / 1000000 AS norm_after " +
+      "FROM corr GROUP BY vec_id ORDER BY vec_id"
   }
 
   /** Exact 3-shingle Jaccard pairs at J >= 0.5 over ALL documents —

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorExpressions.vector_dot
@@ -121,23 +121,67 @@ object Pca {
     */
   def components(emb: DataFrame, vecCol: String, dim: Int, m: Int,
                  iters: Int): DataFrame = {
-    require(dim > 0 && iters >= 1 && iters <= 64, "dim > 0, iters in [1,64]")
-    require(m >= 1 && m <= 16, "m in [1, 16]")
     val c = core(emb, vecCol, dim)
+    val fitted = fit(c, m, iters)
     val spark = emb.sparkSession
     import spark.implicits._
-
-    val done = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
-    val rows = (1 to m).flatMap { j =>
-      val (v, lambda) = powerLoop(c, done.toSeq.map { case (vl, l) => (vl, r8(l)) }, iters)
-      done += ((v, lambda))
+    val rows = fitted.zipWithIndex.flatMap { case ((v, lambda), j0 ) =>
       val lam6 = f6(lambda)
       val ratio6 = if (c.totalVar > 0) Some(f6(lambda / c.totalVar)) else None
       v.zipWithIndex.map { case (x, d) =>
-        (j.toLong, d.toLong, f6(x), lam6, ratio6)
+        ((j0 + 1).toLong, d.toLong, f6(x), lam6, ratio6)
       }
     }
     spark.createDataset(rows)
       .toDF("component", "dim_idx", "loading", "eigenvalue", "explained_ratio")
+  }
+
+  /** The deflated power-iteration sweep: m (8dp unit vector, raw
+    * Rayleigh eigenvalue) pairs, in variance order.
+    */
+  private def fit(c: Core, m: Int, iters: Int): Seq[(Array[Double], Double)] = {
+    require(c.dim > 0 && iters >= 1 && iters <= 64, "dim > 0, iters in [1,64]")
+    require(m >= 1 && m <= 16, "m in [1, 16]")
+    val done = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
+    for (_ <- 1 to m) {
+      val (v, lambda) =
+        powerLoop(c, done.toSeq.map { case (vl, l) => (vl, r8(l)) }, iters)
+      done += ((v, lambda))
+    }
+    done.toSeq
+  }
+
+  /** All-but-the-Top embedding post-processing (Mu & Viswanath 2018):
+    * remove the mean and the projections onto the top-`m` principal
+    * components — x' = (x − μ) − Σ_{l≤m} c_l·v_l with
+    * c_l = v_l·x − v_l·μ (8dp, the cross-engine quantization point) —
+    * the standard anisotropy fix that makes cosine similarity
+    * discriminative again on collapsed embedding spaces. Output:
+    * every input row's `idCol` plus `corrected` (array<double>).
+    *
+    * Scale shape: the fit is the [[components]] recurrence (m × iters
+    * one-scan matvecs, O(dim·m) driver state); the correction itself
+    * is ONE map-side pass — m codegen dots against broadcast-literal
+    * component vectors plus a per-dimension transform, no shuffle at
+    * all. Downstream similarity/ANN reads the corrected vectors
+    * exactly as it would the originals.
+    */
+  def removeTopComponents(emb: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, m: Int, iters: Int): DataFrame = {
+    val c = core(emb, vecCol, dim)
+    val fitted = fit(c, m, iters)
+    val muLit = array(c.mu.map(lit): _*)
+    // c_l as a codegen dot against the literal component, mean part
+    // folded in driver-side; 8dp so both engines reuse identical
+    // projection coefficients
+    val corrected = fitted.foldLeft(
+        zip_with(col(vecCol).cast("array<double>"), muLit,
+          (x: Column, mu: Column) => x - mu)) { case (acc, (vl, _)) =>
+      val vLit = array(vl.map(lit): _*)
+      val mv = c.mu.zip(vl).map { case (a, b) => a * b }.sum
+      val cl = Quantize.q(vector_dot(col(vecCol), vLit) - mv, 8)
+      zip_with(acc, vLit, (a: Column, v: Column) => a - cl * v)
+    }
+    emb.select(col(idCol), corrected.as("corrected"))
   }
 }

@@ -90,6 +90,27 @@ class PcaSpec extends AnyFunSuite with SparkTestBase {
     assert(dom == one)
   }
 
+  test("removeTopComponents zeroes the mean and the removed directions") {
+    // strong dim0 axis (var 9) + weak dim2 (var 1), mean offset on dim3
+    val vecs = Seq(
+      Array(3f, 0f, 1f, 5f), Array(-3f, 0f, -1f, 5f),
+      Array(3f, 0f, -1f, 5f), Array(-3f, 0f, 1f, 5f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val out = Pca.removeTopComponents(df, "vec_id", "embedding",
+        dim = 4, m = 1, iters = 8)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    assert(out.length == 4)
+    // mean removed: per-dim average ~0 (dim3's constant 5 gone)
+    val avg = out.map(_._2).transpose.map(c => c.sum / c.length)
+    assert(avg.forall(a => math.abs(a) < 1e-6), avg.toSeq.toString)
+    // dominant direction (dim0) removed: corrected dim0 ~0, dim2 intact
+    out.foreach { case (i, v) =>
+      assert(math.abs(v(0)) < 1e-3, s"row $i: ${v.toSeq}")
+      assert(math.abs(math.abs(v(2)) - 1.0) < 1e-3, s"row $i: ${v.toSeq}")
+    }
+  }
+
   test("deterministic across runs; degenerate constant input rejected") {
     val vecs = (1 to 20).map(i =>
       Array(i.toFloat, (i % 3).toFloat, (i % 7).toFloat, 1f))
