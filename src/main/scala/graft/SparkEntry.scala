@@ -1402,6 +1402,22 @@ object SparkEntry {
         "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Gopher document-quality gate ([[TextAnalysis.gopherRules]], Rae
+    * et al. 2021 A1.1) over the same lined fixture as [[qTextC4]]:
+    * per-doc shape statistics (word count, mean word length, symbol/
+    * bullet/ellipsis/alpha ratios, stop-word probe) plus the
+    * conjunction verdict — one map-side codegen pass, no shuffle.
+    */
+  private def qTextGopher(s: SparkSession, d: String): DataFrame =
+    // minStop = 1: the synthetic vocabulary carries at most one probe
+    // stop word per doc, so Gopher's default 2 would reject the whole
+    // corpus and the gate would stop discriminating (keep splits on
+    // word count + stop presence at 1)
+    TextAnalysis.gopherRules(
+        t(s, d, "documents").select(col("doc_id"), linedText.as("text")),
+        "text", "doc_id", minStop = 1)
+      .orderBy(col("doc_id"))
+
   /** CCNet-style interpolated-bigram LM fluency score (order-2
     * perplexity filter) — exact DuckDB replay of counts + smoothing.
     */
@@ -2976,6 +2992,7 @@ object SparkEntry {
     "q_dedup_overlap" -> qDedupOverlap,
     "q_text_bigram" -> qTextBigram,
     "q_text_c4" -> qTextC4,
+    "q_text_gopher" -> qTextGopher,
     "q_heavy" -> qHeavy,
     "q_text_repetition" -> qTextRepetition,
     "q_corpus_dsir" -> qCorpusDsir,
@@ -3314,6 +3331,28 @@ object SparkEntry {
         "SELECT doc_id, COALESCE(array_to_string(ks, chr(10)), '') AS clean_text, " +
         "CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(ks) AS BIGINT) AS n_kept " +
         "FROM k ORDER BY doc_id"),
+    // Gopher shape statistics over the same lined fixture — all small
+    // integer divisions (bit-identical cross-engine), 6dp-quantized
+    "q_text_gopher" ->
+      ("WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+        "li AS (SELECT doc_id, [array_to_string(ws[(i*8+1):(i*8+8)], ' ') || " +
+        "(CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END) " +
+        "FOR i IN range(0, CAST(ceil(len(ws) / 8.0) AS INT))] AS ls FROM w), " +
+        "t2 AS (SELECT doc_id, array_to_string(ls, chr(10)) AS text FROM li), " +
+        "c AS (SELECT doc_id, trim(lower(text)) AS low, " +
+        "CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w2, " +
+        "list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS l2 FROM t2), " +
+        "m AS (SELECT doc_id, CAST(len(w2) AS BIGINT) AS n_words, " +
+        "floor((CASE WHEN len(w2) > 0 THEN CAST(list_sum(list_transform(w2, x -> len(x))) AS DOUBLE) / len(w2) END) * 1000000 + 0.5) / 1000000 AS mean_word_len, " +
+        "floor((CASE WHEN len(w2) > 0 THEN ((len(low) - len(replace(low, '#', ''))) + (len(low) - len(replace(low, '...', ''))) / 3) / len(w2) END) * 1000000 + 0.5) / 1000000 AS symbol_ratio, " +
+        "floor((CASE WHEN len(l2) > 0 THEN CAST(len(list_filter(l2, x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len(l2) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS bullet_ratio, " +
+        "floor((CASE WHEN len(l2) > 0 THEN CAST(len(list_filter(l2, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$'))) AS DOUBLE) / len(l2) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS ellipsis_ratio, " +
+        "floor((CASE WHEN len(w2) > 0 THEN CAST(len(list_filter(w2, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w2) END) * 1000000 + 0.5) / 1000000 AS alpha_ratio, " +
+        "CAST(len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(w2, s))) AS BIGINT) AS n_stop FROM c) " +
+        "SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio, ellipsis_ratio, alpha_ratio, n_stop, " +
+        "COALESCE(n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio <= 0.1 " +
+        "AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3 AND alpha_ratio >= 0.8 AND n_stop >= 1, false) AS keep " +
+        "FROM m ORDER BY doc_id"),
     // heavy hitters: exact count replays; no-false-negative gate TRUE
     "q_heavy" ->
       ("WITH u AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +

@@ -751,4 +751,75 @@ object TextAnalysis {
           .orderBy(col("score").desc, col("id"))).cast("long"))
       .select(col("id"), col("score"), col("rank"))
   }
+
+  /** The Gopher document-quality rule bundle (Rae et al. 2021,
+    * appendix A1.1) — the OTHER standard pretraining filter next to
+    * [[c4LineFilter]]: C4 prunes LINES, Gopher gates whole DOCUMENTS
+    * on shape statistics. A doc is kept iff ALL hold:
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [3, 10] characters
+    *   - symbol-to-word ratio ('#' chars + '...' runs) <= 0.1
+    *   - < 90% of lines start with a bullet (-, *, •)
+    *   - < 30% of lines end with an ellipsis
+    *   - >= 80% of words contain an alphabetic character
+    *   - >= `minStop` (Gopher: 2) distinct members of the stop-word
+    *     probe set {the, be, to, of, and, that, have, with} appear
+    * Output: per doc, every individual statistic (ratios 6dp — small
+    * integer divisions, bit-identical cross-engine) plus the
+    * conjunction `keep` — surfacing WHY a doc fails, the audit shape
+    * every curation pipeline wants, not just the verdict bit.
+    *
+    * Scale shape: ONE map-side pass — all statistics are codegen
+    * string/array expressions over the row; no shuffle, no joins, no
+    * state. Filters compose downstream (`.filter(col("keep"))`).
+    */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minStop: Int = 2): DataFrame = {
+    val low = lower(trim(col(textCol)))
+    val words = split(low, "\\s+")
+    val lines = split(col(textCol), "\n")
+    val stopProbe = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    df.select(col(idCol), col(textCol), low.as("__low"),
+        when(length(low) === 0, array().cast("array<string>"))
+          .otherwise(words).as("__w"),
+        filter(lines, l => length(trim(l)) > 0).as("__l"))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_words"),
+        Quantize.q(when(size(col("__w")) > 0,
+          aggregate(col("__w"), lit(0L), (a, w) => a + length(w))
+            .cast("double") / size(col("__w"))), 6).as("mean_word_len"),
+        Quantize.q(when(size(col("__w")) > 0,
+          ((length(col("__low")) -
+            length(regexp_replace(col("__low"), "#", ""))) +
+           (length(col("__low")) -
+            length(regexp_replace(col("__low"), "\\.\\.\\.", ""))) / 3)
+            .cast("double") / size(col("__w"))), 6).as("symbol_ratio"),
+        Quantize.q(when(size(col("__l")) > 0,
+          size(filter(col("__l"), l => trim(l).rlike("^[-*•]")))
+            .cast("double") / size(col("__l"))).otherwise(0.0), 6)
+          .as("bullet_ratio"),
+        Quantize.q(when(size(col("__l")) > 0,
+          size(filter(col("__l"),
+              l => trim(l).rlike("(\\.\\.\\.|…)$")))
+            .cast("double") / size(col("__l"))).otherwise(0.0), 6)
+          .as("ellipsis_ratio"),
+        Quantize.q(when(size(col("__w")) > 0,
+          size(filter(col("__w"), w => w.rlike("[a-z]")))
+            .cast("double") / size(col("__w"))), 6).as("alpha_ratio"),
+        stopProbe.map(w => array_contains(col("__w"), w).cast("int"))
+          .reduce(_ + _).cast("long").as("n_stop"))
+      .withColumn("keep",
+        // coalesce: an empty doc has NULL word statistics — that's a
+        // reject, not an unknown
+        coalesce(
+          col("n_words").between(minWords, maxWords) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("symbol_ratio") <= 0.1 &&
+            col("bullet_ratio") < 0.9 &&
+            col("ellipsis_ratio") < 0.3 &&
+            col("alpha_ratio") >= 0.8 &&
+            col("n_stop") >= minStop,
+          lit(false)))
+  }
 }

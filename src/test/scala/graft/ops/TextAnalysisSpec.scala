@@ -551,4 +551,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(top.map(r => (r._1, r._2)) == Seq(("a", "b"), ("b", "c")),
       top.toString)
   }
+
+  test("gopherRules: each published rule rejects its violator, clean text passes") {
+    val fluent = ("the data " * 30).trim + " have quality and that be with to of"
+    val docs = Seq(
+      1L -> fluent,                                  // passes everything
+      2L -> "short the of and",                      // n_words < 50
+      3L -> (Seq.fill(60)("a b") ++ Seq("the of")).mkString(" "), // mean len < 3
+      4L -> (("### " * 20) + fluent),                // symbol ratio > 0.1
+      5L -> (Seq.fill(10)("- the bullet of line item here").mkString("\n")), // bullets
+      6L -> (Seq.fill(10)("the line trails off and that...").mkString("\n")), // ellipses
+      7L -> ((Seq.fill(55)("12345") ++ Seq("the", "of")).mkString(" ")), // alpha < 0.8
+      8L -> ("zorp blat " * 30).trim,                // no stop words
+      9L -> "")                                      // empty: reject, not null
+    val out = TextAnalysis.gopherRules(docs.toDF("doc_id", "text"),
+        "text", "doc_id", minWords = 50)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(1L), out.toString)
+    for (i <- 2L to 9L) assert(!out(i), s"doc $i should fail: $out")
+    // the statistics surface the WHY
+    val row4 = TextAnalysis.gopherRules(docs.toDF("doc_id", "text"),
+        "text", "doc_id", minWords = 50)
+      .filter($"doc_id" === 4L).select("symbol_ratio")
+      .as[Double].head()
+    assert(row4 > 0.1, row4.toString)
+  }
 }
