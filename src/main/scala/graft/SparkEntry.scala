@@ -2763,6 +2763,21 @@ object SparkEntry {
         "a", "b", k = 3, rounds = 3)
       .orderBy(col("node"))
 
+  /** HITS hubs & authorities ([[graft.ops.Graph.hits]], Kleinberg
+    * 1999) over the sliced order→part interaction digraph: 3 rounds
+    * of the alternating join-agg matvec with 8dp-rounded L2
+    * normalization per half-step. Orders score as hubs (they point
+    * at parts), parts as authorities. The oracle unrolls the
+    * identical recurrence as a CTE chain.
+    */
+  private def qGraphHits(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "lineitem")
+      .filter(col("l_orderkey") % 4 === 0 && col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+    graft.ops.Graph.hits(e, "src", "dst", iters = 3)
+      .orderBy(col("node"))
+  }
+
   /** Exact all-pairs similarity join
     * ([[graft.ops.AllPairs.jaccardThresholdJoin]], Bayardo et al.
     * 2007 + PPJoin positional filter): every document pair with
@@ -3069,6 +3084,7 @@ object SparkEntry {
     "q_stat_ttest" -> qStatTtest,
     "q_graph_sssp" -> qGraphSssp,
     "q_graph_kcore" -> qGraphKcore,
+    "q_graph_hits" -> qGraphHits,
     "q_sim_allpairs" -> qSimAllpairs,
     "q_ts_acf" -> qTsAcf,
     "q_ts_ewma" -> qTsEwma,
@@ -4515,6 +4531,8 @@ object SparkEntry {
         "d3 AS (SELECT node FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY node HAVING COUNT(*) >= 3), " +
         "e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM d3) AND b IN (SELECT node FROM d3)) " +
         "SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) GROUP BY node ORDER BY node"),
+    // HITS: the unrolled alternating matvec (see hitsOracleSql)
+    "q_graph_hits" -> hitsOracleSql(iters = 3),
     // all-pairs 3-shingle Jaccard >= 0.8: brute-force exploded-shingle
     // equi-join — the engine's prefix/positional filters change WORK,
     // never the pair set. The threshold test is the exact integer form
@@ -4613,6 +4631,31 @@ object SparkEntry {
     }.mkString(" UNION ALL ")
     val ord = if (withComponentCol) "component, dim_idx" else "dim_idx"
     s"${pcaCtes(iters, comps)}$sel ORDER BY $ord"
+  }
+
+  /** DuckDB replay of [[graft.ops.Graph.hits]], unrolled: per round,
+    * authority = in-edge sum of hubs then 8dp-rounded L2 rescale,
+    * hub = out-edge sum of authorities likewise; uniform 8dp hub
+    * start over the distinct sources.
+    */
+  private def hitsOracleSql(iters: Int): String = {
+    val base =
+      "WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem WHERE l_orderkey % 4 = 0 AND l_partkey % 4 = 0), " +
+        "ns AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM e), " +
+        "h0 AS (SELECT DISTINCT src AS node, floor(1 / sqrt((SELECT n FROM ns)) * 100000000 + 0.5) / 100000000 AS s FROM e)"
+    val its = (1 to iters).map { k =>
+      s"a${k}r AS MATERIALIZED (SELECT e.dst AS node, SUM(h.s) AS v FROM e JOIN h${k - 1} h ON h.node = e.src GROUP BY e.dst), " +
+        s"a${k}n AS (SELECT sqrt(SUM(v * v)) AS nrm FROM a${k}r), " +
+        s"a$k AS MATERIALIZED (SELECT node, floor(v / (SELECT nrm FROM a${k}n) * 100000000 + 0.5) / 100000000 AS s FROM a${k}r), " +
+        s"h${k}r AS MATERIALIZED (SELECT e.src AS node, SUM(a.s) AS v FROM e JOIN a$k a ON a.node = e.dst GROUP BY e.src), " +
+        s"h${k}n AS (SELECT sqrt(SUM(v * v)) AS nrm FROM h${k}r), " +
+        s"h$k AS MATERIALIZED (SELECT node, floor(v / (SELECT nrm FROM h${k}n) * 100000000 + 0.5) / 100000000 AS s FROM h${k}r)"
+    }.mkString(", ", ", ", " ")
+    base + its +
+      s"SELECT COALESCE(h.node, a.node) AS node, " +
+      "floor(h.s * 1000000 + 0.5) / 1000000 AS hub, " +
+      "floor(a.s * 1000000 + 0.5) / 1000000 AS authority " +
+      s"FROM h$iters h FULL OUTER JOIN a$iters a ON h.node = a.node ORDER BY node"
   }
 
   /** The shared deflated-power-iteration CTE chain (see

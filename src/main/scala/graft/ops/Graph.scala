@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -160,6 +160,62 @@ object Graph {
   /** Canonical undirected edge set: (a, b) with a < b, self-loops and
     * nulls dropped, duplicates (either direction) collapsed.
     */
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment"): `iters` rounds of the alternating
+    * recurrence over the DIRECTED distinct edge set —
+    *   a(v) = Σ_{u→v} h(u),  a ← a/|a|₂;
+    *   h(u) = Σ_{u→v} a(v),  h ← h/|h|₂
+    * from the uniform hub start h₀ = 1/sqrt(|srcs|). The
+    * bibliometric dual of [[pageRank]]: hubs point at good
+    * authorities, authorities are pointed at by good hubs — on a
+    * bipartite interaction graph (orders→parts, users→documents) the
+    * two sides get independently meaningful scores.
+    *
+    * Scale shape per half-step: ONE edges⋈scores equi-join plus one
+    * destination aggregation (map-side partial) — the [[pageRank]]
+    * join-agg kernel — and the L2 norm is a one-row aggregate
+    * broadcast into the rescale. Score vectors pin per round (the
+    * [[withCheckpointDir]] knob). Determinism: normalized scores
+    * round to 8dp per half-step (the rounded-recurrence contract);
+    * surfaced values are 6dp.
+    *
+    * Output: (node, hub 6dp, authority 6dp) — full outer over the
+    * two roles; a node with no out-edges has null hub, one with no
+    * in-edges null authority.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+           checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters in [1, 64]")
+    val pin = withCheckpointDir(edges, checkpointDir)
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val q8 = (c: Column) => Quantize.q(c, 8)
+    val nSrc = e.select(col("src")).distinct().count()
+    require(nSrc > 0, "empty edge set")
+    var h = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(Quantize.qd(1.0 / math.sqrt(nSrc), 8)).as("s"))
+    var a: DataFrame = null
+    def normalized(raw: DataFrame): DataFrame = {
+      val nrm = raw.agg(sqrt(sum(col("__v") * col("__v"))).as("__n"))
+      pin(raw.crossJoin(broadcast(nrm))
+        .select(col("node"), q8(col("__v") / col("__n")).as("s")))
+    }
+    for (_ <- 1 to iters) {
+      a = normalized(e.join(h, e("src") === h("node"))
+        .groupBy(e("dst").as("node")).agg(sum(col("s")).as("__v")))
+      h = normalized(e.join(a.select(col("node").as("__an"), col("s")),
+          e("dst") === col("__an"))
+        .groupBy(e("src").as("node")).agg(sum(col("s")).as("__v")))
+    }
+    h.select(col("node"), col("s").as("__h"))
+      .join(a.select(col("node"), col("s").as("__a")), Seq("node"), "full_outer")
+      .select(col("node"),
+        Quantize.q(col("__h"), 6).as("hub"),
+        Quantize.q(col("__a"), 6).as("authority"))
+  }
+
   private def canonicalEdges(edges: DataFrame, srcCol: String,
                              dstCol: String): DataFrame =
     edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))

@@ -792,6 +792,15 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("HITS surfaces the pinned final half-steps; no cartesian") {
+    val p = plan("q_graph_hits")
+    // per-round score vectors pin (localCheckpoint): the surfaced plan
+    // is the full-outer assembly over the final pinned h/a vectors
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("k-core peel reads per-round checkpoints; degrees aggregate partially") {
     val p = plan("q_graph_kcore")
     // the per-round semi-join restriction lives BEHIND the round pin —

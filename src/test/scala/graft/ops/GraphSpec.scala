@@ -106,6 +106,38 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
     assert(kcL == kcR, s"$kcL vs $kcR")
   }
+  test("hits: star digraph concentrates authority on the hub target") {
+    // 1,2,3 all point at 10; 1 also points at 11. Authorities: 10
+    // dominates 11; hubs: 1 (two out-edges) dominates 2,3.
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+      .toDF("src", "dst")
+    val r = Graph.hits(e, "src", "dst", iters = 8)
+      .as[(Long, Option[Double], Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // roles: sources have hub only, sinks authority only
+    assert(r(10L)._1.isEmpty && r(10L)._2.isDefined, r.toString)
+    assert(r(1L)._1.isDefined && r(1L)._2.isEmpty, r.toString)
+    assert(r(10L)._2.get > r(11L)._2.get, r.toString)
+    assert(r(1L)._1.get > r(2L)._1.get, r.toString)
+    assert(r(2L)._1 == r(3L)._1, r.toString)
+    // L2 norms of each role ~1
+    val hubN = Seq(1L, 2L, 3L).map(r(_)._1.get).map(x => x * x).sum
+    val autN = Seq(10L, 11L).map(r(_)._2.get).map(x => x * x).sum
+    assert(math.abs(hubN - 1.0) < 1e-4 && math.abs(autN - 1.0) < 1e-4,
+      s"$hubN $autN")
+    // deterministic across runs
+    val again = Graph.hits(e, "src", "dst", iters = 8)
+      .as[(Long, Option[Double], Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r == again)
+    // a node in both roles gets both scores
+    val cyc = Graph.hits(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+        "src", "dst", iters = 4)
+      .as[(Long, Option[Double], Option[Double])].collect()
+    assert(cyc.forall(t => t._2.isDefined && t._3.isDefined), cyc.toSeq.toString)
+    intercept[IllegalArgumentException](Graph.hits(e, "src", "dst", 0))
+  }
+
   test("triangleCounts: hand-computed counts, zero for triangle-free nodes") {
     // K4 on {1,2,3,4} minus edge (3,4), plus pendant 5-1: triangles
     // {1,2,3} and {1,2,4} -> nodes 1,2 in two, 3,4 in one, 5 in none
