@@ -138,6 +138,13 @@ class OracleSqlLintSpec extends AnyFunSuite {
     *    unnest; v/w/m/c derive from it); nothing integer surfaces —
     *    the count changes with `iters`, which is the point: touching
     *    the recurrence forces a re-audit here.
+    *  - q_emb_pca_top3 (86) / q_emb_abtt (60): the same recurrence
+    *    unrolled per deflated component (plus the deflation dots and
+    *    the ABTT projection/correction sums) — all double linear
+    *    algebra over the same CAST(... AS DOUBLE) unnest.
+    *  - q_graph_hits (12): SUM(h.s)/SUM(a.s) matvecs and SUM(v*v)
+    *    norms per unrolled half-step — s/v are doubles by the 8dp
+    *    floor-quantized construction; nothing integer surfaces.
     *  - q_ts_cusum (1): SUM(value - mu) cumulative window — doubles,
     *    floor-quantized downstream.
     *  - q_ts_seasonal (2): SUM(value) (double) and SUM(n_events)
@@ -154,6 +161,9 @@ class OracleSqlLintSpec extends AnyFunSuite {
     "q_stat_mi" -> 3,
     "q_corpus_card" -> 1,
     "q_emb_pca" -> 26,
+    "q_emb_pca_top3" -> 86,
+    "q_emb_abtt" -> 60,
+    "q_graph_hits" -> 12,
     "q_ts_cusum" -> 1,
     "q_ts_seasonal" -> 2)
 
