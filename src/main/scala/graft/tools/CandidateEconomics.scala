@@ -57,8 +57,13 @@ object CandidateEconomics {
         shingleK = 3, numHashes = 32, bands = 16).count())
 
       // SymSpell fuzzy blocking, the q_fuzzy_join configuration:
-      // 100-row dirty batch against the full clean customer table
-      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      // 100-row dirty batch against the full clean customer table.
+      // Documents-only fixtures (the sf10 100x corpus) have no
+      // customer table — report the family as absent, not a crash.
+      val hasCustomer =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/customer.parquet"))
+      val fuzzyJson = if (!hasCustomer) "null" else {
+        val cust = spark.read.parquet(s"$dir/customer.parquet")
       val clean = cust.select(col("c_custkey"), col("c_name"))
       val dirty = cust.filter(col("c_custkey") <= 100)
         .select(col("c_custkey").as("dirty_id"),
@@ -66,17 +71,19 @@ object CandidateEconomics {
             expr("substring(c_name, 1, cast(c_custkey % 18 as int))"),
             expr("substring(c_name, cast(c_custkey % 18 + 2 as int), 18)"))
             .as("dirty_name"))
-      val (fzCand, fzCandS) = timed(FuzzyJoin.candidateKeyPairs(
-        dirty, clean, "dirty_name", "c_name", maxDist = 1).count())
-      val (fzTrue, fzTrueS) = timed(FuzzyJoin.editDistanceJoin(
-        dirty, clean, "dirty_name", "c_name", maxDist = 1).count())
+        val (fzCand, fzCandS) = timed(FuzzyJoin.candidateKeyPairs(
+          dirty, clean, "dirty_name", "c_name", maxDist = 1).count())
+        val (fzTrue, fzTrueS) = timed(FuzzyJoin.editDistanceJoin(
+          dirty, clean, "dirty_name", "c_name", maxDist = 1).count())
+        s"""{"candidates":$fzCand,"true_pairs":$fzTrue,"cand_sec":$fzCandS,"full_sec":$fzTrueS}"""
+      }
 
       def ratio(c: Long) = math.rint(c.toDouble / nDocs * 100) / 100
       println(
         s"""{"fixture":"$dir","n_docs":$nDocs,""" +
           s""""allpairs":{"candidates":$apCand,"true_pairs":$apTrue,"cand_per_doc":${ratio(apCand)},"cand_sec":$apCandS,"full_sec":$apTrueS},""" +
           s""""minhash_lsh":{"candidates":$mhCand,"true_pairs":$mhTrue,"cand_per_doc":${ratio(mhCand)},"cand_sec":$mhCandS,"full_sec":$mhTrueS},""" +
-          s""""fuzzy_join":{"candidates":$fzCand,"true_pairs":$fzTrue,"cand_sec":$fzCandS,"full_sec":$fzTrueS}}""")
+          s""""fuzzy_join":$fuzzyJson}""")
     }
     spark.stop()
   }
