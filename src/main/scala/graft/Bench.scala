@@ -44,26 +44,36 @@ object Bench {
     // min is the standard microbenchmark estimator of the code's actual
     // cost (the max measures the JVM's mood, not the plan)
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
-    def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of every output column —
       // count() would let Spark prune the expensive projections and
       // under-report compute-heavy queries
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        // keep timing the rest, but a failed query must be VISIBLE —
-        // a swallowed error would read as a suspiciously fast pass
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          // keep timing the rest, but a failed query must be VISIBLE —
+          // a swallowed error would read as a suspiciously fast pass
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // untimed gap: drop cache/checkpoint blocks the query left
       // behind so 77 queries don't accumulate memory pressure (GC
       // pauses were billed to whoever ran late in the r3 run)
       releaseState(spark)
-      dt
+      (dt, ok)
+    }
+    // a rep that FAILED cannot contribute a timing: an exception after
+    // 10 ms would otherwise masquerade as a 100x speedup (this exact
+    // shape confused the round-10 snapshot). A query with zero
+    // successful reps surfaces as -1 plus a "failed" list entry.
+    def minOk(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, n: Int): Double = {
+      val oks = (0 until n).map(_ => timedRun(name, fn)).collect { case (dt, true) => dt }
+      if (oks.isEmpty) -1.0 else oks.min
     }
     val firstPass = picked.map { case (name, fn) =>
-      (name, fn, (0 until reps).map(_ => timedRun(name, fn)).min)
+      (name, fn, minOk(name, fn, reps))
     }
     // headline stability: the slowest queries carry the round-over-round
     // signal, and a single extra shot on just those is cheap relative to
@@ -72,9 +82,15 @@ object Bench {
     // from masquerading as a code regression
     val headline = firstPass.sortBy(-_._3).take(10).map(_._1).toSet
     val results = firstPass.map { case (name, fn, t) =>
-      if (headline(name)) name -> math.min(t, timedRun(name, fn))
-      else name -> t
+      if (headline(name) && t >= 0) {
+        val extra = timedRun(name, fn)
+        name -> (if (extra._2) math.min(t, extra._1) else t)
+      } else name -> t
     }
+    val failed = results.collect { case (n, t) if t < 0 => n }
+    // totals must stay comparable round-over-round: a failed query
+    // contributes 0 to the sum (its -1 marker stays in the map)
+    def cleanTotal = results.collect { case (_, t) if t >= 0 => t }.sum
     // keep the JSON line SHORT (trimmed decimals, basename sf) so the
     // driver's 2000-char output-tail capture holds the whole line —
     // r3's 3dp line was 1998 chars and still got truncated by the sbt
@@ -86,12 +102,14 @@ object Bench {
         java.lang.Double.valueOf(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
+    def failedJson: String =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     def line(dp: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       val sfName = sfDir.split('/').last
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(cleanTotal, 3)},"unit":"sec","queries":$qs,"sf":"$sfName"$failedJson}"""
     }
     // mirror full precision beside the build (cwd), not a hardcoded
     // absolute path; a failed write must be visible, not silently absent
@@ -108,9 +126,9 @@ object Bench {
     def lineCompact(thresh: Double): String = {
       val (kept, rest) = results.partition(_._2 >= thresh)
       val qs = (kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) } :+
-        ("\"_rest\":" + fmt(rest.map(_._2).sum, 1))).mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"${sfDir.split('/').last}"}"""
+        ("\"_rest\":" + fmt(rest.collect { case (_, t) if t >= 0 => t }.sum, 1)))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(cleanTotal, 3)},"unit":"sec","queries":$qs,"sf":"${sfDir.split('/').last}"$failedJson}"""
     }
     println(
       if (line(2).length <= 1900) line(2)
