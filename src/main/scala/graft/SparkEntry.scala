@@ -2738,6 +2738,19 @@ object SparkEntry {
     graft.ops.Stats.welchTTest(t(s, d, "lineitem"), "l_returnflag",
       "l_extendedprice", "R", "A")
 
+  /** Benford leading-digit screen ([[graft.ops.Stats.benfordScreen]],
+    * Benford 1938 / Nigrini 2012): per return-flag, the observed
+    * leading-digit distribution of extended prices vs the
+    * log10(1+1/d) law — the cheap fabricated/capped/unit-mixed
+    * numeric-feed detector. Digits come from the value's string form
+    * (no log10 boundary hazards); expected shares are pinned 6dp
+    * literals on both engines.
+    */
+  private def qStatBenford(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.benfordScreen(t(s, d, "lineitem"), "l_returnflag",
+        "l_extendedprice")
+      .orderBy(col("l_returnflag"), col("digit"))
+
   /** Multi-source BFS ([[graft.ops.Graph.shortestPaths]]): hop
     * distance of every part within 3 hops of seed parts {4, 8} in the
     * sliced co-order graph (symmetric — both directions fed, the
@@ -3082,6 +3095,7 @@ object SparkEntry {
     "q_stat_ols" -> qStatOls,
     "q_stat_mi" -> qStatMi,
     "q_stat_ttest" -> qStatTtest,
+    "q_stat_benford" -> qStatBenford,
     "q_graph_sssp" -> qGraphSssp,
     "q_graph_kcore" -> qGraphKcore,
     "q_graph_hits" -> qGraphHits,
@@ -4512,6 +4526,21 @@ object SparkEntry {
         "round(CASE WHEN n_a >= 2 AND n_b >= 2 AND (va / n_a + vb / n_b) > 0 THEN (ma - mb) / sqrt(va / n_a + vb / n_b) END, 4) AS t_stat, " +
         "round(CASE WHEN n_a >= 2 AND n_b >= 2 AND (va / n_a + vb / n_b) > 0 THEN pow(va / n_a + vb / n_b, 2) / (pow(va / n_a, 2) / (n_a - 1) + pow(vb / n_b, 2) / (n_b - 1)) END, 4) AS df_welch " +
         "FROM m"),
+    // Benford screen: digit from the string form, pinned 6dp expected
+    // literals, 9-digit scaffold so absent digits surface with share 0
+    "q_stat_benford" ->
+      ("WITH obs AS (SELECT l_returnflag AS grp, CAST(regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]') AS INT) AS digit, CAST(COUNT(*) AS BIGINT) AS n_digit " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0 GROUP BY 1, 2), " +
+        "tot AS (SELECT grp, CAST(SUM(n_digit) AS DOUBLE) AS n FROM obs GROUP BY grp), " +
+        "ex AS (SELECT digit, CAST(expected AS DOUBLE) AS expected FROM (VALUES (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910), (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153), (9, 0.045757)) t(digit, expected)), " +
+        "sc AS (SELECT tot.grp, tot.n, ex.digit, ex.expected FROM tot CROSS JOIN ex), " +
+        "j AS (SELECT sc.grp, sc.digit, COALESCE(obs.n_digit, 0) AS n_digit, sc.expected, " +
+        "floor(COALESCE(obs.n_digit, 0) / sc.n * 1000000 + 0.5) / 1000000 AS share " +
+        "FROM sc LEFT JOIN obs ON obs.grp = sc.grp AND obs.digit = sc.digit), " +
+        "k AS (SELECT *, floor(abs(share - expected) * 1000000 + 0.5) / 1000000 AS abs_dev FROM j) " +
+        "SELECT grp AS l_returnflag, digit, n_digit, share, expected, abs_dev, " +
+        "floor(SUM(abs_dev) OVER (PARTITION BY grp) / 2 * 1000000 + 0.5) / 1000000 AS tvd " +
+        "FROM k ORDER BY l_returnflag, digit"),
     // multi-source BFS: bounded recursive CTE, MIN(dist) = first reach
     "q_graph_sssp" ->
       ("WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0 AND l_partkey % 4 = 0), " +

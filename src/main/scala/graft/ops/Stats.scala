@@ -135,4 +135,64 @@ object Stats {
           (pow(sa, 2) / (col("n_a") - 1) + pow(sb, 2) / (col("n_b") - 1))),
         4).as("df_welch"))
   }
+
+  /** Benford's-law expected share of leading digit d: log10(1 + 1/d),
+    * pinned as 6dp literals so both engines compare against the SAME
+    * constants (libm log10 is not guaranteed identically rounded
+    * across implementations).
+    */
+  private[graft] val benfordExpected: Seq[(Int, Double)] = Seq(
+    1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+    5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+    9 -> 0.045757)
+
+  /** Benford leading-digit screen (Benford 1938; Nigrini 2012's
+    * fraud/data-anomaly test): per group, the observed distribution
+    * of leading significant digits of a positive numeric column vs
+    * the log10(1+1/d) law — the classic cheap detector of fabricated,
+    * truncated, capped or unit-mixed numeric feeds, run per source/
+    * partition before numbers enter training features. Output: one
+    * row per (group, digit 1-9) with observed count, share, expected
+    * share and |deviation| (6dp), plus the group's total-variation
+    * distance repeated per row — zero-count digits are present with
+    * share 0 (they still contribute to TVD).
+    *
+    * Leading digit via the STRING form (first [1-9] of the value's
+    * decimal print): both engines print round-trip representations of
+    * the same double, and any two round-trip decimal forms of one
+    * double share their leading significant digit — no log10/floor
+    * boundary hazards. Non-positive and null values are excluded.
+    *
+    * Scale shape: one map-side digit extraction, one (group, digit)
+    * count aggregate (partial), one tiny cross-join scaffold
+    * (groups × 9 literal digits) so absent digits surface, one
+    * 9-row-frame window for the TVD — the data path scales like
+    * COUNT(*).
+    */
+  def benfordScreen(df: DataFrame, groupCol: String,
+                    valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df
+      .filter(col(valCol).isNotNull && col(valCol) > 0)
+      .select(col(groupCol).as("grp"),
+        regexp_extract(col(valCol).cast("string"), "[1-9]", 0)
+          .cast("int").as("digit"))
+      .groupBy(col("grp"), col("digit"))
+      .agg(count(lit(1)).as("n_digit"))
+    val totals = obs.groupBy(col("grp")).agg(sum(col("n_digit")).as("__n"))
+    val scaffold = totals.crossJoin(
+      broadcast(benfordExpected.toDF("digit", "expected")))
+    val w = Window.partitionBy(col("grp"))
+    scaffold.join(obs, Seq("grp", "digit"), "left")
+      .withColumn("n_digit", coalesce(col("n_digit"), lit(0L)))
+      .withColumn("share",
+        Quantize.q(col("n_digit").cast("double") / col("__n"), 6))
+      .withColumn("abs_dev", Quantize.q(abs(col("share") - col("expected")), 6))
+      .withColumn("tvd", Quantize.q(sum(col("abs_dev")).over(w) / 2, 6))
+      .select(col("grp").as(groupCol), col("digit"),
+        col("n_digit"), col("share"), col("expected"), col("abs_dev"),
+        col("tvd"))
+  }
 }

@@ -98,4 +98,32 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     val r = Stats.welchTTest(df, "g", "v", "a", "b").collect().head
     assert(r.getLong(0) == 2L && r.getLong(1) == 2L, r.toString)
   }
+
+  test("benfordScreen: digit extraction, scaffold zeros, TVD, exclusions") {
+    // group 'x': 5 values leading 1, 3 leading 2, 2 leading 9 — from
+    // magnitudes spanning decades plus sub-1 values and decimals
+    val vals = Seq(1.5, 0.013, 100.0, 1999.0, 0.1, // digit 1 x5
+        2.5, 0.29, 234.0,                          // digit 2 x3
+        0.0009, 9.1)                               // digit 9 x2
+    val df = (vals.map(("x", _)) ++
+        Seq(("x", -5.0), ("x", 0.0)) ++            // excluded
+        Seq(("y", 1.0)))
+      .toDF("g", "v")
+    val out = Stats.benfordScreen(df, "g", "v")
+      .as[(String, Int, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(out.size == 18, out.toString) // 2 groups x 9 digits
+    val x = out.filter(_._1 == "x").sortBy(_._2)
+    assert(x.map(_._3) == Seq(5L, 3L, 0L, 0L, 0L, 0L, 0L, 0L, 2L),
+      x.toString)
+    assert(x.head._4 == 0.5, x.head.toString) // share of digit 1
+    // expected shares are the pinned Benford constants
+    assert(x.head._5 == 0.301030 && x(8)._5 == 0.045757, x.toString)
+    // TVD repeated on every row of the group, = half the dev sum
+    val devSum = x.map(_._6).sum
+    assert(x.forall(r => math.abs(r._7 - devSum / 2) < 1e-6), x.toString)
+    // a group with one value: share 1 on its digit, zeros elsewhere
+    val y = out.filter(_._1 == "y").sortBy(_._2)
+    assert(y.head._4 == 1.0 && y.map(_._3).sum == 1L, y.toString)
+  }
 }
