@@ -4755,14 +4755,23 @@ object SparkEntry {
   /** Exact 3-shingle Jaccard pairs at J >= 0.5 over ALL documents —
     * the shared ground truth for both approximate near-dup entries
     * (q_dedup_minhash's banded LSH, q_dedup_simhash's block join).
+    * The exploded-shingle equi-join prefilter is LOSSLESS here:
+    * J >= 0.5 > 0 requires at least one shared shingle, so grouping
+    * the shingle join by pair enumerates a superset of the answer —
+    * identical output to the former s × s cross join, at a fraction
+    * of its n² list-intersection cost (the cross join dominated the
+    * whole-suite sf0.1 oracle compare).
     */
   private val duckJaccardAllPairsSql: String =
     "WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
       "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
-      "ELSE list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) END AS sh FROM t) " +
-      "SELECT id_a, id_b, jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-      "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard " +
-      "FROM s a, s b WHERE a.doc_id < b.doc_id) WHERE jaccard >= 0.5 ORDER BY id_a, id_b"
+      "ELSE list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) END AS sh FROM t), " +
+      "ej AS (SELECT doc_id, unnest(sh) AS g FROM s), " +
+      "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ej a JOIN ej b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, " +
+      "round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard " +
+      "FROM p JOIN s sa ON sa.doc_id = p.id_a JOIN s sb ON sb.doc_id = p.id_b) " +
+      "WHERE jaccard >= 0.5 ORDER BY id_a, id_b"
 
   /** Staged file name for a documents row (stagedCatalog's naming). */
   private val duckDocFile: String =

@@ -792,6 +792,32 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("Gopher rules are one map-side pass: no joins, no aggregates") {
+    val p = plan("q_text_gopher")
+    assert(!p.contains("Join"), p)
+    // the only exchange is the surface ORDER BY's range partitioning
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 1, p)
+  }
+
+  test("Benford screen: digit counts aggregate partially; the 9-digit " +
+      "scaffold broadcasts") {
+    val p = plan("q_stat_benford")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("ABTT correction is map-side over broadcast literals; one id join " +
+      "for the norm surface") {
+    val p = plan("q_emb_abtt")
+    // the fitted components are LITERALS in the plan (driver state),
+    // not a joined table — no more joins than the entry's vec_id join
+    assert(!p.contains("CartesianProduct"), p)
+    val joins = p.linesIterator.count(l =>
+      l.contains("Join") && !l.contains("BroadcastNestedLoop"))
+    assert(joins <= 2, s"expected at most the vec_id equi-join:\n$p")
+  }
+
   test("HITS surfaces the pinned final half-steps; no cartesian") {
     val p = plan("q_graph_hits")
     // per-round score vectors pin (localCheckpoint): the surfaced plan
