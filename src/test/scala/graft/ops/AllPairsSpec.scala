@@ -158,6 +158,33 @@ class AllPairsSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs(docs, 0.5).isEmpty)
   }
 
+  test("property: exact pair set matches brute force on random corpora " +
+      "(tau x shingle sweep)") {
+    // the zero-recall-loss theorem, exercised beyond hand-built shapes:
+    // random docs over a small vocabulary (guaranteeing collisions),
+    // random sizes, several thresholds, unigram AND shingle modes.
+    // Deterministic gen (fixed seeds) — the house scalacheck pattern.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("the", "of", "data", "graft", "spark", "joins",
+      "alpha", "beta", "gamma", "delta")
+    val docGen = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val corpusGen = Gen.choose(5, 25).flatMap(Gen.listOfN(_, docGen))
+    (1 to 6).foreach { i =>
+      val docs = corpusGen(Gen.Parameters.default, Seed(i.toLong)).get
+        .zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      for (tau <- Seq(0.34, 0.5, 0.8); k <- Seq(1, 3)) {
+        val got = pairs(docs, tau, k)
+        val want = brute(docs, tau, k)
+        assert(got == want, s"seed=$i tau=$tau shingle=$k: " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      }
+    }
+  }
+
   test("bad tau rejected") {
     intercept[IllegalArgumentException] {
       AllPairs.jaccardThresholdJoin(
