@@ -856,6 +856,27 @@ object SparkEntry {
       .select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy(col("node"))
 
+  /** Weighted PageRank ([[graft.ops.Graph.weightedPageRank]]) over
+    * the DIRECTED customer→supplier purchase graph with total line
+    * quantity as the edge weight: rank flows proportionally to
+    * purchase volume, and suppliers (no out-edges) exercise the
+    * dangling-mass path every iteration. Quantities are
+    * integer-valued, so the per-edge weight sums are exact across
+    * engines; the oracle unrolls the weighted recurrence.
+    */
+  private def qPagerankWeighted(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"),
+        col("l_quantity").as("w"))
+    graft.ops.Graph.weightedPageRank(e, "src", "dst", "w", iters = 3)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("node"))
+  }
+
   /** The deduped symmetric co-purchase edge table, staged ONCE per
     * (session, sfDir) to temp parquet — BOTH graph entries read it
     * (the RAG-staging pattern: graph construction is ingestion-side
@@ -2984,6 +3005,7 @@ object SparkEntry {
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_validate" -> qValidate,
     "q_pagerank" -> qPagerank,
+    "q_pagerank_weighted" -> qPagerankWeighted,
     "q_pagerank_ppr" -> qPagerankPersonalized,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_adamic_adar" -> qGraphAdamicAdar,
@@ -4202,6 +4224,21 @@ object SparkEntry {
         "r2 AS (SELECT d.node, d.outdeg, round((1.0 - 0.85) / nn.n + 0.85 * COALESCE(i2.s, 0), 8) AS rank FROM deg d LEFT JOIN i2 ON d.node = i2.node, nn), " +
         "i3 AS (SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS s FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst), " +
         "r3 AS (SELECT d.node, d.outdeg, round((1.0 - 0.85) / nn.n + 0.85 * COALESCE(i3.s, 0), 8) AS rank FROM deg d LEFT JOIN i3 ON d.node = i3.node, nn) " +
+        "SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"),
+    // weighted variant: directed purchase edges, quantity weights
+    // (integer-valued -> exact sums), suppliers dangling every round
+    "q_pagerank_weighted" ->
+      ("WITH e AS (SELECT o_custkey AS src, 1000000 + l_suppkey AS dst, SUM(CAST(l_quantity AS DOUBLE)) AS w FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE l_quantity > 0 GROUP BY 1, 2), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), " +
+        "wd AS (SELECT node, COALESCE(SUM(e.w), 0.0) AS outw FROM nodes LEFT JOIN e ON e.src = node GROUP BY node), " +
+        "r0 AS (SELECT node, outw, round(1.0 / nn.n, 8) AS rank FROM wd, nn), " +
+        (1 to 3).map { k =>
+          val p = k - 1
+          s"d$k AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r$p WHERE outw = 0), " +
+            s"i$k AS (SELECT e.dst AS node, SUM(r.rank * e.w / r.outw) AS s FROM e JOIN r$p r ON e.src = r.node GROUP BY e.dst), " +
+            s"r$k AS (SELECT w0.node, w0.outw, round(0.15 * (1.0 / nn.n) + 0.85 * (COALESCE(i$k.s, 0) + d$k.dm * (1.0 / nn.n)), 8) AS rank FROM wd w0 LEFT JOIN i$k ON w0.node = i$k.node, nn, d$k)"
+        }.mkString(", ") + " " +
         "SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"),
     // personalized variant: teleport CASE on the seed set; dangling
     // mass returns to the seeds (zero here — symmetric graph)

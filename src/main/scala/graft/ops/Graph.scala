@@ -93,10 +93,27 @@ object Graph {
       materialized, checkpointDir)
   }
 
+  /** Weighted PageRank: contributions flow proportionally to edge
+    * weight over the source's total out-weight — r(v) = (1-d)/N +
+    * d·(Σ_{u→v} r(u)·w(u,v)/W(u) + danglingMass/N). Parallel edges
+    * collapse by SUMMING their weights (the multigraph convention);
+    * non-positive/null weights are dropped. Same per-iteration
+    * join-agg shape, rounding contract and checkpoint knob as
+    * [[pageRank]] — the weight rides the edge row, so the only plan
+    * difference is a sum-instead-of-count degree aggregate.
+    */
+  def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int,
+                       damping: Double = 0.85,
+                       checkpointDir: Option[String] = None): DataFrame =
+    rankLoop(edges, srcCol, dstCol, iters, damping, seeds = Nil,
+      materialized = false, checkpointDir, weightCol = Some(weightCol))
+
   private def rankLoop(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int, damping: Double, seeds: Seq[Long],
                        materialized: Boolean = false,
-                       checkpointDir: Option[String] = None): DataFrame = {
+                       checkpointDir: Option[String] = None,
+                       weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
     // pin = the per-round lineage truncation; local-vs-reliable and
     // the global-dir caveat live in withCheckpointDir (the one place)
@@ -117,15 +134,32 @@ object Graph {
     // (measured 25 s -> 14 s per 30x run). A computed edge pipeline
     // (the default) still dedups and pins once so its upstream never
     // replays per consumer.
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-    val e = if (materialized) e0 else pin(e0.distinct())
+    val e = weightCol match {
+      case None =>
+        val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .filter(col("src").isNotNull && col("dst").isNotNull)
+        if (materialized) e0 else pin(e0.distinct())
+      case Some(wc) =>
+        // multigraph convention: parallel edges collapse by SUMMING
+        // weights; non-positive weights carry no rank and are dropped
+        pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            col(wc).cast("double").as("w"))
+          .filter(col("src").isNotNull && col("dst").isNotNull &&
+            col("w") > 0)
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // out-degree (unweighted) or total out-weight (weighted) — the
+    // contribution denominator either way
+    val outdeg = weightCol match {
+      case None => e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      case Some(_) => e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+    }
     // (node, outdeg) with 0 for sinks — the dangling set
+    val zero = if (weightCol.isEmpty) lit(0L) else lit(0.0)
     val deg = pin(nodes.join(outdeg, nodes("node") === outdeg("src"), "left")
-      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
+      .select(col("node"), coalesce(col("outdeg"), zero).as("outdeg")))
     val n = deg.count()
     require(n > 0, "empty graph")
     // teleport distribution: uniform 1/n (classic), or 1/|seeds| on
@@ -145,7 +179,10 @@ object Graph {
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
       val contribs = e.join(ranks, e("src") === ranks("node"))
         .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("outdeg")).as("__in"))
+        .agg((weightCol match {
+          case None => sum(col("rank") / col("outdeg"))
+          case Some(_) => sum(col("rank") * col("w") / col("outdeg"))
+        }).as("__in"))
       ranks = pin(deg
         .join(contribs, deg("node") === contribs("dst"), "left")
         .crossJoin(broadcast(dangling))

@@ -145,6 +145,10 @@ class OracleSqlLintSpec extends AnyFunSuite {
     *  - q_graph_hits (12): SUM(h.s)/SUM(a.s) matvecs and SUM(v*v)
     *    norms per unrolled half-step — s/v are doubles by the 8dp
     *    floor-quantized construction; nothing integer surfaces.
+    *  - q_pagerank_weighted (5): SUM(CAST(qty AS DOUBLE)) edge
+    *    weights, the COALESCE'd out-weight sum, and 3 dangling-mass
+    *    SUM(rank) — all doubles by construction, consumed inside the
+    *    rounded recurrence, never surfaced as integers.
     *  - q_ts_cusum (1): SUM(value - mu) cumulative window — doubles,
     *    floor-quantized downstream.
     *  - q_ts_seasonal (2): SUM(value) (double) and SUM(n_events)
@@ -164,6 +168,7 @@ class OracleSqlLintSpec extends AnyFunSuite {
     "q_emb_pca_top3" -> 86,
     "q_emb_abtt" -> 60,
     "q_graph_hits" -> 12,
+    "q_pagerank_weighted" -> 5,
     "q_ts_cusum" -> 1,
     "q_ts_seasonal" -> 2)
 

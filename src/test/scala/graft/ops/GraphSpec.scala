@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.lit
 
 import graft.SparkTestBase
 
@@ -106,6 +107,42 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
     assert(kcL == kcR, s"$kcL vs $kcR")
   }
+  test("weightedPageRank: unit weights match pageRank; weights steer rank; " +
+      "parallel edges sum; dangling mass conserved") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val unw = Graph.pageRank(e, "src", "dst", iters = 4)
+      .as[(Long, Double)].collect().toMap
+    val w1 = Graph.weightedPageRank(
+        e.withColumn("w", lit(1.0)), "src", "dst", "w", iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(unw == w1, s"$unw vs $w1")
+    // A splits 9:1 between B and C instead of 1:1 — B must outrank C
+    val wAsym = Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0),
+        (3L, 1L, 1.0)).toDF("src", "dst", "w")
+    val r = Graph.weightedPageRank(wAsym, "src", "dst", "w", iters = 6)
+      .as[(Long, Double)].collect().toMap
+    assert(r(2L) > r(3L), r.toString)
+    assert(math.abs(r.values.sum - 1.0) < 1e-5, s"mass: ${r.values.sum}")
+    // parallel edges collapse by summing: (1->2, 4)+(1->2, 5) == (1->2, 9)
+    val par = Seq((1L, 2L, 4.0), (1L, 2L, 5.0), (1L, 3L, 1.0),
+        (2L, 1L, 1.0), (3L, 1L, 1.0)).toDF("src", "dst", "w")
+    val rp = Graph.weightedPageRank(par, "src", "dst", "w", iters = 6)
+      .as[(Long, Double)].collect().toMap
+    assert(rp == r, s"$rp vs $r")
+    // a sink (dangling) node: mass still conserved via the teleport
+    val dang = Seq((1L, 2L, 3.0), (1L, 3L, 1.0)).toDF("src", "dst", "w")
+    val rd = Graph.weightedPageRank(dang, "src", "dst", "w", iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(rd.values.sum - 1.0) < 1e-5, s"mass: ${rd.values.sum}")
+    assert(rd(2L) > rd(3L), rd.toString)
+    // zero/negative-weight edges are dropped, not divided by
+    val zw = Seq((1L, 2L, 1.0), (1L, 3L, 0.0), (2L, 1L, -1.0))
+      .toDF("src", "dst", "w")
+    val rz = Graph.weightedPageRank(zw, "src", "dst", "w", iters = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(rz.keySet == Set(1L, 2L), rz.toString)
+  }
+
   test("hits: star digraph concentrates authority on the hub target") {
     // 1,2,3 all point at 10; 1 also points at 11. Authorities: 10
     // dominates 11; hubs: 1 (two out-edges) dominates 2,3.
