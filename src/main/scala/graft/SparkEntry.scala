@@ -865,12 +865,15 @@ object SparkEntry {
     * engines; the oracle unrolls the weighted recurrence.
     */
   private def qPagerankWeighted(s: SparkSession, d: String): DataFrame = {
+    // supplier offset 1e7, not the co-purchase graph's 1e6: custkey
+    // crosses 1e6 around sf7 and would silently alias suppliers —
+    // the id spaces must stay disjoint at every fixture scale
     val e = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("src"),
-        (lit(1000000L) + col("l_suppkey")).as("dst"),
+        (lit(10000000L) + col("l_suppkey")).as("dst"),
         col("l_quantity").as("w"))
     graft.ops.Graph.weightedPageRank(e, "src", "dst", "w", iters = 3)
       .select(col("node"), round(col("rank"), 6).as("rank"))
@@ -2805,9 +2808,15 @@ object SparkEntry {
     * identical recurrence as a CTE chain.
     */
   private def qGraphHits(s: SparkSession, d: String): DataFrame = {
+    // part nodes offset by 1e7 — orderkey and partkey ranges overlap
+    // numerically, and HITS on the raw ids would fuse an order's hub
+    // score with an unrelated part's authority score into one node.
+    // 1e7 clears every key range through sf10+ (custkey ~1.5e6 at
+    // sf10), unlike the 1e6 convention the co-purchase graph used.
     val e = t(s, d, "lineitem")
       .filter(col("l_orderkey") % 4 === 0 && col("l_partkey") % 4 === 0)
-      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      .select(col("l_orderkey").as("src"),
+        (lit(10000000L) + col("l_partkey")).as("dst"))
     graft.ops.Graph.hits(e, "src", "dst", iters = 3)
       .orderBy(col("node"))
   }
@@ -4228,7 +4237,7 @@ object SparkEntry {
     // weighted variant: directed purchase edges, quantity weights
     // (integer-valued -> exact sums), suppliers dangling every round
     "q_pagerank_weighted" ->
-      ("WITH e AS (SELECT o_custkey AS src, 1000000 + l_suppkey AS dst, SUM(CAST(l_quantity AS DOUBLE)) AS w FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE l_quantity > 0 GROUP BY 1, 2), " +
+      ("WITH e AS (SELECT o_custkey AS src, 10000000 + l_suppkey AS dst, SUM(CAST(l_quantity AS DOUBLE)) AS w FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE l_quantity > 0 GROUP BY 1, 2), " +
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), " +
         "wd AS (SELECT node, COALESCE(SUM(e.w), 0.0) AS outw FROM nodes LEFT JOIN e ON e.src = node GROUP BY node), " +
@@ -4576,7 +4585,7 @@ object SparkEntry {
         "FROM sc LEFT JOIN obs ON obs.grp = sc.grp AND obs.digit = sc.digit), " +
         "k AS (SELECT *, floor(abs(share - expected) * 1000000 + 0.5) / 1000000 AS abs_dev FROM j) " +
         "SELECT grp AS l_returnflag, digit, n_digit, share, expected, abs_dev, " +
-        "floor(SUM(abs_dev) OVER (PARTITION BY grp) / 2 * 1000000 + 0.5) / 1000000 AS tvd " +
+        "floor(SUM(abs_dev) OVER (PARTITION BY grp) * 1000000 + 0.5) / 1000000 / 2 AS tvd " +
         "FROM k ORDER BY l_returnflag, digit"),
     // multi-source BFS: bounded recursive CTE, MIN(dist) = first reach
     "q_graph_sssp" ->
@@ -4706,7 +4715,7 @@ object SparkEntry {
     */
   private def hitsOracleSql(iters: Int): String = {
     val base =
-      "WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem WHERE l_orderkey % 4 = 0 AND l_partkey % 4 = 0), " +
+      "WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS src, 10000000 + l_partkey AS dst FROM lineitem WHERE l_orderkey % 4 = 0 AND l_partkey % 4 = 0), " +
         "ns AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM e), " +
         "h0 AS (SELECT DISTINCT src AS node, floor(1 / sqrt((SELECT n FROM ns)) * 100000000 + 0.5) / 100000000 AS s FROM e)"
     val its = (1 to iters).map { k =>

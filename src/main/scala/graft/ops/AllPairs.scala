@@ -74,6 +74,9 @@ object AllPairs {
   def jaccardThresholdJoin(docs: DataFrame, idCol: String,
                            textCol: String, tau: Double,
                            shingle: Int = 1): DataFrame = {
+    // validate BEFORE the tokenize/localCheckpoint job — a bad tau
+    // must fail instantly, not after materializing the corpus
+    require(tau > 0 && tau <= 1, "tau in (0, 1]")
     val toks = tokenSets(docs, idCol, textCol, shingle)
     val cands = candidatePairs(toks, tau)
     // verify: exact Jaccard over the full distinct-token sets; the

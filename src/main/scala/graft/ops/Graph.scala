@@ -224,10 +224,13 @@ object Graph {
            checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
     val pin = withCheckpointDir(edges, checkpointDir)
-    val e = edges
+    // the edge table is consumed twice per iteration — pin it with the
+    // SAME reliability the score vectors get (a reliable run whose
+    // edges live only in executor memory dies with one executor)
+    val e = pin(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint()
+      .distinct())
     val q8 = (c: Column) => Quantize.q(c, 8)
     val nSrc = e.select(col("src")).distinct().count()
     require(nSrc > 0, "empty edge set")

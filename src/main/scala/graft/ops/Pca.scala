@@ -121,6 +121,7 @@ object Pca {
     */
   def components(emb: DataFrame, vecCol: String, dim: Int, m: Int,
                  iters: Int): DataFrame = {
+    validate(dim, m, iters) // before core()'s checkpoint + 3 scans
     val c = core(emb, vecCol, dim)
     val fitted = fit(c, m, iters)
     val spark = emb.sparkSession
@@ -139,9 +140,14 @@ object Pca {
   /** The deflated power-iteration sweep: m (8dp unit vector, raw
     * Rayleigh eigenvalue) pairs, in variance order.
     */
-  private def fit(c: Core, m: Int, iters: Int): Seq[(Array[Double], Double)] = {
-    require(c.dim > 0 && iters >= 1 && iters <= 64, "dim > 0, iters in [1,64]")
+  /** Argument gate, callable BEFORE any Spark job runs. */
+  private def validate(dim: Int, m: Int, iters: Int): Unit = {
+    require(dim > 0 && iters >= 1 && iters <= 64, "dim > 0, iters in [1,64]")
     require(m >= 1 && m <= 16, "m in [1, 16]")
+  }
+
+  private def fit(c: Core, m: Int, iters: Int): Seq[(Array[Double], Double)] = {
+    validate(c.dim, m, iters)
     val done = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
     for (_ <- 1 to m) {
       val (v, lambda) =
@@ -168,6 +174,7 @@ object Pca {
     */
   def removeTopComponents(emb: DataFrame, idCol: String, vecCol: String,
                           dim: Int, m: Int, iters: Int): DataFrame = {
+    validate(dim, m, iters) // before core()'s checkpoint + 3 scans
     val c = core(emb, vecCol, dim)
     val fitted = fit(c, m, iters)
     val muLit = array(c.mu.map(lit): _*)

@@ -190,7 +190,12 @@ object Stats {
       .withColumn("share",
         Quantize.q(col("n_digit").cast("double") / col("__n"), 6))
       .withColumn("abs_dev", Quantize.q(abs(col("share") - col("expected")), 6))
-      .withColumn("tvd", Quantize.q(sum(col("abs_dev")).over(w) / 2, 6))
+      // quantize the dev sum BEFORE halving: abs_dev values sit ON the
+      // 6dp grid, so sum/2 lands exactly on a quantization midpoint
+      // whenever the sum is an odd multiple of 1e-6 and sum-order
+      // wobble could flip the floor cross-engine; q6(sum)/2 quantizes
+      // near-grid values (safe) and division by 2 is exact in binary
+      .withColumn("tvd", Quantize.q(sum(col("abs_dev")).over(w), 6) / 2)
       .select(col("grp").as(groupCol), col("digit"),
         col("n_digit"), col("share"), col("expected"), col("abs_dev"),
         col("tvd"))

@@ -169,6 +169,9 @@ class OracleSqlLintSpec extends AnyFunSuite {
     "q_emb_abtt" -> 60,
     "q_graph_hits" -> 12,
     "q_pagerank_weighted" -> 5,
+    // SUM(abs_dev) OVER — abs_dev is a 6dp-quantized double by
+    // construction; consumed inside floor(...)/1e6/2, never an integer
+    "q_stat_benford" -> 1,
     "q_ts_cusum" -> 1,
     "q_ts_seasonal" -> 2)
 
