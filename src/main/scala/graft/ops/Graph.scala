@@ -105,9 +105,10 @@ object Graph {
   def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                        weightCol: String, iters: Int,
                        damping: Double = 0.85,
+                       materialized: Boolean = false,
                        checkpointDir: Option[String] = None): DataFrame =
     rankLoop(edges, srcCol, dstCol, iters, damping, seeds = Nil,
-      materialized = false, checkpointDir, weightCol = Some(weightCol))
+      materialized, checkpointDir, weightCol = Some(weightCol))
 
   private def rankLoop(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int, damping: Double, seeds: Seq[Long],
@@ -141,12 +142,17 @@ object Graph {
         if (materialized) e0 else pin(e0.distinct())
       case Some(wc) =>
         // multigraph convention: parallel edges collapse by SUMMING
-        // weights; non-positive weights carry no rank and are dropped
-        pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        // weights; non-positive weights carry no rank and are dropped.
+        // materialized = the caller hands a STORED table already in
+        // that collapsed form ((src, dst) unique, w > 0 summed) —
+        // skip both the aggregate shuffle and the pin, same contract
+        // as the unweighted branch.
+        val w0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
             col(wc).cast("double").as("w"))
           .filter(col("src").isNotNull && col("dst").isNotNull &&
             col("w") > 0)
-          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+        if (materialized) w0
+        else pin(w0.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
     }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -217,20 +223,28 @@ object Graph {
     * surfaced values are 6dp.
     *
     * Output: (node, hub 6dp, authority 6dp) — full outer over the
-    * two roles; a node with no out-edges has null hub, one with no
-    * in-edges null authority.
+    * two roles; a node with no out-edges scores hub 0.0 (it lends no
+    * endorsement), one with no in-edges authority 0.0 (it receives
+    * none) — the limit values of the recurrence, not missing data.
+    *
+    * `materialized = true` declares the input a STORED, already
+    * distinct (src, dst) table (the [[pageRank]] staged-edge
+    * contract): the dedup exchange and the edge pin are skipped —
+    * re-scanning a columnar table twice per iteration beats
+    * writing+reading an executor-memory copy of it.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+           materialized: Boolean = false,
            checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
     val pin = withCheckpointDir(edges, checkpointDir)
     // the edge table is consumed twice per iteration — pin it with the
     // SAME reliability the score vectors get (a reliable run whose
     // edges live only in executor memory dies with one executor)
-    val e = pin(edges
+    val e0 = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct())
+    val e = if (materialized) e0 else pin(e0.distinct())
     val q8 = (c: Column) => Quantize.q(c, 8)
     val nSrc = e.select(col("src")).distinct().count()
     require(nSrc > 0, "empty edge set")
@@ -252,8 +266,8 @@ object Graph {
     h.select(col("node"), col("s").as("__h"))
       .join(a.select(col("node"), col("s").as("__a")), Seq("node"), "full_outer")
       .select(col("node"),
-        Quantize.q(col("__h"), 6).as("hub"),
-        Quantize.q(col("__a"), 6).as("authority"))
+        coalesce(Quantize.q(col("__h"), 6), lit(0.0)).as("hub"),
+        coalesce(Quantize.q(col("__a"), 6), lit(0.0)).as("authority"))
   }
 
   private def canonicalEdges(edges: DataFrame, srcCol: String,

@@ -161,7 +161,10 @@ object Stats {
     * decimal print): both engines print round-trip representations of
     * the same double, and any two round-trip decimal forms of one
     * double share their leading significant digit — no log10/floor
-    * boundary hazards. Non-positive and null values are excluded.
+    * boundary hazards. Non-positive, null and non-finite values are
+    * excluded — including from the group totals, so shares always
+    * sum to 1 (a NaN/Infinity row prints no [1-9] digit and must not
+    * inflate the denominator).
     *
     * Scale shape: one map-side digit extraction, one (group, digit)
     * count aggregate (partial), one tiny cross-join scaffold
@@ -177,8 +180,15 @@ object Stats {
     val obs = df
       .filter(col(valCol).isNotNull && col(valCol) > 0)
       .select(col(groupCol).as("grp"),
-        regexp_extract(col(valCol).cast("string"), "[1-9]", 0)
-          .cast("int").as("digit"))
+        regexp_extract(col(valCol).cast("string"), "[1-9]", 0).as("__d"))
+      // non-finite values print no significant digit ("Infinity";
+      // NaN passes the > 0 filter under Spark's NaN-greatest
+      // ordering) — drop them HERE, BEFORE the int cast (empty
+      // string → ANSI cast error), so the group total __n counts
+      // only values that contribute a digit row and per-digit
+      // shares always sum to 1 (TVD would otherwise skew silently)
+      .filter(col("__d") =!= "")
+      .select(col("grp"), col("__d").cast("int").as("digit"))
       .groupBy(col("grp"), col("digit"))
       .agg(count(lit(1)).as("n_digit"))
     val totals = obs.groupBy(col("grp")).agg(sum(col("n_digit")).as("__n"))

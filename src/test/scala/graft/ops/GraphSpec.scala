@@ -135,6 +135,13 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Double)].collect().toMap
     assert(math.abs(rd.values.sum - 1.0) < 1e-5, s"mass: ${rd.values.sum}")
     assert(rd(2L) > rd(3L), rd.toString)
+    // materialized contract: a table already in collapsed form
+    // ((src, dst) unique, weights summed) reproduces the default
+    // path bit-for-bit without the re-aggregate
+    val rdm = Graph.weightedPageRank(dang, "src", "dst", "w", iters = 4,
+        materialized = true)
+      .as[(Long, Double)].collect().toMap
+    assert(rdm == rd, s"$rdm vs $rd")
     // zero/negative-weight edges are dropped, not divided by
     val zw = Seq((1L, 2L, 1.0), (1L, 3L, 0.0), (2L, 1L, -1.0))
       .toDF("src", "dst", "w")
@@ -149,29 +156,38 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
       .toDF("src", "dst")
     val r = Graph.hits(e, "src", "dst", iters = 8)
-      .as[(Long, Option[Double], Option[Double])].collect()
+      .as[(Long, Double, Double)].collect()
       .map(t => t._1 -> (t._2, t._3)).toMap
-    // roles: sources have hub only, sinks authority only
-    assert(r(10L)._1.isEmpty && r(10L)._2.isDefined, r.toString)
-    assert(r(1L)._1.isDefined && r(1L)._2.isEmpty, r.toString)
-    assert(r(10L)._2.get > r(11L)._2.get, r.toString)
-    assert(r(1L)._1.get > r(2L)._1.get, r.toString)
+    // roles: a pure sink (node 10 — no out-edges) scores hub 0.0, a
+    // pure source (node 1 — no in-edges) authority 0.0: the limit
+    // values of the recurrence, never null
+    assert(r(10L)._1 == 0.0 && r(10L)._2 > 0.0, r.toString)
+    assert(r(1L)._1 > 0.0 && r(1L)._2 == 0.0, r.toString)
+    assert(r(10L)._2 > r(11L)._2, r.toString)
+    assert(r(1L)._1 > r(2L)._1, r.toString)
     assert(r(2L)._1 == r(3L)._1, r.toString)
     // L2 norms of each role ~1
-    val hubN = Seq(1L, 2L, 3L).map(r(_)._1.get).map(x => x * x).sum
-    val autN = Seq(10L, 11L).map(r(_)._2.get).map(x => x * x).sum
+    val hubN = Seq(1L, 2L, 3L).map(r(_)._1).map(x => x * x).sum
+    val autN = Seq(10L, 11L).map(r(_)._2).map(x => x * x).sum
     assert(math.abs(hubN - 1.0) < 1e-4 && math.abs(autN - 1.0) < 1e-4,
       s"$hubN $autN")
     // deterministic across runs
     val again = Graph.hits(e, "src", "dst", iters = 8)
-      .as[(Long, Option[Double], Option[Double])].collect()
+      .as[(Long, Double, Double)].collect()
       .map(t => t._1 -> (t._2, t._3)).toMap
     assert(r == again)
     // a node in both roles gets both scores
     val cyc = Graph.hits(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
         "src", "dst", iters = 4)
-      .as[(Long, Option[Double], Option[Double])].collect()
-    assert(cyc.forall(t => t._2.isDefined && t._3.isDefined), cyc.toSeq.toString)
+      .as[(Long, Double, Double)].collect()
+    assert(cyc.forall(t => t._2 > 0.0 && t._3 > 0.0), cyc.toSeq.toString)
+    // materialized contract: an already-distinct stored-shape edge
+    // table reproduces the default path bit-for-bit
+    val rm = Graph.hits(e.distinct(), "src", "dst", iters = 8,
+        materialized = true)
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(rm == r, s"$rm vs $r")
     intercept[IllegalArgumentException](Graph.hits(e, "src", "dst", 0))
   }
 

@@ -106,7 +106,11 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
         2.5, 0.29, 234.0,                          // digit 2 x3
         0.0009, 9.1)                               // digit 9 x2
     val df = (vals.map(("x", _)) ++
-        Seq(("x", -5.0), ("x", 0.0)) ++            // excluded
+        // excluded: non-positive, AND non-finite — NaN passes > 0
+        // under Spark's NaN-greatest ordering and Infinity prints no
+        // [1-9] digit; neither may inflate the group total __n
+        Seq(("x", -5.0), ("x", 0.0),
+          ("x", Double.NaN), ("x", Double.PositiveInfinity)) ++
         Seq(("y", 1.0)))
       .toDF("g", "v")
     val out = Stats.benfordScreen(df, "g", "v")
