@@ -2468,6 +2468,34 @@ object SparkEntry {
       .groupBy(col("document_class")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("document_class"))
 
+  /** Mixed model-priced + cheap filter through the injected
+    * [[graft.plans.CheapPredicatesFirst]] optimizer rule: the user
+    * writes the ai_classify conjunct FIRST, the rule reorders the
+    * conjunction so the cheap doc_id predicate short-circuits the
+    * model call for 80% of rows — the guarantee the reference gets by
+    * construction (cheap file/class filters under the AI projection,
+    * SURVEY §4 item 1) made structural for user-authored filters.
+    * [[graft.GraftExtensions]] injects the rule at builder time; this
+    * entry attaches the SAME rule object to the live driver session
+    * via the public `experimental.extraOptimizations` hook (idempotent
+    * — the rule no-ops on already-sorted conjunctions). The reorder is
+    * result-invariant (AND over deterministic conjuncts commutes in
+    * three-valued logic), so the oracle replays the filter directly;
+    * PlanRegressionSpec asserts the executed plan actually evaluates
+    * the cheap conjunct before the UDF.
+    */
+  private def qAiFilterPushdown(s: SparkSession, d: String): DataFrame = {
+    if (!s.experimental.extraOptimizations
+        .contains(graft.plans.CheapPredicatesFirst))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.CheapPredicatesFirst
+    t(s, d, "documents")
+      .filter(ai_classify(col("text")) === "contract" &&
+        col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   private def qAiExtractWide(s: SparkSession, d: String): DataFrame =
     Pipelines.batchSqlOverDocuments(s, d,
       Map("title" -> "What is the title?",
@@ -3159,6 +3187,7 @@ object SparkEntry {
     "q_sim_pq_topk" -> qSimPq,
     "q_sim_ivfpq_topk" -> qSimIvfPq,
     "q_ai_classify" -> qAiClassify,
+    "q_ai_filter_pushdown" -> qAiFilterPushdown,
     "q_ai_extract_wide" -> qAiExtractWide,
     "q_ai_summarize" -> qAiSummarize,
     "q_ai_parse_document" -> qAiParseDocument,
@@ -3976,6 +4005,11 @@ object SparkEntry {
     "q_ai_classify" ->
       (s"WITH c AS (SELECT $duckClassifyExpr AS document_class FROM documents) " +
         "SELECT document_class, COUNT(*) AS n_docs FROM c GROUP BY document_class ORDER BY document_class"),
+    // mixed cheap+UDF filter: the rule reorder is result-invariant, so
+    // the replay is the filter itself (classify via the shared sha256
+    // expression) in either conjunct order
+    "q_ai_filter_pushdown" ->
+      (s"SELECT doc_id, lang FROM documents WHERE $duckClassifyExpr = 'contract' AND doc_id % 5 = 0 ORDER BY doc_id"),
     // parse_document on already-text content is a UTF-8 round trip
     "q_ai_parse_document" ->
       "SELECT doc_id, CAST(length(text) AS BIGINT) AS ocr_chars FROM documents ORDER BY doc_id",

@@ -818,6 +818,22 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(joins <= 2, s"expected at most the vec_id equi-join:\n$p")
   }
 
+  test("CheapPredicatesFirst reorders the AI filter: cheap conjunct before UDF") {
+    val p = plan("q_ai_filter_pushdown")
+    // the entry WRITES the UDF conjunct first; the injected rule must
+    // have reordered the conjunction so the executed Filter evaluates
+    // the cheap doc_id predicate before the model-priced ScalaUDF —
+    // short-circuit AND then skips the model call for rejected rows
+    val filterLine = p.linesIterator
+      .find(l => l.contains("Filter") && l.contains("UDF"))
+      .getOrElse(fail(s"no UDF-bearing Filter in plan:\n$p"))
+    val cheapAt = filterLine.indexOf("% 5")
+    val udfAt = filterLine.indexOf("UDF")
+    assert(cheapAt >= 0 && udfAt >= 0, filterLine)
+    assert(cheapAt < udfAt,
+      s"cheap conjunct must precede the UDF conjunct: $filterLine")
+  }
+
   test("HITS surfaces the pinned final half-steps; no cartesian") {
     val p = plan("q_graph_hits")
     // per-round score vectors pin (localCheckpoint): the surfaced plan
