@@ -48,6 +48,30 @@ object DriftMonitor {
       .select(col("__w.start").as("window_start"), col("bin"), col("n"))
   }
 
+  /** Freeze a reference distribution for the monitor — the OFFLINE
+    * step: midpoint-safe 6dp k-quantile cutoffs (the same rounding
+    * [[graft.ops.Drift.psiBinned]] bins with) plus the reference's
+    * per-bin shares in [[psiOf]]'s 1-indexed layout (bins the
+    * reference never hits enter as share 0 and are eps-floored at
+    * monitor time). Returns (cuts, refShares) to pass as literals —
+    * nothing joins against the reference at stream time.
+    */
+  def freezeReference(ref: DataFrame, valueCol: String,
+                      k: Int = 10): (Seq[Double], Seq[Double]) = {
+    require(k >= 2 && k <= 1000, "k in [2, 1000]")
+    val cuts = ref.agg(percentile(col(valueCol).cast("double"),
+        typedLit((1 until k).map(_.toDouble / k))).as("__c"))
+      .head().getSeq[Double](0)
+      .map(graft.ops.Quantize.qd(_, 6))
+    val counts = ref.filter(col(valueCol).isNotNull)
+      .groupBy(binExpr(valueCol, cuts).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val tot = counts.values.sum.toDouble
+    require(tot > 0, "empty reference")
+    (cuts, (1 to k).map(b => counts.getOrElse(b, 0L) / tot))
+  }
+
   /** Batch fold: one PSI row per window from the bin-count table.
     * `refShares` is 1-indexed by bin (refShares(i-1) = the reference
     * share of bin i, k = refShares.size); bins absent from a window

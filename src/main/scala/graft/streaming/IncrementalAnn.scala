@@ -164,6 +164,15 @@ final class IncrementalAnn(spark: SparkSession, storeDir: String,
     }
   }
 
+  /** State-store size probe: (total signature rows, distinct ids) —
+    * a clean store holds exactly `nTables` rows per id; the co-run
+    * maintenance ledger surfaces it per batch. Column-pruned id scan.
+    */
+  def storeStats(): (Long, Long) = {
+    val r = store().agg(count(lit(1)), count_distinct(col("id"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Store maintenance: drop the duplicate signature rows that
     * foreachBatch replays accumulate — dedupe by (id, table, bucket),
     * rewrite via the crash-safe bak-swap. A replayed batch leaves the

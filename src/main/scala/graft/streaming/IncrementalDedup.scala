@@ -207,6 +207,17 @@ final class IncrementalDedup(spark: SparkSession, storeDir: String,
     }
   }
 
+  /** State-store size probe: (total signature rows, distinct ids) —
+    * a clean store holds exactly `bands` rows per id, so rows >
+    * slack × ids × bands quantifies replay bloat. Column-pruned scan
+    * of the id column only; the co-run maintenance ledger surfaces it
+    * per batch.
+    */
+  def storeStats(): (Long, Long) = {
+    val r = store().agg(count(lit(1)), count_distinct(col("id"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Store maintenance: drop the duplicate signature rows that
     * foreachBatch replays accumulate (a replayed batch re-appends its
     * survivors' signatures). Dedupes by (id, band, bucket) and rewrites
