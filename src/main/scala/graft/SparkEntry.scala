@@ -845,7 +845,7 @@ object SparkEntry {
   /** Fixed-iteration PageRank ([[graft.ops.Graph.pageRank]]) over the
     * symmetric customer-supplier co-purchase graph (an edge wherever
     * a customer's order contains a supplier's line item; supplier
-    * nodes offset by 1e6 to keep the id spaces disjoint). Three
+    * nodes offset by [[nodeSpaceOffset]], staging-guarded). Three
     * damped iterations, 8dp per-iteration rounding, 6dp surface —
     * the DuckDB oracle unrolls the identical recurrence as a CTE
     * chain.
@@ -865,9 +865,9 @@ object SparkEntry {
     * engines; the oracle unrolls the weighted recurrence.
     */
   private def qPagerankWeighted(s: SparkSession, d: String): DataFrame =
-    // supplier offset 1e7, not the co-purchase graph's 1e6: custkey
-    // crosses 1e6 around sf7 and would silently alias suppliers —
-    // the id spaces must stay disjoint at every fixture scale
+    // supplier offset = nodeSpaceOffset (1e12), staging-guarded: the
+    // id spaces must stay disjoint at every fixture scale (custkey
+    // crosses the old 1e6/1e7 conventions at sf≈7/sf≈66)
     graft.ops.Graph.weightedPageRank(stagedWeightedPurchaseEdges(s, d),
         "src", "dst", "w", iters = 3, materialized = true)
       .select(col("node"), round(col("rank"), 6).as("rank"))
@@ -906,11 +906,12 @@ object SparkEntry {
     */
   private def stagedCoPurchaseEdges(s: SparkSession, d: String): DataFrame =
     staged(s, d, "copurchase") {
+      guardNodeSpace(t(s, d, "orders"), "o_custkey")
       val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
+          (col("l_suppkey") + nodeSpaceOffset).as("dst"))
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
     }
@@ -926,25 +927,39 @@ object SparkEntry {
   private def stagedWeightedPurchaseEdges(s: SparkSession,
                                           d: String): DataFrame =
     staged(s, d, "wpurchase") {
+      guardNodeSpace(t(s, d, "orders"), "o_custkey")
       t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
           col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_quantity") > 0)
         .select(col("o_custkey").as("src"),
-          (lit(10000000L) + col("l_suppkey")).as("dst"),
+          (lit(nodeSpaceOffset) + col("l_suppkey")).as("dst"),
           col("l_quantity").cast("double").as("w"))
         .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     }
 
-  /** Part-authority node offset for the HITS graph: src is
-    * l_orderkey, which reaches 6M×sf — 1e7 (the supplier-offset
-    * convention) would collide from sf≈2. 1e12 clears orderkey
-    * through sf>10^5, and the staged-build guard makes any future
-    * fixture that crosses it fail loudly instead of silently fusing
-    * an order-hub with a part-authority.
+  /** THE node-space offset every staged graph uses to keep its two
+    * id spaces disjoint (customer vs supplier, order vs part).
+    * History: the co-purchase graph used 1e6 (custkey crosses it at
+    * sf≈7) and HITS 1e7 (orderkey crosses it at sf≈2 — the round-11
+    * ADVICE find); 1e12 clears every TPC-H key range through
+    * sf>10^5, and each staged build GUARDS max(key) < offset so a
+    * fixture that ever crosses it fails loudly at staging instead of
+    * silently fusing two nodes into one.
     */
-  private val hitsPartOffset = 1000000000000L
+  private val nodeSpaceOffset = 1000000000000L
+
+  /** Staging-time guard for [[nodeSpaceOffset]]: one column-pruned
+    * max over the un-offset key space (parquet stats make it a
+    * footer read). Runs once per staged table per (session, dir).
+    */
+  private def guardNodeSpace(df: DataFrame, keyCol: String): Unit = {
+    val mx = df.agg(max(col(keyCol))).head()
+    require(mx.isNullAt(0) || mx.getLong(0) < nodeSpaceOffset,
+      s"graph node spaces collide: max($keyCol) = ${mx.get(0)} >= " +
+        s"offset $nodeSpaceOffset")
+  }
 
   /** The distinct sliced order→part interaction digraph ([[staged]])
     * — already in [[graft.ops.Graph.hits]]' `materialized` contract,
@@ -954,13 +969,13 @@ object SparkEntry {
   private def stagedHitsEdges(s: SparkSession, d: String): DataFrame =
     staged(s, d, "hitsedges", validate = e => {
       val mx = e.agg(max(col("src"))).head.getLong(0)
-      require(mx < hitsPartOffset,
-        s"HITS node spaces collide: max orderkey $mx >= offset $hitsPartOffset")
+      require(mx < nodeSpaceOffset,
+        s"HITS node spaces collide: max orderkey $mx >= offset $nodeSpaceOffset")
     }) {
       t(s, d, "lineitem")
         .filter(col("l_orderkey") % 4 === 0 && col("l_partkey") % 4 === 0)
         .select(col("l_orderkey").as("src"),
-          (lit(hitsPartOffset) + col("l_partkey")).as("dst"))
+          (lit(nodeSpaceOffset) + col("l_partkey")).as("dst"))
         .distinct()
     }
 
@@ -4308,7 +4323,7 @@ object SparkEntry {
     // chain — 8dp per-iteration rounding matches the engine exactly;
     // the symmetric edge set guarantees outdeg >= 1 (no dangling mass)
     "q_pagerank" ->
-      ("WITH e0 AS (SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
+      ("WITH e0 AS (SELECT DISTINCT o_custkey AS src, 1000000000000 + l_suppkey AS dst FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
         "e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0), " +
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), " +
@@ -4324,7 +4339,7 @@ object SparkEntry {
     // weighted variant: directed purchase edges, quantity weights
     // (integer-valued -> exact sums), suppliers dangling every round
     "q_pagerank_weighted" ->
-      ("WITH e AS (SELECT o_custkey AS src, 10000000 + l_suppkey AS dst, SUM(CAST(l_quantity AS DOUBLE)) AS w FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE l_quantity > 0 GROUP BY 1, 2), " +
+      ("WITH e AS (SELECT o_custkey AS src, 1000000000000 + l_suppkey AS dst, SUM(CAST(l_quantity AS DOUBLE)) AS w FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE l_quantity > 0 GROUP BY 1, 2), " +
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), " +
         "wd AS (SELECT node, COALESCE(SUM(e.w), 0.0) AS outw FROM nodes LEFT JOIN e ON e.src = node GROUP BY node), " +
@@ -4339,7 +4354,7 @@ object SparkEntry {
     // personalized variant: teleport CASE on the seed set; dangling
     // mass returns to the seeds (zero here — symmetric graph)
     "q_pagerank_ppr" ->
-      ("WITH e0 AS (SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
+      ("WITH e0 AS (SELECT DISTINCT o_custkey AS src, 1000000000000 + l_suppkey AS dst FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
         "e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0), " +
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
         "deg AS (SELECT node, CAST(COUNT(e.src) AS DOUBLE) AS outdeg, " +
@@ -4390,7 +4405,7 @@ object SparkEntry {
     // assortativity: degree join onto both edge directions, then the
     // explicit covar/sqrt(var) Pearson (NULL on degree-regular graphs)
     "q_graph_assortativity" ->
-      ("WITH e AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      ("WITH e AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000000000 AS b FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
         "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node), " +
         "be AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e), " +
         "x AS (SELECT CAST(da.deg AS DOUBLE) AS dx, CAST(db.deg AS DOUBLE) AS dy FROM be JOIN deg da ON be.a = da.node JOIN deg db ON be.b = db.node) " +
