@@ -47,4 +47,38 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("staged graph builds fail LOUDLY on a node-space collision") {
+    import spark.implicits._
+    // a fixture whose custkey crosses the 1e12 node-space offset would
+    // silently fuse customer and supplier nodes — the staging guard
+    // must reject it at build time, not alias it (round-11 ADVICE
+    // class: the old 1e6/1e7 offsets collided from sf≈7 / sf≈2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_collide_fixture").toString
+    Seq((1L, 2000000000000L), (2L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 7L, 5.0, 11L), (2L, 8L, 3.0, 12L))
+      .toDF("l_orderkey", "l_suppkey", "l_quantity", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q_pagerank")(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("node spaces collide"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q_pagerank_weighted")(spark, dir).collect()
+    }
+    assert(e2.getMessage.contains("node spaces collide"), e2.getMessage)
+    // HITS guards on orderkey (its src space) via the staged table
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_collide_fixture2").toString
+    Seq((2000000000000L, 8L, 3.0, 12L))
+      .toDF("l_orderkey", "l_suppkey", "l_quantity", "l_partkey")
+      .write.parquet(s"$dir2/lineitem.parquet")
+    val e3 = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q_graph_hits")(spark, dir2).collect()
+    }
+    assert(e3.getMessage.contains("node spaces collide"), e3.getMessage)
+  }
 }
