@@ -6,13 +6,21 @@ package graft.ai
   * kept for parity with remote backends behind the DocAiBackend seam.
   */
 object Retry {
-  def withRetry[A](attempts: Int = 5, delayMs: Long = 500)(f: => A): A = {
+  /** `retryIf`: predicate gating which failures are retried — a
+    * PERMANENT error (4xx protocol failure, bad request shape) should
+    * escape immediately rather than burn attempts × delay on a result
+    * that cannot change. Default retries everything (the original
+    * eventually-consistent-stage behavior).
+    */
+  def withRetry[A](attempts: Int = 5, delayMs: Long = 500,
+                   retryIf: Throwable => Boolean = _ => true)(f: => A): A = {
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
       try return f
       catch {
         case e: Exception =>
+          if (!retryIf(e)) throw e
           last = e
           i += 1
           if (i < attempts) Thread.sleep(delayMs)
