@@ -12,6 +12,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // engine extensions at builder time: all timed entries see ONE
+      // uniform optimizer — plans can't depend on run order (the
+      // q_ai_filter_pushdown attach becomes a no-op here)
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = args.toSet // optional query-name filter for local runs

@@ -19,6 +19,13 @@ object Retry {
     while (i < attempts) {
       try return f
       catch {
+        // an interrupt is a cancellation signal (executor being killed,
+        // task aborted), not a transient failure: restore the thread's
+        // interrupt status and escape immediately — retrying would
+        // swallow the kill and burn attempts x delay on a dying thread
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
         case e: Exception =>
           if (!retryIf(e)) throw e
           last = e
