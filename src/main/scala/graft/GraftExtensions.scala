@@ -4,7 +4,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{TextHashExpressions, VectorExpressions}
+import graft.functions.{JsonScalarExpressions, TextHashExpressions, VectorExpressions}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available in any session via
@@ -30,6 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[TextHashExpressions.SimHash64].getName, "simhash64"),
       exprs => TextHashExpressions.SimHash64(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("json_get_long"),
+      new ExpressionInfo(
+        classOf[JsonScalarExpressions.JsonGetLong].getName, "json_get_long"),
+      exprs => JsonScalarExpressions.JsonGetLong(exprs.head, exprs(1) match {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+          l.value.asInstanceOf[UTF8String]
+        case other => throw new IllegalArgumentException(
+          s"json_get_long key must be a literal string, got $other")
+      })))
   }
 }
 
@@ -41,5 +52,6 @@ object Graft {
     graft.ai.AiFunctions.register(spark)
     VectorExpressions.register(spark)
     TextHashExpressions.register(spark)
+    JsonScalarExpressions.register(spark)
   }
 }

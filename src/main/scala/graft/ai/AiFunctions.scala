@@ -15,19 +15,48 @@ import org.apache.spark.sql.functions.udf
   */
 object AiFunctions {
 
-  // The backend is a serializable singleton closed over by the UDF
-  // lambdas, so executors get it via closure serialization — no
-  // driver-side state, works on a real cluster.
-  private val backend: DocAiBackend = DeterministicLocalBackend
+  // The backend is CONFIG-SWAPPABLE (default: the hermetic
+  // deterministic backend). Every Column helper below captures the
+  // current backend BY VALUE into that query's UDF closure, so the
+  // chosen instance — which is Serializable by the DocAiBackend
+  // contract — ships to executors with the query. That makes the swap
+  // cluster-correct: no reliance on driver-side module state being
+  // visible on executors.
+  @volatile private var backendRef: DocAiBackend = DeterministicLocalBackend
+
+  /** The currently configured backend. */
+  def backend: DocAiBackend = backendRef
+
+  /** Swap the Doc-AI backend. Column helpers pick it up on their NEXT
+    * construction (per query); SQL-registered UDFs captured the
+    * backend at [[register]] time — re-register after a swap if the
+    * SQL names must follow it.
+    */
+  def setBackend(b: DocAiBackend): Unit = { backendRef = b }
+
+  /** Config seam: `spark.graft.ai.backend` = `deterministic` (the
+    * default, hermetic) or an http(s) base URL of a Doc-AI protocol
+    * server (→ [[HttpDocAiBackend]], the real-model path). Call after
+    * session construction; pipelines built afterwards run every
+    * ai_* call through the configured backend.
+    */
+  def configureFrom(spark: SparkSession): Unit =
+    spark.conf.get("spark.graft.ai.backend", "deterministic") match {
+      case "deterministic" => setBackend(DeterministicLocalBackend)
+      case url if url.startsWith("http://") || url.startsWith("https://") =>
+        setBackend(new HttpDocAiBackend(url))
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.ai.backend must be 'deterministic' or an http(s) URL, got '$other'")
+    }
 
   /** AI_EXTRACT (app:202-210): map of {field -> question} in, map of
     * {field -> answer} out. The {"response": ...} envelope of the
     * reference is applied by `ai_extract_json` below when the raw
     * payload shape matters.
     */
-  private val extractUdf = udf { (text: String, prompts: Map[String, String]) =>
+  private def mkExtractUdf(b: DocAiBackend) = udf { (text: String, prompts: Map[String, String]) =>
     if (text == null || prompts == null) null
-    else try backend.answerAll(text, prompts)
+    else try b.answerAll(text, prompts)
     catch { // error-as-row (X9, app:855-856): keep the batch alive
       case e: Exception => Map("error" -> String.valueOf(e.getMessage))
     }
@@ -59,10 +88,10 @@ object AiFunctions {
   /** AI_EXTRACT returning the reference's exact JSON envelope
     * {"response": {field: answer}} (app:503, app:854, app:962).
     */
-  private val extractJsonUdf = udf { (text: String, prompts: Map[String, String]) =>
+  private def mkExtractJsonUdf(b: DocAiBackend) = udf { (text: String, prompts: Map[String, String]) =>
     if (text == null || prompts == null) null
     else try {
-      val answers = backend.answerAll(text, prompts)
+      val answers = b.answerAll(text, prompts)
       val fields = answers.toSeq.sortBy(_._1).map { case (f, a) =>
         s""""${jsonEscape(f)}": "${jsonEscape(a)}""""
       }
@@ -73,16 +102,16 @@ object AiFunctions {
     }
   }
 
-  private val classifyUdf = udf { (text: String) =>
-    if (text == null) null else backend.classify(text)
+  private def mkClassifyUdf(b: DocAiBackend) = udf { (text: String) =>
+    if (text == null) null else b.classify(text)
   }
 
-  private val parseDocumentUdf = udf { (content: Array[Byte]) =>
-    if (content == null) null else backend.parse(content)
+  private def mkParseDocumentUdf(b: DocAiBackend) = udf { (content: Array[Byte]) =>
+    if (content == null) null else b.parse(content)
   }
 
-  private val completeUdf = udf { (model: String, prompt: String) =>
-    if (prompt == null) null else backend.complete(model, prompt)
+  private def mkCompleteUdf(b: DocAiBackend) = udf { (model: String, prompt: String) =>
+    if (prompt == null) null else b.complete(model, prompt)
   }
 
   /** Canonicalize a stored prompt-schema VARIANT (any of the accepted
@@ -96,21 +125,28 @@ object AiFunctions {
       if (className == null) "document" else className)
   }
 
-  def ai_extract(text: Column, prompts: Column): Column = extractUdf(text, prompts)
+  def ai_extract(text: Column, prompts: Column): Column =
+    mkExtractUdf(backendRef)(text, prompts)
   def canonicalize_prompts(promptsJson: Column, className: Column): Column =
     canonicalizeUdf(promptsJson, className)
-  def ai_extract_json(text: Column, prompts: Column): Column = extractJsonUdf(text, prompts)
-  def ai_classify(text: Column): Column = classifyUdf(text)
-  def parse_document(content: Column): Column = parseDocumentUdf(content)
-  def ai_complete(model: Column, prompt: Column): Column = completeUdf(model, prompt)
+  def ai_extract_json(text: Column, prompts: Column): Column =
+    mkExtractJsonUdf(backendRef)(text, prompts)
+  def ai_classify(text: Column): Column = mkClassifyUdf(backendRef)(text)
+  def parse_document(content: Column): Column =
+    mkParseDocumentUdf(backendRef)(content)
+  def ai_complete(model: Column, prompt: Column): Column =
+    mkCompleteUdf(backendRef)(model, prompt)
 
-  /** Register all AI functions for spark.sql use. */
+  /** Register all AI functions for spark.sql use — capturing the
+    * backend configured at THIS call (re-register after a swap).
+    */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("ai_extract", extractUdf)
-    spark.udf.register("ai_extract_json", extractJsonUdf)
-    spark.udf.register("ai_classify", classifyUdf)
-    spark.udf.register("parse_document", parseDocumentUdf)
-    spark.udf.register("ai_complete", completeUdf)
+    val b = backendRef
+    spark.udf.register("ai_extract", mkExtractUdf(b))
+    spark.udf.register("ai_extract_json", mkExtractJsonUdf(b))
+    spark.udf.register("ai_classify", mkClassifyUdf(b))
+    spark.udf.register("parse_document", mkParseDocumentUdf(b))
+    spark.udf.register("ai_complete", mkCompleteUdf(b))
     spark.udf.register("canonicalize_prompts", canonicalizeUdf)
   }
 }

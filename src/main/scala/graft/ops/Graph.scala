@@ -53,6 +53,105 @@ object Graph {
     df => if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
   }
 
+  /** Edge-row threshold above which the loops AUTO-select reliable
+    * (disk) checkpointing when the caller gave no explicit dir:
+    * `localCheckpoint` blocks live in executor memory, and pinning a
+    * 100M-row edge table per run is a heap bomb (the sf10 bench needed
+    * a 64 GB driver heap before this guard existed). Below it,
+    * executor-memory pins stay the faster choice.
+    */
+  private[graft] val reliableEdgeThreshold: Long = 25L * 1000 * 1000
+
+  /** Memoized per-JVM auto checkpoint dir: created lazily the first
+    * time an edge set crosses [[reliableEdgeThreshold]] with no
+    * explicit dir, deleted at JVM exit. One dir per JVM because
+    * `setCheckpointDir` is GLOBAL to the SparkContext (the
+    * [[withCheckpointDir]] caveat) — churning it per call would race.
+    * A real cluster passes `checkpointDir` explicitly (HDFS/object
+    * store); the auto dir is the local-disk fallback that keeps big
+    * single-node runs inside a default heap.
+    */
+  private val autoCkptDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private def autoDir(): String =
+    autoCkptDir.updateAndGet { d =>
+      if (d != null) d
+      else {
+        val p = java.nio.file.Files.createTempDirectory("graft_ckpt")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+          catch { case _: Exception => () }))
+        p.toString
+      }
+    }
+
+  /** The per-round lineage pin, sized by the DATA: explicit dir →
+    * reliable; no dir but `edgeRows` over [[reliableEdgeThreshold]] →
+    * reliable into the per-JVM auto dir; small → `localCheckpoint`.
+    */
+  private def pinner(spark: org.apache.spark.sql.SparkSession,
+                     checkpointDir: Option[String],
+                     edgeRows: Long): DataFrame => DataFrame = {
+    val dir = checkpointDir.orElse(
+      if (edgeRows >= reliableEdgeThreshold) Some(autoDir()) else None)
+    dir.foreach(spark.sparkContext.setCheckpointDir)
+    df => if (dir.isDefined) df.checkpoint() else df.localCheckpoint()
+  }
+
+  /** Node-count bound for the broadcast-iteration regime of
+    * [[rankLoop]]: below it the per-round rank vector broadcasts
+    * (~24 B/row → ≤ ~200 MB at the bound, well inside executor
+    * budgets); above it iterations fall back to the co-partitioned
+    * shuffle plan. An approximate count decides (HLL ±2%, either side
+    * of the boundary is a sound plan — only cost changes).
+    */
+  private[graft] val broadcastNodeLimit: Long = 8L * 1000 * 1000
+
+  /** Shuffle-partition count for an iterative loop, scaled with |E|
+    * (~2M edge rows per partition) instead of pinned to the session
+    * default (= core count in the bench harness): the core-count
+    * default is a partition-size time bomb at 100× — a 100B-edge run
+    * at 32 partitions is 3B rows per partition. Floor = the session
+    * setting (never LOWER parallelism), cap 65536.
+    */
+  private def scaledPartitions(spark: org.apache.spark.sql.SparkSession,
+                               edgeRows: Long): Int = {
+    val base = spark.sessionState.conf.numShufflePartitions.toLong
+    math.min(65536L, math.max(base, (edgeRows + 1999999L) / 2000000L)).toInt
+  }
+
+  /** Runs `body` with `spark.sql.shuffle.partitions` = `p` and AQE
+    * partition coalescing OFF, restoring both after. The loops pin
+    * eagerly inside, so every exchange they create is sized here; the
+    * coalesce hold-off keeps the aggregate outputs at EXACTLY p
+    * partitions so the co-partitioned joins below stay exchange-free
+    * (a coalesced side would force a re-shuffle of the pinned side).
+    */
+  private def withLoopPartitions[A](spark: org.apache.spark.sql.SparkSession,
+                                    p: Int)(body: => A): A = {
+    val prevP = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevC = spark.conf
+      .get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val prevJ = spark.conf
+      .get("spark.sql.join.preferSortMergeJoin", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // hash join, not sort-merge, inside the loop: the co-partitioned
+    // iteration join would otherwise SORT the full cached edge table
+    // EVERY round (the sort, not the join, dominated the sf10 profile)
+    // — the build side is always a |V|-sized score vector, which fits
+    // a per-partition hash map by construction
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    try body
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevP)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevC)
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevJ)
+    }
+  }
+
   /** (node, rank) after `iters` rounds of the damped recurrence
     * r(v) = (1-d)/N + d * (sum over in-edges u->v of r(u)/outdeg(u)
     *         + danglingMass/N).
@@ -116,9 +215,7 @@ object Graph {
                        checkpointDir: Option[String] = None,
                        weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
-    // pin = the per-round lineage truncation; local-vs-reliable and
-    // the global-dir caveat live in withCheckpointDir (the one place)
-    val pin = withCheckpointDir(edges, checkpointDir)
+    val spark = edges.sparkSession
     // null endpoints carry no graph meaning and would otherwise
     // create a phantom null node on one side only.
     // Cost profile (measured at 30x): building + dedup'ing the edge
@@ -128,44 +225,97 @@ object Graph {
     // share a graph, MATERIALIZE the deduped edge table once
     // (parquet/bucketed) and feed it here — construction is
     // ingestion-side work, exactly like a search index.
-    // materialized = the caller hands a STORED, already-deduplicated
-    // edge table (parquet/bucketed). Then BOTH the dedup shuffle and
-    // the checkpoint pin are skipped: re-scanning a columnar table
-    // per consumer is cheaper than writing+reading a 35M-row cache
-    // (measured 25 s -> 14 s per 30x run). A computed edge pipeline
-    // (the default) still dedups and pins once so its upstream never
-    // replays per consumer.
-    val e = weightCol match {
+    // materialized = the caller hands a STORED table already deduped
+    // (unweighted) / weight-collapsed ((src, dst) unique, w > 0)
+    // (weighted), so the dedup/collapse shuffle is skipped.
+    val shaped = weightCol match {
       case None =>
-        val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
           .filter(col("src").isNotNull && col("dst").isNotNull)
-        if (materialized) e0 else pin(e0.distinct())
       case Some(wc) =>
         // multigraph convention: parallel edges collapse by SUMMING
         // weights; non-positive weights carry no rank and are dropped.
-        // materialized = the caller hands a STORED table already in
-        // that collapsed form ((src, dst) unique, w > 0 summed) —
-        // skip both the aggregate shuffle and the pin, same contract
-        // as the unweighted branch.
-        val w0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
             col(wc).cast("double").as("w"))
           .filter(col("src").isNotNull && col("dst").isNotNull &&
             col("w") > 0)
-        if (materialized) w0
-        else pin(w0.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
     }
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    // out-degree (unweighted) or total out-weight (weighted) — the
-    // contribution denominator either way
+    // ONE sizing pass computes |E| (upper bound pre-dedup) AND an
+    // approximate node count: |E| sizes the shuffle-partition count
+    // and the pin mode (disk past reliableEdgeThreshold); |V|~ picks
+    // the ITERATION PLAN — see the broadcast-vs-shuffle regime choice
+    // below. For the materialized path this is a cheap columnar scan
+    // of the stored table; for a computed pipeline it is one extra
+    // upstream pass, the price of sizing before materializing.
+    val sizing = shaped.agg(count(lit(1)),
+      approx_count_distinct(col("src")), approx_count_distinct(col("dst"))).head()
+    val eRows = sizing.getLong(0)
+    val vApprox = sizing.getLong(1) + sizing.getLong(2) // upper bound on |V|
+    val p = scaledPartitions(spark, eRows)
+    val pin = pinner(spark, checkpointDir, eRows)
+    // REGIME CHOICE (the knob that decides what shuffles per round):
+    //   small |V| (fits a broadcast) → edges cached partitioned by
+    //   DST, rank vector BROADCAST into the contribution join, and
+    //   the dst aggregation is PARTITION-LOCAL: a zero-shuffle
+    //   iteration. This is what kills the high-cardinality partial-agg
+    //   trap: on a graph where |dst| ≈ |V|, map-side combine reduces
+    //   nothing and the "one shuffle per round" moves ~|E| rows —
+    //   measured 2.7× the weighted graph's cost at sf10 purely from
+    //   that shuffle (the weighted graph's dst side is 16× smaller).
+    //   big |V| (a 100-TB web graph) → broadcast is impossible; edges
+    //   cache partitioned by SRC so the contribution join is
+    //   exchange-free and the dst aggregation pays its honest shuffle.
+    //   The broadcast regime only pays when the dst aggregate would
+    //   NOT collapse map-side: with |dst| small (a bipartite
+    //   customer→supplier graph), partial aggregation already reduces
+    //   the shuffle to ~p×|dst| rows and the src-co-partitioned plan
+    //   is strictly better (free outdeg, no per-round broadcast).
+    val smallV = vApprox <= broadcastNodeLimit &&
+      2L * p * sizing.getLong(2) >= eRows
+    withLoopPartitions(spark, p) {
+    // Co-partition the edge table by the contribution join key ONCE:
+    // the cached copy is HashPartitioning(src, p), every iteration's
+    // ranks vector is HashPartitioning(node, p) (deg's partitioning
+    // survives the pin), and the dst aggregate lands on exactly p
+    // partitions — so the steady-state iteration runs ONE shuffle
+    // (the dst aggregation) instead of re-exchanging edges and ranks
+    // every round. One edge shuffle per RUN, not per iteration.
+    //
+    // CACHE, not checkpoint, for the edges: their lineage is flat
+    // (scan → repartition — no recursive plan to truncate), and
+    // Dataset.persist stores COMPRESSED COLUMNAR batches that spill
+    // to disk gracefully (MEMORY_AND_DISK) — a java-serialized
+    // checkpoint of a ~90M-row edge table costs GBs of uncompressed
+    // I/O re-read twice per iteration (measured materially slower at
+    // sf10, SCALE.md). Only the RANK VECTORS, whose lineage grows per
+    // round, need the checkpoint pin — and they are |V|-sized.
+    val ded = weightCol match {
+      case None =>
+        if (materialized) shaped else shaped.distinct()
+      case Some(_) =>
+        if (materialized) shaped
+        else shaped.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    }
+    val e = ded.repartition(p, col(if (smallV) "dst" else "src")).persist()
+    // partition-local on the src-partitioned cache; one setup shuffle
+    // on the dst-partitioned one
     val outdeg = weightCol match {
       case None => e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       case Some(_) => e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
     }
-    // (node, outdeg) with 0 for sinks — the dangling set
+    // (node, outdeg) with 0 for sinks — the dangling set — in exactly
+    // TWO passes over the cache: outdeg already enumerates the
+    // distinct src side, so a full-outer with the distinct dst side
+    // IS the node set (never a separate 2|E| union-distinct pass).
+    // Pinned on the ITERATION key (node) so the per-round update join
+    // reuses the partitioning.
     val zero = if (weightCol.isEmpty) lit(0L) else lit(0.0)
-    val deg = pin(nodes.join(outdeg, nodes("node") === outdeg("src"), "left")
-      .select(col("node"), coalesce(col("outdeg"), zero).as("outdeg")))
+    val dstN = e.select(col("dst")).distinct()
+    val deg = pin(dstN
+      .join(outdeg, dstN("dst") === outdeg("src"), "full_outer")
+      .select(coalesce(col("dst"), col("src")).as("node"),
+        coalesce(col("outdeg"), zero).as("outdeg"))
+      .repartition(p, col("node")))
     val n = deg.count()
     require(n > 0, "empty graph")
     // teleport distribution: uniform 1/n (classic), or 1/|seeds| on
@@ -183,7 +333,11 @@ object Graph {
       // one-row dangling-mass aggregate, broadcast by construction
       val dangling = ranks.filter(col("outdeg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
-      val contribs = e.join(ranks, e("src") === ranks("node"))
+      // small-|V| regime: ranks broadcast, agg partition-local on the
+      // dst-partitioned cache — ZERO shuffled rows per round. big-|V|:
+      // co-partitioned join (no exchange), dst agg pays the shuffle.
+      val rhs = if (smallV) broadcast(ranks) else ranks
+      val contribs = e.join(rhs, e("src") === rhs("node"))
         .groupBy(col("dst"))
         .agg((weightCol match {
           case None => sum(col("rank") / col("outdeg"))
@@ -197,7 +351,11 @@ object Graph {
             (coalesce(col("__in"), lit(0.0)) + col("__dm") * tele), 8)
             .as("rank")))
     }
+    // final ranks are pinned (eager) — the edge cache is no longer
+    // referenced by the returned plan and must not outlive the call
+    e.unpersist(blocking = false)
     ranks.select(col("node"), col("rank"))
+    }
   }
 
   /** Canonical undirected edge set: (a, b) with a < b, self-loops and
@@ -237,18 +395,30 @@ object Graph {
            materialized: Boolean = false,
            checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
-    val pin = withCheckpointDir(edges, checkpointDir)
-    // the edge table is consumed twice per iteration — pin it with the
-    // SAME reliability the score vectors get (a reliable run whose
-    // edges live only in executor memory dies with one executor)
+    val spark = edges.sparkSession
     val e0 = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    val e = if (materialized) e0 else pin(e0.distinct())
+    // |E| sizes the scale knobs (the rankLoop contract): partition
+    // count tracks the data, pins go to disk past the threshold
+    val eRows = e0.count()
+    val p = scaledPartitions(spark, eRows)
+    val pin = pinner(spark, checkpointDir, eRows)
+    withLoopPartitions(spark, p) {
+    // the edge table is consumed on BOTH keys each iteration (src for
+    // the hub step, dst for the authority step) — cache one
+    // co-partitioned copy per key so the alternating matvec never
+    // re-exchanges edges: two edge shuffles per RUN instead of two
+    // per ITERATION. Cache (compressed columnar, spills to disk),
+    // not checkpoint: edge lineage is flat, only the per-round score
+    // vectors need the truncation pin (the rankLoop rationale).
+    val ded = if (materialized) e0 else e0.distinct()
+    val eS = ded.repartition(p, col("src")).persist()
+    val eD = eS.repartition(p, col("dst")).persist()
     val q8 = (c: Column) => Quantize.q(c, 8)
-    val nSrc = e.select(col("src")).distinct().count()
+    val nSrc = eS.select(col("src")).distinct().count()
     require(nSrc > 0, "empty edge set")
-    var h = e.select(col("src").as("node")).distinct()
+    var h = eS.select(col("src").as("node")).distinct()
       .select(col("node"), lit(Quantize.qd(1.0 / math.sqrt(nSrc), 8)).as("s"))
     var a: DataFrame = null
     def normalized(raw: DataFrame): DataFrame = {
@@ -257,17 +427,22 @@ object Graph {
         .select(col("node"), q8(col("__v") / col("__n")).as("s")))
     }
     for (_ <- 1 to iters) {
-      a = normalized(e.join(h, e("src") === h("node"))
-        .groupBy(e("dst").as("node")).agg(sum(col("s")).as("__v")))
-      h = normalized(e.join(a.select(col("node").as("__an"), col("s")),
-          e("dst") === col("__an"))
-        .groupBy(e("src").as("node")).agg(sum(col("s")).as("__v")))
+      a = normalized(eS.join(h, eS("src") === h("node"))
+        .groupBy(eS("dst").as("node")).agg(sum(col("s")).as("__v")))
+      h = normalized(eD.join(a.select(col("node").as("__an"), col("s")),
+          eD("dst") === col("__an"))
+        .groupBy(eD("src").as("node")).agg(sum(col("s")).as("__v")))
     }
+    // h and a are pinned (eager) — the edge caches must not outlive
+    // the call
+    eS.unpersist(blocking = false)
+    eD.unpersist(blocking = false)
     h.select(col("node"), col("s").as("__h"))
       .join(a.select(col("node"), col("s").as("__a")), Seq("node"), "full_outer")
       .select(col("node"),
         coalesce(Quantize.q(col("__h"), 6), lit(0.0)).as("hub"),
         coalesce(Quantize.q(col("__a"), 6), lit(0.0)).as("authority"))
+    }
   }
 
   private def canonicalEdges(edges: DataFrame, srcCol: String,

@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
-  * columns with typed metadata structs. The decode step is STUBBED
-  * (no image/audio libs in this container — the fake is deterministic
-  * over the bytes); the Spark-side plumbing — schema, partitioning,
-  * batched processing shape — is real.
+  * columns with typed metadata structs. Container-header METADATA is
+  * REAL on the batched path (PNG/GIF/JPEG dimensions, WAV sample
+  * rate/frames — public format specs, parsed from bytes below); only
+  * pixel/sample CONTENT work (the embedding) is a deterministic stub,
+  * since this container has no model runtime. The Spark-side plumbing
+  * — schema, partitioning, batched processing shape — is real.
   *
   * At scale, media processing is partition-bound CPU work: the operators
   * here keep bytes inside executors (no collect), process per-partition
@@ -111,13 +113,14 @@ object Multimodal {
   case class MediaRow(id: Long, content: Array[Byte])
 
   case class DecodedMedia(id: Long, format: String, byte_size: Long,
-                          width: Int, height: Int, embedding: Array[Float])
+                          width: Int, height: Int, n_frames: Int,
+                          sample_rate: Int, embedding: Array[Float])
 
   /** Per-partition batched decode: the Scala analogue of the Python
     * mapInPandas pattern — an iterator-to-iterator transform that never
     * materializes the partition, so executor memory stays bounded by
-    * one media item regardless of partition size. A real implementation
-    * replaces `decodeOne` with a native/JNI decoder fed in chunks; the
+    * one media item regardless of partition size. A real pixel/sample
+    * decoder would replace only the interior of `decodeOne`; the
     * schema, partitioning, and batch shape here are the production
     * plumbing.
     */
@@ -130,9 +133,14 @@ object Multimodal {
     }
   }
 
-  /** STUB single-item decode: deterministic fakes from content bytes
-    * (no media libs in this container). Same signature a real decoder
-    * would have.
+  /** Single-item decode. The container METADATA is REAL: PNG/GIF/JPEG
+    * dimensions and WAV sample rate / frame count parse straight from
+    * the container headers below (public format specs, no media libs
+    * needed). Only the pixel/sample CONTENT work remains stubbed: the
+    * embedding is a deterministic fake (this container has no model
+    * runtime), and inputs whose headers are absent or truncated fall
+    * back to deterministic content-hash geometry so the pipeline
+    * plumbing stays testable on synthetic blobs.
     */
   private def decodeOne(r: MediaRow, dim: Int): DecodedMedia = {
     val bytes = if (r.content == null) Array.emptyByteArray else r.content
@@ -140,8 +148,95 @@ object Multimodal {
     val fmt = sniffFormatBytes(bytes)
     val emb = Array.tabulate(dim)(i =>
       (((h * 6364136223846793005L + i * 1442695040888963407L) >>> 40) % 2000 - 1000) / 1000.0f)
-    DecodedMedia(r.id, fmt, bytes.length.toLong,
-      (h % 1920 + 32).toInt, ((h / 1920) % 1080 + 32).toInt, emb)
+    val real: Option[(Int, Int, Int, Int)] = fmt match {
+      case "png" => pngDims(bytes).map { case (w, hh) => (w, hh, 1, 0) }
+      case "gif" => gifDims(bytes).map { case (w, hh) => (w, hh, 1, 0) }
+      case "jpeg" => jpegDims(bytes).map { case (w, hh) => (w, hh, 1, 0) }
+      case "riff" => wavMeta(bytes).map { case (sr, nf) => (0, 0, nf, sr) }
+      case _ => None
+    }
+    val (w, hh, nf, sr) = real.getOrElse(
+      ((h % 1920 + 32).toInt, ((h / 1920) % 1080 + 32).toInt, 1, 0))
+    DecodedMedia(r.id, fmt, bytes.length.toLong, w, hh, nf, sr, emb)
+  }
+
+  // ---- real container-header parsers (format specs are public) ----
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  /** PNG: IHDR is the first chunk — width/height big-endian at bytes
+    * 16–23 (spec: 8-byte signature, 4-byte length, "IHDR").
+    */
+  private[ops] def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16).toInt, be32(b, 20).toInt))
+    else None
+
+  /** GIF: logical screen width/height little-endian at bytes 6–9. */
+  private[ops] def gifDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 10) Some((le16(b, 6), le16(b, 8))) else None
+
+  /** JPEG: walk the marker segments to the first SOFn frame header
+    * (0xC0–0xCF excluding C4/C8/CC); height BE at +5, width BE at +7
+    * from the marker byte pair.
+    */
+  private[ops] def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    var i = 2 // past FFD8
+    while (i + 9 < b.length) {
+      if (u8(b, i) != 0xFF) return None
+      val marker = u8(b, i + 1)
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) {
+        i += 2 // standalone marker, no length field
+      } else {
+        val len = be16(b, i + 2)
+        if (len < 2) return None
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (i + 9 <= b.length)
+            return Some((be16(b, i + 7), be16(b, i + 5)))
+          return None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** WAV (RIFF/WAVE): walk the chunk list for "fmt " (sample rate LE
+    * at +4, block align LE at +12 inside the chunk body) and "data"
+    * (frame count = chunk size / block align).
+    */
+  private[ops] def wavMeta(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 12 || !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+      return None
+    var i = 12
+    var sampleRate = -1
+    var blockAlign = -1
+    var dataSize = -1L
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(b, i + 4)
+      if (id == "fmt " && i + 8 + 14 <= b.length) {
+        sampleRate = le32(b, i + 12).toInt
+        blockAlign = le16(b, i + 20)
+      } else if (id == "data") {
+        dataSize = size
+      }
+      if (size < 0 || size > b.length) return None // corrupt size field
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (sampleRate > 0) {
+      val frames = if (dataSize >= 0 && blockAlign > 0)
+        (dataSize / blockAlign).toInt else 0
+      Some((sampleRate, frames))
+    } else None
   }
 
   /** Magic-byte sniffing on raw bytes (same table as [[sniffFormat]]). */

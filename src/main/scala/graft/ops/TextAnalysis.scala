@@ -696,27 +696,47 @@ object TextAnalysis {
     * score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
     * top-k docs by (rounded score DESC, id ASC).
     *
-    * Scale shape: the token explode filters to QUERY terms in the scan
-    * stage (the posting-list slice, not the corpus vocabulary), tf/df
-    * are partial-agg hash aggregations on (id, term) rows, per-term df
-    * and the one-row corpus stats broadcast, and the global top-k is
-    * TakeOrderedAndProject (per-partition heaps + k-row merge — never
-    * a single-partition rank window). Scores round to 4dp BEFORE
-    * ranking so the ordering is reproducible across engines; doc-
-    * length sums are exact (integer-valued doubles), so avgdl is too.
+    * Scale shape: a substring prefilter drops no-query-term docs
+    * before the tokenize, the token explode filters to QUERY terms in
+    * the scan stage (the posting-list slice, not the corpus
+    * vocabulary), doc length rides the (id, term) aggregate so
+    * postings never join a corpus-sized length table, per-term df and
+    * the one-row corpus stats broadcast, `maxPostingsPerTerm` bounds
+    * each term's posting list (WindowGroupLimit), and the global
+    * top-k is TakeOrderedAndProject (per-partition heaps + k-row
+    * merge — never a single-partition rank window). Scores round to
+    * 4dp BEFORE ranking so the ordering is reproducible across
+    * engines; doc-length sums are exact (integer-valued doubles), so
+    * avgdl is too.
     */
   def bm25TopK(df: DataFrame, textCol: String, idCol: String,
                query: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               maxPostingsPerTerm: Int = 0): DataFrame = {
     require(query.nonEmpty, "empty query")
-    val toks = df.select(col(idCol),
-      split(lower(trim(col(textCol))), "\\s+").as("__toks"))
-    val lens = toks.select(col(idCol).as("id"),
-      size(col("__toks")).cast("double").as("len"))
-    val tf = toks.select(col(idCol).as("id"), explode(col("__toks")).as("term"))
+    // corpus stats (avgdl, N) come from ONE full-corpus pass that
+    // aggregates to a single broadcast row — never a corpus-row shuffle
+    val lens = df.select(
+      size(split(lower(trim(col(textCol))), "\\s+")).cast("double").as("len"))
+    val stats = lens.agg(sum(col("len")).as("__sl"), count(lit(1)).as("__n"))
+      .select((col("__sl") / col("__n")).as("__avgdl"),
+        col("__n").cast("double").as("__N"))
+    // posting slice: a cheap substring prefilter drops every doc with
+    // no query term BEFORE the tokenize/explode (contains is a
+    // necessary condition for whitespace-token equality, so this is a
+    // pure optimization), and doc length rides the aggregate so the
+    // postings never join a corpus-sized lens table
+    val candidates = df
+      .filter(query.map(t => lower(col(textCol)).contains(t)).reduce(_ || _))
+      .select(col(idCol).as("id"),
+        split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+    val tf = candidates
+      .select(col("id"), size(col("__toks")).cast("double").as("__len"),
+        explode(col("__toks")).as("term"))
       .filter(col("term").isin(query: _*))
-      .groupBy(col("id"), col("term")).agg(count(lit(1)).cast("double").as("tf"))
-    bm25FromPostings(tf, lens, k, k1, b)
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), min(col("__len")).as("len"))
+    bm25ScoredTopK(tf, stats, k, k1, b, maxPostingsPerTerm)
       .withColumnRenamed("id", idCol)
   }
 
@@ -731,13 +751,45 @@ object TextAnalysis {
   private[graft] def bm25FromPostings(tf: DataFrame, lens: DataFrame,
                                       k: Int, k1: Double,
                                       b: Double): DataFrame = {
-    require(k > 0, "k must be positive")
     val stats = lens.agg(sum(col("len")).as("__sl"), count(lit(1)).as("__n"))
       .select((col("__sl") / col("__n")).as("__avgdl"),
         col("__n").cast("double").as("__N"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("__df"))
-    val scored = tf.join(broadcast(dfreq), Seq("term"))
-      .join(lens, Seq("id"))
+    bm25ScoredTopK(tf.join(lens, Seq("id")), stats, k, k1, b,
+      maxPostingsPerTerm = 0)
+  }
+
+  /** BM25 scoring core over length-annotated postings — shared by the
+    * corpus-scan [[bm25TopK]] and the persisted-index
+    * [[bm25FromPostings]]. `tfl` = (id, term, tf, len) for the QUERY
+    * terms; `stats` = one (avgdl, N) row (broadcast). Identical
+    * arithmetic on both call paths, so rankings stay bit-identical.
+    *
+    * `maxPostingsPerTerm` > 0 bounds each term's posting list to its
+    * top-M entries by (tf DESC, len ASC, id ASC) — impact ordering on
+    * EXACT integer-valued keys, so any engine replays the cap
+    * bit-identically (a float score order would wobble on the last
+    * ulp across engines). Document frequency is computed BEFORE the
+    * cap (true df; idf must not drift as the cap binds). This is the
+    * standard static index-pruning contract: per-term cost tracks the
+    * cap, not the corpus — without it a stop-word-frequency query
+    * term drags the whole corpus through the scoring join. The
+    * row_number-over-(term)-filter pair lowers to WindowGroupLimit
+    * (per-partition top-M heaps), asserted by PlanRegressionSpec.
+    */
+  private[graft] def bm25ScoredTopK(tfl: DataFrame, stats: DataFrame,
+                                    k: Int, k1: Double, b: Double,
+                                    maxPostingsPerTerm: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val dfreq = tfl.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val capped =
+      if (maxPostingsPerTerm <= 0) tfl
+      else tfl.withColumn("__pr",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("term"))
+            .orderBy(col("tf").desc, col("len").asc, col("id").asc)))
+        .filter(col("__pr") <= maxPostingsPerTerm).drop("__pr")
+    val scored = capped.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("__s",
         log((col("__N") - col("__df") + 0.5) / (col("__df") + 0.5) + 1) *

@@ -37,6 +37,15 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("bm25 bounds each term's posting list via WindowGroupLimit") {
+    // the maxPostingsPerTerm cap must lower to WindowGroupLimit
+    // (per-partition top-M heaps), never a full per-term sort — the
+    // static-pruning contract that keeps a stop-word-frequency query
+    // term from dragging the whole corpus through the scoring join
+    val p = plan("q_text_bm25")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("decorrelated aggregate broadcasts to the fact side (J1)") {
     val p = plan("q_j1_correlated_max")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
