@@ -864,7 +864,9 @@ object SparkEntry {
     */
   private def qPagerank(s: SparkSession, d: String): DataFrame =
     graft.ops.Graph.pageRank(stagedCoPurchaseEdges(s, d), "src", "dst",
-        iters = 3, materialized = true)
+        iters = 3, materialized = true, symmetric = true,
+        sizingHint = Some(stagedSizing(s, d, "copurchase",
+          stagedCoPurchaseEdges(s, d))))
       .select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy(col("node"))
 
@@ -881,7 +883,9 @@ object SparkEntry {
     // id spaces must stay disjoint at every fixture scale (custkey
     // crosses the old 1e6/1e7 conventions at sf≈7/sf≈66)
     graft.ops.Graph.weightedPageRank(stagedWeightedPurchaseEdges(s, d),
-        "src", "dst", "w", iters = 3, materialized = true)
+        "src", "dst", "w", iters = 3, materialized = true,
+        sizingHint = Some(stagedSizing(s, d, "wpurchase",
+          stagedWeightedPurchaseEdges(s, d))))
       .select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy(col("node"))
 
@@ -925,6 +929,19 @@ object SparkEntry {
     })
     s.read.parquet(path)
   }
+
+  /** Catalog-style sizing stats for a staged edge table, computed ONCE
+    * per (session, sfDir, table) — the metadata a real warehouse
+    * records at ingestion (row count + per-side node-count sketches)
+    * so consumers size their plans without re-scanning. Fed to the
+    * rank family as [[graft.ops.Graph.GraphSizing]] hints.
+    */
+  private val stagedSizingMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), graft.ops.Graph.GraphSizing]()
+  private def stagedSizing(s: SparkSession, d: String, key: String,
+                           df: => DataFrame): graft.ops.Graph.GraphSizing =
+    stagedSizingMemo.computeIfAbsent((s, d, key),
+      _ => graft.ops.Graph.sizingOf(df, "src", "dst"))
 
   /** The deduped symmetric co-purchase edge table ([[staged]]) — the
     * unweighted rank entries and assortativity all read it.
@@ -1016,7 +1033,9 @@ object SparkEntry {
   private def qPagerankPersonalized(s: SparkSession, d: String): DataFrame =
     graft.ops.Graph.personalizedPageRank(stagedCoPurchaseEdges(s, d),
         "src", "dst", seeds = Seq(1L, 2L, 3L), iters = 3,
-        materialized = true)
+        materialized = true, symmetric = true,
+        sizingHint = Some(stagedSizing(s, d, "copurchase",
+          stagedCoPurchaseEdges(s, d))))
       .filter(col("rank") > 0)
       .select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy(col("node"))

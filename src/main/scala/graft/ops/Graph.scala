@@ -152,6 +152,26 @@ object Graph {
     }
   }
 
+  /** Pre-computed sizing stats for an iterative graph run — the
+    * catalog-metadata shape: a STORED edge table's row count and
+    * per-side approximate node counts are ingestion-time facts (one
+    * count + two HLL sketches over the table, computed once when the
+    * table is built/registered), so a caller that stages its graph
+    * passes them here and the loop skips its own sizing pass. Without
+    * a hint the loop computes the same numbers itself (one scan).
+    */
+  final case class GraphSizing(edgeRows: Long, srcNodesApprox: Long,
+                               dstNodesApprox: Long)
+
+  /** Computes [[GraphSizing]] for an edge frame — the helper a staging
+    * layer calls ONCE per stored table (one combined scan).
+    */
+  def sizingOf(edges: DataFrame, srcCol: String, dstCol: String): GraphSizing = {
+    val r = edges.agg(count(lit(1)), approx_count_distinct(col(srcCol)),
+      approx_count_distinct(col(dstCol))).head()
+    GraphSizing(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   /** (node, rank) after `iters` rounds of the damped recurrence
     * r(v) = (1-d)/N + d * (sum over in-edges u->v of r(u)/outdeg(u)
     *         + danglingMass/N).
@@ -169,9 +189,12 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
                materialized: Boolean = false,
-               checkpointDir: Option[String] = None): DataFrame =
+               checkpointDir: Option[String] = None,
+               symmetric: Boolean = false,
+               sizingHint: Option[GraphSizing] = None): DataFrame =
     rankLoop(edges, srcCol, dstCol, iters, damping, seeds = Nil,
-      materialized, checkpointDir)
+      materialized, checkpointDir, symmetric = symmetric,
+      sizingHint = sizingHint)
 
   /** Personalized PageRank (topic-sensitive, Haveliwala 2002): the
     * teleport distribution concentrates on `seeds` instead of being
@@ -186,10 +209,13 @@ object Graph {
                            dstCol: String, seeds: Seq[Long], iters: Int,
                            damping: Double = 0.85,
                            materialized: Boolean = false,
-                           checkpointDir: Option[String] = None): DataFrame = {
+                           checkpointDir: Option[String] = None,
+                           symmetric: Boolean = false,
+                           sizingHint: Option[GraphSizing] = None): DataFrame = {
     require(seeds.nonEmpty, "need at least one seed")
     rankLoop(edges, srcCol, dstCol, iters, damping, seeds.distinct,
-      materialized, checkpointDir)
+      materialized, checkpointDir, symmetric = symmetric,
+      sizingHint = sizingHint)
   }
 
   /** Weighted PageRank: contributions flow proportionally to edge
@@ -205,15 +231,20 @@ object Graph {
                        weightCol: String, iters: Int,
                        damping: Double = 0.85,
                        materialized: Boolean = false,
-                       checkpointDir: Option[String] = None): DataFrame =
+                       checkpointDir: Option[String] = None,
+                       symmetric: Boolean = false,
+                       sizingHint: Option[GraphSizing] = None): DataFrame =
     rankLoop(edges, srcCol, dstCol, iters, damping, seeds = Nil,
-      materialized, checkpointDir, weightCol = Some(weightCol))
+      materialized, checkpointDir, weightCol = Some(weightCol),
+      symmetric = symmetric, sizingHint = sizingHint)
 
   private def rankLoop(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int, damping: Double, seeds: Seq[Long],
                        materialized: Boolean = false,
                        checkpointDir: Option[String] = None,
-                       weightCol: Option[String] = None): DataFrame = {
+                       weightCol: Option[String] = None,
+                       symmetric: Boolean = false,
+                       sizingHint: Option[GraphSizing] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
     val spark = edges.sparkSession
     // null endpoints carry no graph meaning and would otherwise
@@ -247,10 +278,12 @@ object Graph {
     // below. For the materialized path this is a cheap columnar scan
     // of the stored table; for a computed pipeline it is one extra
     // upstream pass, the price of sizing before materializing.
-    val sizing = shaped.agg(count(lit(1)),
-      approx_count_distinct(col("src")), approx_count_distinct(col("dst"))).head()
-    val eRows = sizing.getLong(0)
-    val vApprox = sizing.getLong(1) + sizing.getLong(2) // upper bound on |V|
+    val sizing = sizingHint.getOrElse(sizingOf(shaped, "src", "dst"))
+    val eRows = sizing.edgeRows
+    // |V| upper bound: a symmetric graph's two sides are the SAME set
+    val vApprox =
+      if (symmetric) math.max(sizing.srcNodesApprox, sizing.dstNodesApprox)
+      else sizing.srcNodesApprox + sizing.dstNodesApprox
     val p = scaledPartitions(spark, eRows)
     val pin = pinner(spark, checkpointDir, eRows)
     // REGIME CHOICE (the knob that decides what shuffles per round):
@@ -271,7 +304,7 @@ object Graph {
     //   the shuffle to ~p×|dst| rows and the src-co-partitioned plan
     //   is strictly better (free outdeg, no per-round broadcast).
     val smallV = vApprox <= broadcastNodeLimit &&
-      2L * p * sizing.getLong(2) >= eRows
+      2L * p * sizing.dstNodesApprox >= eRows
     withLoopPartitions(spark, p) {
     // Co-partition the edge table by the contribution join key ONCE:
     // the cached copy is HashPartitioning(src, p), every iteration's
@@ -297,25 +330,32 @@ object Graph {
         else shaped.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     }
     val e = ded.repartition(p, col(if (smallV) "dst" else "src")).persist()
-    // partition-local on the src-partitioned cache; one setup shuffle
-    // on the dst-partitioned one
-    val outdeg = weightCol match {
-      case None => e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      case Some(_) => e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
-    }
-    // (node, outdeg) with 0 for sinks — the dangling set — in exactly
-    // TWO passes over the cache: outdeg already enumerates the
-    // distinct src side, so a full-outer with the distinct dst side
-    // IS the node set (never a separate 2|E| union-distinct pass).
+    // degree table (node, outdeg; 0 for sinks — the dangling set).
+    // `symmetric` (a CALLER CONTRACT like `materialized`: every edge
+    // present in both directions, so out-degree == in-degree == degree
+    // and src-set == dst-set) lets the whole table come from ONE
+    // aggregate on the cache's own partition key — zero extra
+    // shuffles, and the node set IS the aggregate's key set. The
+    // general path pays one grouping shuffle and a full-outer with the
+    // other side's distinct (outdeg already enumerates distinct src,
+    // so no separate 2|E| union-distinct pass exists on any path).
     // Pinned on the ITERATION key (node) so the per-round update join
     // reuses the partitioning.
     val zero = if (weightCol.isEmpty) lit(0L) else lit(0.0)
-    val dstN = e.select(col("dst")).distinct()
-    val deg = pin(dstN
-      .join(outdeg, dstN("dst") === outdeg("src"), "full_outer")
-      .select(coalesce(col("dst"), col("src")).as("node"),
-        coalesce(col("outdeg"), zero).as("outdeg"))
-      .repartition(p, col("node")))
+    val degKey = if (symmetric && smallV) "dst" else "src"
+    val outdeg = weightCol match {
+      case None => e.groupBy(col(degKey).as("src")).agg(count(lit(1)).as("outdeg"))
+      case Some(_) => e.groupBy(col(degKey).as("src")).agg(sum(col("w")).as("outdeg"))
+    }
+    val deg = pin((
+      if (symmetric)
+        outdeg.select(col("src").as("node"), col("outdeg"))
+      else {
+        val dstN = e.select(col("dst")).distinct()
+        dstN.join(outdeg, dstN("dst") === outdeg("src"), "full_outer")
+          .select(coalesce(col("dst"), col("src")).as("node"),
+            coalesce(col("outdeg"), zero).as("outdeg"))
+      }).repartition(p, col("node")))
     val n = deg.count()
     require(n > 0, "empty graph")
     // teleport distribution: uniform 1/n (classic), or 1/|seeds| on
@@ -336,12 +376,20 @@ object Graph {
       // small-|V| regime: ranks broadcast, agg partition-local on the
       // dst-partitioned cache — ZERO shuffled rows per round. big-|V|:
       // co-partitioned join (no exchange), dst agg pays the shuffle.
-      val rhs = if (smallV) broadcast(ranks) else ranks
+      // The per-source share rank/outdeg is pre-divided on the
+      // |V|-row vector (identical IEEE operands per source, so sums
+      // are bit-identical to the per-edge division); sinks guard the
+      // ANSI division with share 0 — they have no out-edges to carry
+      // it anyway.
+      val share = ranks.select(col("node"),
+        when(col("outdeg") > 0, col("rank") / col("outdeg"))
+          .otherwise(lit(0.0)).as("__share"))
+      val rhs = if (smallV) broadcast(share) else share
       val contribs = e.join(rhs, e("src") === rhs("node"))
         .groupBy(col("dst"))
         .agg((weightCol match {
-          case None => sum(col("rank") / col("outdeg"))
-          case Some(_) => sum(col("rank") * col("w") / col("outdeg"))
+          case None => sum(col("__share"))
+          case Some(_) => sum(col("__share") * col("w"))
         }).as("__in"))
       ranks = pin(deg
         .join(contribs, deg("node") === contribs("dst"), "left")
