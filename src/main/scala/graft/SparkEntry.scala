@@ -2982,6 +2982,7 @@ object SparkEntry {
     // 1e7-style offset collides from sf≈2; the staged build guards
     // max(src) < offset so a colliding fixture fails loudly.
     graft.ops.Graph.hits(stagedHitsEdges(s, d), "src", "dst", iters = 3,
+      sizingHint = Some(stagedSizing(s, d, "hitsedges", stagedHitsEdges(s, d))),
         materialized = true)
       .orderBy(col("node"))
 

@@ -109,6 +109,17 @@ object Graph {
     */
   private[graft] val broadcastNodeLimit: Long = 8L * 1000 * 1000
 
+  /** Edge-row floor below which the loops SKIP the whole co-partition/
+    * cache/loop-conf machinery: on a small graph the fixed setup
+    * (cache materializations, AQE-coalesce hold-off, p-partition tiny
+    * tasks) costs more than every shuffle it saves — measured 1.8 s →
+    * 5.6 s on the sf0.1 HITS entry before this gate. Small graphs run
+    * the simple plan (per-iteration shuffles of tiny tables under
+    * normal AQE); the scale machinery engages exactly when the data
+    * would pay for it.
+    */
+  private[graft] val coPartitionThreshold: Long = 2L * 1000 * 1000
+
   /** Shuffle-partition count for an iterative loop, scaled with |E|
     * (~2M edge rows per partition) instead of pinned to the session
     * default (= core count in the bench harness): the core-count
@@ -305,7 +316,12 @@ object Graph {
     //   is strictly better (free outdeg, no per-round broadcast).
     val smallV = vApprox <= broadcastNodeLimit &&
       2L * p * sizing.dstNodesApprox >= eRows
-    withLoopPartitions(spark, p) {
+    // below the threshold the machinery costs more than it saves —
+    // simple plan, session confs untouched (AQE coalesces freely)
+    val big = eRows >= coPartitionThreshold
+    def inLoopConf[A](body: => A): A =
+      if (big) withLoopPartitions(spark, p)(body) else body
+    inLoopConf {
     // Co-partition the edge table by the contribution join key ONCE:
     // the cached copy is HashPartitioning(src, p), every iteration's
     // ranks vector is HashPartitioning(node, p) (deg's partitioning
@@ -329,7 +345,10 @@ object Graph {
         if (materialized) shaped
         else shaped.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     }
-    val e = ded.repartition(p, col(if (smallV) "dst" else "src")).persist()
+    val e =
+      if (big) ded.repartition(p, col(if (smallV) "dst" else "src")).persist()
+      else if (materialized) ded
+      else pin(ded)
     // degree table (node, outdeg; 0 for sinks — the dangling set).
     // `symmetric` (a CALLER CONTRACT like `materialized`: every edge
     // present in both directions, so out-degree == in-degree == degree
@@ -401,7 +420,7 @@ object Graph {
     }
     // final ranks are pinned (eager) — the edge cache is no longer
     // referenced by the returned plan and must not outlive the call
-    e.unpersist(blocking = false)
+    if (big) e.unpersist(blocking = false)
     ranks.select(col("node"), col("rank"))
     }
   }
@@ -441,7 +460,8 @@ object Graph {
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
            materialized: Boolean = false,
-           checkpointDir: Option[String] = None): DataFrame = {
+           checkpointDir: Option[String] = None,
+           sizingHint: Option[GraphSizing] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
     val spark = edges.sparkSession
     val e0 = edges
@@ -449,10 +469,13 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull)
     // |E| sizes the scale knobs (the rankLoop contract): partition
     // count tracks the data, pins go to disk past the threshold
-    val eRows = e0.count()
+    val eRows = sizingHint.map(_.edgeRows).getOrElse(e0.count())
     val p = scaledPartitions(spark, eRows)
     val pin = pinner(spark, checkpointDir, eRows)
-    withLoopPartitions(spark, p) {
+    val big = eRows >= coPartitionThreshold
+    def inLoopConf[A](body: => A): A =
+      if (big) withLoopPartitions(spark, p)(body) else body
+    inLoopConf {
     // the edge table is consumed on BOTH keys each iteration (src for
     // the hub step, dst for the authority step) — cache one
     // co-partitioned copy per key so the alternating matvec never
@@ -461,8 +484,14 @@ object Graph {
     // not checkpoint: edge lineage is flat, only the per-round score
     // vectors need the truncation pin (the rankLoop rationale).
     val ded = if (materialized) e0 else e0.distinct()
-    val eS = ded.repartition(p, col("src")).persist()
-    val eD = eS.repartition(p, col("dst")).persist()
+    val (eS, eD) =
+      if (big) {
+        val s0 = ded.repartition(p, col("src")).persist()
+        (s0, s0.repartition(p, col("dst")).persist())
+      } else {
+        val s0 = if (materialized) ded else pin(ded)
+        (s0, s0)
+      }
     val q8 = (c: Column) => Quantize.q(c, 8)
     val nSrc = eS.select(col("src")).distinct().count()
     require(nSrc > 0, "empty edge set")
@@ -483,8 +512,7 @@ object Graph {
     }
     // h and a are pinned (eager) — the edge caches must not outlive
     // the call
-    eS.unpersist(blocking = false)
-    eD.unpersist(blocking = false)
+    if (big) { eS.unpersist(blocking = false); eD.unpersist(blocking = false) }
     h.select(col("node"), col("s").as("__h"))
       .join(a.select(col("node"), col("s").as("__a")), Seq("node"), "full_outer")
       .select(col("node"),
