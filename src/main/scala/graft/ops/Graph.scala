@@ -820,11 +820,19 @@ object Graph {
         e.select(col("a"), col("b"))
           .union(e.select(col("b").as("a"), col("a").as("b")))
       }
+    // degree vector pinned (|V| rows — it feeds BOTH endpoint joins)
+    // and BROADCAST when it fits: the edge table then never shuffles —
+    // two broadcast-hash probes ride the scan straight into the one-row
+    // covariance aggregate. Past the broadcast bound the joins fall
+    // back to shuffles (the honest web-scale price).
     val deg = both.groupBy(col("a").as("node"))
-      .agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val degA = deg.select(col("node").as("a"), col("deg").as("__dx"))
+    val degB = deg.select(col("node").as("b"), col("deg").as("__dy"))
+    val small = deg.count() <= broadcastNodeLimit
     val withDeg = both
-      .join(deg.select(col("node").as("a"), col("deg").as("__dx")), Seq("a"))
-      .join(deg.select(col("node").as("b"), col("deg").as("__dy")), Seq("b"))
+      .join(if (small) broadcast(degA) else degA, Seq("a"))
+      .join(if (small) broadcast(degB) else degB, Seq("b"))
       .select(col("__dx").cast("double").as("__dx"),
         col("__dy").cast("double").as("__dy"))
     withDeg.agg(
