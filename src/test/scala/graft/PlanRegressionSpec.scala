@@ -675,17 +675,19 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Window"), p)
   }
 
-  test("assortativity: degree joins stay equi-joins, one-row final aggregate") {
+  test("assortativity: edges stream through broadcast degree probes") {
     val p = plan("q_graph_assortativity")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_"), s"covar/var must combine map-side:\n$p")
-    // materialized = true: degrees come straight off the staged
-    // parquet scan — the canonical-dedup path would pin with
-    // localCheckpoint and read back an ExistingRDD instead
-    assert(!p.contains("Scan ExistingRDD"),
-      s"staged edges must not be re-canonicalized:\n$p")
+    // the |V|-row degree vector is PINNED (ExistingRDD) and BROADCAST
+    // into both endpoint joins — the staged edge table itself must
+    // stream from its parquet scan, never through a shuffle exchange
+    assert(p.contains("BroadcastHashJoin"),
+      s"degree probes must broadcast below the node bound:\n$p")
     assert(p.contains("Scan parquet"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"edge table must not sort-merge against the degree vector:\n$p")
   }
 
   test("label propagation pins per-round labels — final plan reads the checkpoint") {
