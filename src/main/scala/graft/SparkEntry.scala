@@ -647,7 +647,7 @@ object SparkEntry {
     import s.implicits._
     val docs = t(s, d, "documents")
     val lex = TextAnalysis.bm25TopK(docs, "text", "doc_id",
-        Seq("hash", "join", "scan"), k = 50)
+        Seq("hash", "join", "scan"), k = 50, maxPostingsPerTerm = 1000)
       .select(col("doc_id"), col("rank"))
     val demb = TextAnalysis.hashEmbedding(docs, "text", "doc_id", dim = 32)
     val qemb = TextAnalysis.hashEmbedding(
@@ -4250,9 +4250,12 @@ object SparkEntry {
         "tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (SELECT doc_id, unnest(ws) AS w FROM t) " +
         "WHERE w IN ('hash', 'join', 'scan') GROUP BY doc_id, w), " +
         "f AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term), " +
-        "bs AS (SELECT tf.doc_id, round(SUM(ln((st.N - f.df + 0.5) / (f.df + 0.5) + 1) * (tf.tf * 2.2) / " +
-        "(tf.tf + 1.2 * (0.25 + 0.75 * l.len / st.avgdl))), 4) AS score " +
-        "FROM tf JOIN f USING (term) JOIN l ON tf.doc_id = l.doc_id CROSS JOIN st GROUP BY tf.doc_id), " +
+        "tc AS (SELECT doc_id, term, tf, len FROM (SELECT tf.doc_id, tf.term, tf.tf, l.len, " +
+        "ROW_NUMBER() OVER (PARTITION BY tf.term ORDER BY tf.tf DESC, l.len ASC, tf.doc_id ASC) AS pr " +
+        "FROM tf JOIN l ON tf.doc_id = l.doc_id) WHERE pr <= 1000), " +
+        "bs AS (SELECT tc.doc_id, round(SUM(ln((st.N - f.df + 0.5) / (f.df + 0.5) + 1) * (tc.tf * 2.2) / " +
+        "(tc.tf + 1.2 * (0.25 + 0.75 * tc.len / st.avgdl))), 4) AS score " +
+        "FROM tc JOIN f USING (term) CROSS JOIN st GROUP BY tc.doc_id), " +
         "lx AS (SELECT doc_id, rank FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM bs) WHERE rank <= 50), " +
         "de AS (SELECT doc_id, ('0x'||substr(md5(tok),1,4))::BIGINT % 32 AS dm, " +
         "SUM(CASE WHEN ('0x'||substr(md5(tok),5,1))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v " +
