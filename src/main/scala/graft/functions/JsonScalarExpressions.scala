@@ -29,6 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - string value whose contents are an integral number → parsed
   *   - missing key / null / bool / float syntax / nested / malformed →
   *     null
+  *   - duplicate keys → FIRST occurrence wins, matching DuckDB's
+  *     json_extract (measured). There is no "variant parity" to match
+  *     here: Spark's parse_json REJECTS duplicate-key objects by
+  *     default (try_parse_json → null) — a documented divergence in
+  *     favor of the oracle form this expression is contracted to.
+  *   - trailing non-whitespace after the closing `}` → null — the
+  *     whole input is malformed, matching DuckDB (measured error).
+  *     Spark's lenient Jackson ACCEPTS `{"k":1}junk`; again the
+  *     oracle form wins, and the divergence is spec-pinned.
   * Keys are matched byte-wise; keys containing JSON escapes are
   * treated as non-matching (flat machine-written payloads never
   * escape their keys — documented limit, not a parser bug).
@@ -45,9 +54,20 @@ object JsonScalarExpressions {
     if (i >= n || s.getByte(i) != '{') return null
     i += 1
     var first = true
+    // Full scan, not an early return on the first hit: a valid prefix
+    // followed by trailing garbage (`{"k":1}junk`) must be malformed
+    // as a whole → null, which only a scan to the end can decide. The
+    // extra bytes scanned are exactly the ones skipValue already walks
+    // for every key AFTER the match — no new per-row allocation.
+    var result: java.lang.Long = null
+    var found = false
     while (i < n) {
       i = skipWs(s, i, n)
-      if (i < n && s.getByte(i) == '}') return null // end: key absent
+      if (i < n && s.getByte(i) == '}') {
+        // object closed: only trailing whitespace may remain
+        i = skipWs(s, i + 1, n)
+        return if (i == n) result else null
+      }
       if (!first) {
         if (i >= n || s.getByte(i) != ',') return null
         i = skipWs(s, i + 1, n)
@@ -66,11 +86,13 @@ object JsonScalarExpressions {
       if (i >= n || s.getByte(i) != ':') return null
       i = skipWs(s, i + 1, n)
       if (i >= n) return null
-      if (matched) return parseLongValue(s, i, n)
+      // duplicate keys: FIRST occurrence wins (oracle parity — see
+      // the semantics note in the object scaladoc)
+      if (matched && !found) { result = parseLongValue(s, i, n); found = true }
       i = skipValue(s, i, n)
       if (i < 0) return null
     }
-    null
+    null // ran off the end without a closing '}' — malformed
   }
 
   private def skipWs(s: UTF8String, from: Int, n: Int): Int = {

@@ -89,14 +89,31 @@ object Graph {
 
   /** The per-round lineage pin, sized by the DATA: explicit dir →
     * reliable; no dir but `edgeRows` over [[reliableEdgeThreshold]] →
-    * reliable into the per-JVM auto dir; small → `localCheckpoint`.
+    * reliable into a dir the loop may USE but never CLOBBERS — an
+    * application-set `sc.getCheckpointDir` wins, and the per-JVM
+    * temp-dir fallback engages only in local mode (on a cluster a
+    * driver-local `file://` path would scatter "reliable" checkpoint
+    * blocks across executor-local disks — worse than the
+    * `localCheckpoint` it replaces, so big cluster runs without a dir
+    * keep `localCheckpoint` and should pass `checkpointDir`
+    * explicitly); small → `localCheckpoint`.
     */
   private def pinner(spark: org.apache.spark.sql.SparkSession,
                      checkpointDir: Option[String],
                      edgeRows: Long): DataFrame => DataFrame = {
-    val dir = checkpointDir.orElse(
-      if (edgeRows >= reliableEdgeThreshold) Some(autoDir()) else None)
-    dir.foreach(spark.sparkContext.setCheckpointDir)
+    val sc = spark.sparkContext
+    val dir = checkpointDir.orElse {
+      if (edgeRows >= reliableEdgeThreshold) {
+        val existing = sc.getCheckpointDir
+        if (existing.isDefined) existing
+        else if (sc.isLocal) Some(autoDir())
+        else None
+      } else None
+    }
+    // set only when it differs — never churn (or reset) a dir the
+    // application already configured
+    dir.filterNot(sc.getCheckpointDir.contains)
+      .foreach(sc.setCheckpointDir)
     df => if (dir.isDefined) df.checkpoint() else df.localCheckpoint()
   }
 
@@ -108,6 +125,19 @@ object Graph {
     * of the boundary is a sound plan — only cost changes).
     */
   private[graft] val broadcastNodeLimit: Long = 8L * 1000 * 1000
+
+  /** Node-count bound for [[degreeAssortativity]]'s forced-broadcast
+    * degree vector. Deliberately SMALLER than [[broadcastNodeLimit]]:
+    * the rank loop broadcasts its vector once per iteration into a
+    * plan that holds one hashed relation at a time, while
+    * assortativity builds TWO hashed degree relations (degA, degB)
+    * live simultaneously — at ~48 B/entry hashed that is ~2×190 MB at
+    * 4M nodes, the most a default executor heap should carry for a
+    * hint that OVERRIDES the 10 MB autoBroadcastJoinThreshold. Past
+    * the bound the joins fall back to shuffles (the honest web-scale
+    * price).
+    */
+  private[graft] val assortativityBroadcastLimit: Long = 4L * 1000 * 1000
 
   /** Edge-row floor below which the loops SKIP the whole co-partition/
     * cache/loop-conf machinery: on a small graph the fixed setup
@@ -139,6 +169,15 @@ object Graph {
     * coalesce hold-off keeps the aggregate outputs at EXACTLY p
     * partitions so the co-partitioned joins below stay exchange-free
     * (a coalesced side would force a re-shuffle of the pinned side).
+    *
+    * CONCURRENCY CONTRACT: these are SESSION-level conf mutations —
+    * any query submitted on the same SparkSession while a rank loop
+    * runs executes under the loop's pinned settings, and two
+    * concurrent loops race each other's save/restore. The rank APIs
+    * assume single-threaded use of their session (the engine's
+    * pattern throughout); callers needing concurrency should use
+    * `spark.newSession()` per thread, which isolates the mutated
+    * confs while sharing the SparkContext and cached data.
     */
   private def withLoopPartitions[A](spark: org.apache.spark.sql.SparkSession,
                                     p: Int)(body: => A): A = {
@@ -196,6 +235,10 @@ object Graph {
     * reliable checkpoint directory (HDFS/object store): iterations
     * then use `checkpoint()`, surviving executor loss at the cost of
     * a write+read per round.
+    *
+    * Threading: on large graphs the loop pins session confs for its
+    * duration (see [[withLoopPartitions]]) — use one SparkSession (or
+    * `spark.newSession()`) per concurrent rank call.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
@@ -395,20 +438,31 @@ object Graph {
       // small-|V| regime: ranks broadcast, agg partition-local on the
       // dst-partitioned cache — ZERO shuffled rows per round. big-|V|:
       // co-partitioned join (no exchange), dst agg pays the shuffle.
-      // The per-source share rank/outdeg is pre-divided on the
-      // |V|-row vector (identical IEEE operands per source, so sums
-      // are bit-identical to the per-edge division); sinks guard the
-      // ANSI division with share 0 — they have no out-edges to carry
-      // it anyway.
-      val share = ranks.select(col("node"),
-        when(col("outdeg") > 0, col("rank") / col("outdeg"))
-          .otherwise(lit(0.0)).as("__share"))
+      // UNWEIGHTED: the per-source share rank/outdeg is pre-divided on
+      // the |V|-row vector (identical IEEE operands per source, so
+      // sums are bit-identical to the per-edge division); sinks guard
+      // the ANSI division with share 0 — they have no out-edges to
+      // carry it anyway. WEIGHTED: pre-dividing would reorder the
+      // per-edge term to (rank/outdeg)*w, which can differ from the
+      // oracle's rank*w/outdeg by 1 ulp and flip the per-round
+      // round(.,8) at a boundary — so the weighted path carries
+      // (rank, outdeg) on the vector and divides PER EDGE in the
+      // oracle's exact operand order (a joined src always has
+      // outdeg > 0: its own w > 0 edges sum into it).
+      val share = weightCol match {
+        case None => ranks.select(col("node"),
+          when(col("outdeg") > 0, col("rank") / col("outdeg"))
+            .otherwise(lit(0.0)).as("__share"))
+        case Some(_) =>
+          ranks.select(col("node"), col("rank").as("__r"),
+            col("outdeg").as("__od"))
+      }
       val rhs = if (smallV) broadcast(share) else share
       val contribs = e.join(rhs, e("src") === rhs("node"))
         .groupBy(col("dst"))
         .agg((weightCol match {
           case None => sum(col("__share"))
-          case Some(_) => sum(col("__share") * col("w"))
+          case Some(_) => sum(col("__r") * col("w") / col("__od"))
         }).as("__in"))
       ranks = pin(deg
         .join(contribs, deg("node") === contribs("dst"), "left")
@@ -829,7 +883,7 @@ object Graph {
       .agg(count(lit(1)).as("deg")).localCheckpoint()
     val degA = deg.select(col("node").as("a"), col("deg").as("__dx"))
     val degB = deg.select(col("node").as("b"), col("deg").as("__dy"))
-    val small = deg.count() <= broadcastNodeLimit
+    val small = deg.count() <= assortativityBroadcastLimit
     val withDeg = both
       .join(if (small) broadcast(degA) else degA, Seq("a"))
       .join(if (small) broadcast(degB) else degB, Seq("b"))

@@ -62,6 +62,36 @@ class JsonScalarExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(get("""{"s": "a\"b,}", "k": 7}""") == Some(7L))
   }
 
+  // Edge semantics are pinned to the ORACLE form (DuckDB
+  // CAST(json_extract_string(j,'$.k') AS BIGINT), both behaviors
+  // measured) because Spark's variant path disagrees with ITSELF
+  // here: parse_json rejects duplicate-key objects by default
+  // (try_parse_json → null, so no last-wins to match) while its
+  // lenient Jackson ACCEPTS trailing garbage. The scaladoc documents
+  // both divergences.
+  test("duplicate keys: FIRST occurrence wins (oracle parity)") {
+    assert(get("""{"k":1,"k":2}""") == Some(1L))
+    assert(get("""{"k":2,"k":1}""") == Some(2L))
+    // first occurrence non-long → null, even with a later long
+    assert(get("""{"k":"x","k":1}""").isEmpty)
+    assert(get("""{"k":1,"x":5,"k":3}""") == Some(1L))
+    // Spark's variant path yields null on duplicates — divergence
+    // asserted so a Spark behavior change surfaces here
+    val out = Seq("""{"k":1,"k":2}""").toDF("j")
+      .select(variant_get(try_parse_json(col("j")), "$.k", "long"))
+      .collect()
+    assert(out(0).isNullAt(0))
+  }
+
+  test("trailing garbage after a valid object → null (oracle parity)") {
+    assert(get("""{"k":1}junk""").isEmpty)
+    assert(get("""{"k":1}{"k":2}""").isEmpty)
+    assert(get("""{"k":1},""").isEmpty)
+    // trailing whitespace is NOT garbage
+    assert(get("{\"k\":1}  \n\t") == Some(1L))
+    assert(get("""{"k":1} """) == Some(1L))
+  }
+
   test("long overflow → null, Long.MaxValue parses") {
     assert(get(s"""{"k": ${Long.MaxValue}}""") == Some(Long.MaxValue))
     assert(get("""{"k": 9223372036854775808}""").isEmpty)
