@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{JsonScalarExpressions, TextHashExpressions, VectorExpressions}
+import graft.functions.{JsonScalarExpressions, TextHashExpressions, TextStatExpressions, VectorExpressions}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SparkSessionExtensions entry point: makes the engine's native
@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"json_get_long key must be a literal string, got $other")
       })))
+    e.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(
+        classOf[TextStatExpressions.BpeTokenCount].getName, "bpe_token_count"),
+      exprs => TextStatExpressions.BpeTokenCount(exprs.head)))
   }
 }
 
@@ -53,5 +58,6 @@ object Graft {
     VectorExpressions.register(spark)
     TextHashExpressions.register(spark)
     JsonScalarExpressions.register(spark)
+    TextStatExpressions.register(spark)
   }
 }

@@ -608,21 +608,79 @@ object Corpus {
     * whose `n_new_grams` is a sliver of `n_grams` duplicates what the
     * mix already covers and earns its tokens back as dedup losses.
     *
-    * Shape: grams are md5-hashed BEFORE the shuffle (16-byte keys,
-    * never gram text), then two hash-key aggregations: min(source)
-    * per gram and per-(source, gram) distinct counts. No windows, no
-    * global sorts.
+    * Shape: grams are md5-hashed BEFORE the shuffle (16-byte binary
+    * keys, never gram text), and the whole curve comes out of ONE
+    * gram-hash aggregation. Sources are a catalog-sized set (a mix
+    * has tens of sources, not millions), so each source gets a bit in
+    * a long: per gram hash, `bit_or` of the source bits + `min` of
+    * the source ids — both primitive-buffer aggregates that partially
+    * combine map-side — then a single-row aggregate sums each
+    * source's membership bit and first-owner count. The round-13
+    * formulation paid TWO full gram-stream shuffles (a
+    * (source, hash) distinct plus a separate min-per-hash pass) and
+    * exploded + hashed the corpus twice; this pays one explode and
+    * one shuffle. Sources beyond 62 fall back to the two-aggregation
+    * plan (same results, one extra shuffle).
     */
   def noveltyBySource(df: DataFrame, textCol: String, sourceCol: String,
                       n: Int = 5): DataFrame = {
-    val grams = df.select(col(sourceCol).as("source"),
+    val spark = df.sparkSession
+    // the source VOCABULARY is catalog-sized by construction — this
+    // collect is bounded the way a dimension-table broadcast is, and
+    // lexicographic ids make min(id) ≡ min(source)
+    val srcs = df.select(col(sourceCol).cast("string").as("source"))
+      .filter(col("source").isNotNull)
+      .distinct().orderBy(col("source")).collect().map(_.getString(0))
+    val grams0 = df.select(col(sourceCol).cast("string").as("source"),
       explode(Dedup.shingles(col(textCol), n)).as("__g"))
-      .select(col("source"), md5(col("__g")).as("__h"))
-    val perSource = grams.distinct()
-      .groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-    val novel = grams.groupBy(col("__h")).agg(min(col("source")).as("source"))
-      .groupBy(col("source")).agg(count(lit(1)).as("n_new_grams"))
-    perSource.join(novel, Seq("source"), "left")
-      .na.fill(0L, Seq("n_new_grams"))
+    if (srcs.isEmpty) {
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_grams",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_new_grams",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+    if (srcs.length > 62) {
+      // >62 sources: two hash-key aggregations over the distinct
+      // (source, hash) pair set — still no windows, no global sorts
+      val grams = grams0.select(col("source"),
+        unhex(md5(col("__g"))).as("__h")).distinct().localCheckpoint()
+      val perSource = grams.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_grams"))
+      val novel = grams.groupBy(col("__h"))
+        .agg(min(col("source")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_new_grams"))
+      return perSource.join(novel, Seq("source"), "left")
+        .na.fill(0L, Seq("n_new_grams"))
+    }
+    val sid = srcs.tail.zipWithIndex.foldLeft(
+      when(col("source") === srcs.head, lit(0))) {
+      case (acc, (s, i)) => acc.when(col("source") === s, lit(i + 1))
+    }
+    val masks = grams0
+      .select(sid.as("__sid"), unhex(md5(col("__g"))).as("__h"))
+      .groupBy(col("__h"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), __sid)")).as("__mask"),
+        min(col("__sid")).as("__first"))
+    val aggCols = srcs.indices.flatMap(i => Seq(
+      coalesce(sum(shiftright(col("__mask"), i).bitwiseAND(lit(1L))),
+        lit(0L)).as(s"__g$i"),
+      coalesce(sum(when(col("__first") === i, 1L).otherwise(0L)),
+        lit(0L)).as(s"__n$i")))
+    // single-row wide aggregate → exploded back to one row per source
+    // (lazy end to end; a source whose docs produced no grams
+    // contributes no curve row — the gram stream never saw it, which
+    // matches the pair-set formulation and the oracle)
+    masks.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(srcs.indices.map(i =>
+        struct(lit(srcs(i)).as("source"),
+          col(s"__g$i").as("n_grams"),
+          col(s"__n$i").as("n_new_grams"))): _*)).as("__r"))
+      .select(col("__r.*"))
+      .filter(col("n_grams") > 0)
   }
 }

@@ -16,9 +16,19 @@ object TextAnalysis {
     size(split(trim(text), "\\s+"))
 
   /** BPE-ish token count: words + digits + punctuation runs, the classic
-    * GPT-style pre-tokenizer regex approximated for codegen.
+    * GPT-style pre-tokenizer regex approximated for codegen. Computed
+    * by the native one-pass scanner ([[graft.functions
+    * .TextStatExpressions.BpeTokenCount]]); [[tokenCountBpeRegex]]
+    * keeps the regex formulation it is spec-pinned against.
     */
   def tokenCountBpe(text: Column): Column =
+    graft.functions.TextStatExpressions.bpe_token_count(text)
+
+  /** The composed-builtin regex formulation of [[tokenCountBpe]] —
+    * the reference semantics the native scanner is parity-tested
+    * against (and the form the DuckDB oracles replay verbatim).
+    */
+  def tokenCountBpeRegex(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Character length. */

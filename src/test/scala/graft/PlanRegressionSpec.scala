@@ -649,12 +649,15 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_count") || p.contains("count"), p)
   }
 
-  test("CDC apply: window-limited winner pick, key anti-join, no cartesian") {
+  test("CDC apply: hash-argmax winner pick, key anti-join, no cartesian") {
     val p = plan("q_cdc_apply")
-    // rn=1 must push into the sort as a group limit; untouched base
-    // rows ride a key anti-join — a refactor to a per-key collect or
-    // a NOT IN nested loop would surface here
-    assert(p.contains("WindowGroupLimit"), p)
+    // the winner pick is a max_by HASH aggregate with a map-side
+    // partial (no window, no sort — the round-13 6.8×/decade cost);
+    // untouched base rows ride a key anti-join — a refactor back to a
+    // window, a per-key collect or a NOT IN nested loop surfaces here
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby"),
+      s"winner pick must partially aggregate map-side:\n$p")
+    assert(!p.contains("Window"), s"argmax must stay a hash agg, not a window:\n$p")
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }

@@ -15,7 +15,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       TextAnalysis.tokenCountBpe(col("t"))).collect()
     assert(r(0).getInt(0) == 4)
     assert(r(1).getInt(0) == 3)
-    assert(r(1).getInt(1) == 6) // a , b ! c ?
+    assert(r(1).getLong(1) == 6L) // a , b ! c ? (native counter: long)
   }
 
   test("stopword ratio and quality bounds") {
