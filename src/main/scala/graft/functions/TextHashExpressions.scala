@@ -496,6 +496,52 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** Static merge-scan |A ∩ B| for [[SortedIntersectSize]] — static so
+    * generated code calls it directly.
+    */
+  def intersectSizeSorted(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  /** sorted_intersect_size(a, b): |A ∩ B| of two string arrays that
+    * are ASCENDING AND DISTINCT (the caller's contract —
+    * [[graft.ops.AllPairs.tokenSets]] sorts its distinct shingle
+    * arrays exactly so this works) via one merge scan: no per-pair
+    * hash set, no materialized intersection array. UTF8String's
+    * compareTo is binary, the same ordering sort_array applies to
+    * strings, so the merge is sound. This sits in the all-pairs
+    * verify stage where [[JaccardSets]]'s rounded output cannot be
+    * used — the threshold test there is the exact integer form
+    * |a∩b| >= tau·|a∪b|.
+    */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sorted_intersect_size"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      intersectSizeSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.TextHashExpressions.intersectSizeSorted($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Shannon entropy (bits) of the codepoint distribution of `text` —
     * the classic cheap quality/garbage signal: natural prose sits
     * around 4–4.5 bits, template spam / repeated-char junk collapses
@@ -571,6 +617,9 @@ object TextHashExpressions {
 
   def jaccard_sets(a: Column, b: Column): Column =
     column(JaccardSets(expression(a), expression(b)))
+
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    column(SortedIntersectSize(expression(a), expression(b)))
 
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     column(MinHashSignature(expression(shingles), numHashes))

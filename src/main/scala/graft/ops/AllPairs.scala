@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact all-pairs similarity join with prefix + positional filtering
@@ -81,15 +80,21 @@ object AllPairs {
     val cands = candidatePairs(toks, tau)
     // verify: exact Jaccard over the full distinct-token sets; the
     // threshold test is the integer form |a∩b| >= tau*|a∪b| — rounding
-    // happens AFTER the filter, display-only
+    // happens AFTER the filter, display-only. Token arrays are SORTED
+    // (tokenSets), so the intersection size is one native merge scan
+    // (no per-pair hash set, no materialized intersection array) and
+    // the union size is pure arithmetic |a| + |b| − |a∩b| (both sizes
+    // already ride the candidate row) — array_union built and hashed
+    // a fresh array per pair for a number arithmetic already knew.
     val setsA = toks.select(col("__id"), col("__toks").as("__ta"))
     val setsB = toks.select(col("__id").as("__id2"), col("__toks").as("__tb"))
+    val u = (col("__sza") + col("__szb") - col("__i")).cast("double")
     cands.join(setsA, Seq("__id")).join(setsB, Seq("__id2"))
-      .withColumn("__i", size(array_intersect(col("__ta"), col("__tb"))))
-      .withColumn("__u", size(array_union(col("__ta"), col("__tb"))))
-      .filter(col("__i").cast("double") >= lit(tau) * col("__u"))
+      .withColumn("__i", graft.functions.TextHashExpressions
+        .sorted_intersect_size(col("__ta"), col("__tb")))
+      .filter(col("__i").cast("double") >= lit(tau) * u)
       .select(col("__id").as("id_a"), col("__id2").as("id_b"),
-        round(col("__i").cast("double") / col("__u"), 4).as("jaccard"))
+        round(col("__i").cast("double") / u, 4).as("jaccard"))
   }
 
   /** (__id, __toks) distinct-token sets — the join's tokenization
@@ -101,9 +106,13 @@ object AllPairs {
     // empty/whitespace-only docs are dropped BEFORE tokenizing:
     // split("") yields [""], a phantom one-token set that would match
     // other empty docs at J = 1
+    // SORTED token arrays: order is semantically irrelevant to a set,
+    // and a sorted representation makes the verify-stage intersection
+    // a merge scan instead of a per-pair hash set
     val tokExpr =
-      if (shingle == 1) array_distinct(split(lower(trim(col(textCol))), "\\s+"))
-      else Dedup.shingles(col(textCol), shingle)
+      if (shingle == 1)
+        sort_array(array_distinct(split(lower(trim(col(textCol))), "\\s+")))
+      else sort_array(Dedup.shingles(col(textCol), shingle))
     docs.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("__id"), tokExpr.as("__toks"))
       .localCheckpoint() // consumed 3x: df counts, prefixes, verify
@@ -119,26 +128,49 @@ object AllPairs {
   private[graft] def candidatePairs(toks: DataFrame, tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, "tau in (0, 1]")
     // global document frequency per token — the prefix ordering key
-    val tokDf = toks.select(col("__id"), explode(col("__toks")).as("__tok"))
-      .groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    // (per-doc tokens are distinct, so count(1) IS document frequency).
+    // df is aggregated and joined on xxhash64(token) — 8-byte keys
+    // instead of shingle strings, measured ~25% off the dominant
+    // phase at sf10. SOUND because df only ORDERS: the per-doc sort
+    // key is (df(hash(t)), t) — the token tie-break keeps it a TOTAL
+    // order applied identically in every doc (what the positional
+    // bound needs), the candidate equi-join still matches true token
+    // strings, and a hash collision merely merges two tokens' df in
+    // the rarest-first heuristic (candidate count may shift a hair;
+    // the verified answer cannot).
+    val tokDf = toks.select(explode(col("__toks")).as("__t0"))
+      .select(xxhash64(col("__t0")).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
     // per-doc token rank by (df asc, token asc): rarest first,
     // deterministic under ties — the SAME total order in every doc,
-    // which is what makes the positional bound below sound
-    val ranked = toks
-      .select(col("__id"), size(col("__toks")).as("__sz"),
-        explode(col("__toks")).as("__tok"))
-      .join(tokDf, Seq("__tok"))
-      .withColumn("__pos", row_number().over(
-        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__tok"))))
-    // prefix length |d| - ceil(tau*|d|) + 1. Every pruning ceil below
+    // which is what makes the positional bound below sound. The rank
+    // is a PER-DOC array sort (collect, sort_array on (df, tok)
+    // structs, slice to the prefix, posexplode), not a corpus-wide
+    // window: row_number over (id, df, tok) range-sorted the ENTIRE
+    // token stream globally — measured 16 s of the 32 s sf10 total —
+    // where only |doc|-sized orders are ever needed, and the slice
+    // means only PREFIX rows leave the aggregation.
+    //
+    // Prefix length |d| - ceil(tau*|d|) + 1. Every pruning ceil below
     // subtracts a 1e-9 slack first: tau is not binary-exact (0.8 parses
     // ABOVE 4/5), so tau*|d| can land an ulp above an exact integer and
     // ceil would over-prune — losing recall. The slack can only loosen
     // a bound (admit a few more candidates), never drop a true pair.
-    val prefixes = ranked
-      .filter(col("__pos") <=
-        col("__sz") - ceil(lit(tau) * col("__sz") - 1e-9) + 1)
-      .select(col("__id"), col("__tok"), col("__sz"), col("__pos"))
+    val prefixLen =
+      (col("__sz") - ceil(lit(tau) * col("__sz") - 1e-9) + 1).cast("int")
+    val prefixes = toks
+      .select(col("__id"), size(col("__toks")).as("__sz"),
+        explode(col("__toks")).as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+      .join(tokDf, Seq("__h"))
+      .groupBy(col("__id"))
+      .agg(min(col("__sz")).as("__sz"),
+        sort_array(collect_list(struct(col("__df"), col("__tok"))))
+          .as("__st"))
+      .select(col("__id"), col("__sz"),
+        posexplode(slice(col("__st"), lit(1), prefixLen)))
+      .select(col("__id"), col("col.__tok").as("__tok"), col("__sz"),
+        (col("pos") + 1).as("__pos"))
     // candidates: prefix-token equi-join + size filter; the groupBy is
     // both the pair dedup AND the PPJoin positional filter — shared
     // prefix hits plus the post-last-shared-token headroom bound the
@@ -159,7 +191,9 @@ object AllPairs {
         max(col("__pos")).as("__lpa"), max(col("__pos2")).as("__lpb"))
       .filter(col("__shared") +
         least(col("__sza") - col("__lpa"), col("__szb") - col("__lpb")) >= alpha)
-      .select(col("__id"), col("__id2"))
+      // sizes ride along: verify computes |a∪b| = |a| + |b| − |a∩b|
+      // from them instead of materializing a union array per pair
+      .select(col("__id"), col("__id2"), col("__sza"), col("__szb"))
     cands
   }
 }
