@@ -1447,8 +1447,7 @@ object SparkEntry {
     * has real per-doc work with mixed outcomes, DuckDB-replayable.
     */
   private def boilerLinedText: Column = {
-    val toks = split(col("text"), "\\s+")
-    val content = TextAnalysis.lineChunks(toks, 8)
+    val content = TextAnalysis.lineChunksText(col("text"), 8)
     val header = when(pmod(col("doc_id"), lit(2)) === 0,
         array(lit("copyright acme corp all rights reserved")))
       .otherwise(array().cast("array<string>"))
@@ -1464,7 +1463,7 @@ object SparkEntry {
     * comprehension; DuckDB's list_distinct does not preserve order).
     */
   private def qTextLineDedup(s: SparkSession, d: String): DataFrame = {
-    val content = TextAnalysis.lineChunks(split(col("text"), "\\s+"), 8)
+    val content = TextAnalysis.lineChunksText(col("text"), 8)
     val fixture = array_join(
       concat(content, array(element_at(content, 1)),
         array(lit("sponsored content"), lit("sponsored content"))), "\n")
@@ -1529,9 +1528,8 @@ object SparkEntry {
     * then has genuine keep/drop work on every doc.
     */
   private def linedText: Column = {
-    val toks = split(col("text"), "\\s+")
     array_join(
-      transform(TextAnalysis.lineChunks(toks, 8),
+      transform(TextAnalysis.lineChunksText(col("text"), 8),
         (l, i) => concat(l,
           when(pmod(col("doc_id") + i, lit(3)) === 0, ".").otherwise(""))),
       "\n")

@@ -88,6 +88,96 @@ object TextStatExpressions {
       copy(child = newChild)
   }
 
+  /** Static scanner for [[LineChunks]]: groups of `width` whitespace-
+    * split tokens re-joined with single spaces — byte-exact with
+    * `lineChunks(split(text, "\\s+"), width)` including the split
+    * warts (leading/trailing whitespace yields an empty first/last
+    * token under Java split's limit -1; "" splits to [""]). Byte-safe
+    * for ANY input without a fallback: Java `\s` is six ASCII bytes,
+    * which never occur inside a multibyte UTF-8 sequence, and token
+    * bytes are copied verbatim.
+    */
+  def lineChunkArray(s: UTF8String, width: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    def ws(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+    // token spans, mirroring split("\s+", -1)
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    if (n == 0) { starts.add(0); ends.add(0) } // "" -> [""]
+    else {
+      var i = 0
+      var tokStart = 0
+      var done = false
+      while (!done) {
+        if (i == n || ws(bytes(i))) {
+          starts.add(tokStart); ends.add(i)
+          if (i == n) done = true
+          else {
+            while (i < n && ws(bytes(i))) i += 1
+            tokStart = i
+            if (i == n) { starts.add(i); ends.add(i); done = true }
+          }
+        } else i += 1
+      }
+    }
+    val nToks = starts.size()
+    val nChunks = (nToks + width - 1) / width
+    val out = new Array[AnyRef](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val lo = c * width
+      val hi = math.min(lo + width, nToks)
+      var len = hi - lo - 1 // single-space joiners
+      var k = lo
+      while (k < hi) { len += ends.get(k) - starts.get(k); k += 1 }
+      val buf = new Array[Byte](len)
+      var p = 0
+      k = lo
+      while (k < hi) {
+        if (k > lo) { buf(p) = ' '; p += 1 }
+        val l = ends.get(k) - starts.get(k)
+        System.arraycopy(bytes, starts.get(k), buf, p, l)
+        p += l
+        k += 1
+      }
+      out(c) = UTF8String.fromBytes(buf)
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** `line_chunks(text, width)`: whitespace tokens re-flowed into
+    * `width`-token lines in one pass — the native form of
+    * `TextAnalysis.lineChunks(split(text, "\\s+"), width)`, which
+    * materialized the full token array, a slice array per line and an
+    * interpreted array_join per line (the dominant cost of every
+    * lined-text fixture at sf10).
+    */
+  case class LineChunks(child: Expression, width: Int)
+      extends UnaryExpression {
+    require(width > 0, "line width must be positive")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "line_chunks"
+
+    override def nullSafeEval(input: Any): Any =
+      lineChunkArray(input.asInstanceOf[UTF8String], width)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, s =>
+        s"graft.functions.TextStatExpressions.lineChunkArray($s, $width)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: width-token line chunks of a text column. */
+  def line_chunks(text: Column, width: Int): Column =
+    column(LineChunks(expression(text), width))
+
   /** Column API: BPE-ish token count of a text column (long). */
   def bpe_token_count(text: Column): Column =
     column(BpeTokenCount(expression(text)))

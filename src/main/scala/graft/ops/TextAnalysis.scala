@@ -245,6 +245,15 @@ object TextAnalysis {
       i => array_join(slice(toks, i * width + 1, lit(width)), " "))
   }
 
+  /** Text → width-token line chunks in ONE native pass — byte-exact
+    * with `lineChunks(split(text, "\\s+"), width)` (spec-pinned) but
+    * without the token array, per-line slices and interpreted joins
+    * that made the lined-text fixtures a dominant per-row cost at
+    * sf10. Prefer this form whenever the input is raw text.
+    */
+  def lineChunksText(text: Column, width: Int): Column =
+    graft.functions.TextStatExpressions.line_chunks(text, width)
+
   /** Intra-document exact line dedup (the RefinedWeb/CCNet in-doc
     * cleanup): keep the FIRST occurrence of each line, drop repeats
     * within the same document — the in-doc complement of corpus-level

@@ -148,7 +148,7 @@ object DedupStress {
     // the dropIdx join must broadcast, never degenerate)
     if (picked("boilerplate_rm")) parts += timed("boilerplate_rm") {
       val lined = df.select(col("doc_id"), array_join(
-        graft.ops.TextAnalysis.lineChunks(split(col("text"), "\\s+"), 8),
+        graft.ops.TextAnalysis.lineChunksText(col("text"), 8),
         "\n").as("text"))
       countWithText(graft.ops.TextAnalysis.removeBoilerplateLines(
         lined, "text", "doc_id", minDocs = 10))
@@ -159,7 +159,7 @@ object DedupStress {
     // store + batch every time (hash-keyed rows only)
     if (picked("incremental_boiler_batches")) parts += timed("incremental_boiler_batches") {
       val lined = df.select(col("doc_id"), array_join(
-        graft.ops.TextAnalysis.lineChunks(split(col("text"), "\\s+"), 8),
+        graft.ops.TextAnalysis.lineChunksText(col("text"), 8),
         "\n").as("text"))
       val dir = java.nio.file.Files.createTempDirectory("graft_boilstress")
       try {

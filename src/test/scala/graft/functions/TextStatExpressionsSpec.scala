@@ -85,6 +85,41 @@ class TextStatExpressionsSpec extends AnyFunSuite with SparkTestBase {
     finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("line_chunks parity with the composed lineChunks(split) form") {
+    import graft.ops.TextAnalysis
+    val texts = Seq(
+      "a b c d e f g h i j k l m n o p q", // 17 words -> 3 chunks
+      "one two", "", " ", "  leading", "trailing  ", "\ta\tb\n",
+      "exactly eight tokens in this very line here",
+      "日本 語 テキスト with mixed ünïcode words in it too yes",
+      "x") ++ (1 to 5).map(i => ("w" * i + " ") * (8 * i + 3))
+    val df = texts.toDF("text")
+    val out = df.select(
+        TextAnalysis.lineChunksText(col("text"), 8).as("native"),
+        TextAnalysis.lineChunks(split(col("text"), "\\s+"), 8).as("composed"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"native ${r.getSeq[String](0)} vs composed ${r.getSeq[String](1)}")
+    }
+    // random token streams with messy whitespace (fixed seeds)
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      ws <- Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.alphaStr.map(_.take(6)),
+        2 -> Gen.oneOf(" ", "\t", "\n", "  ", " \t "),
+        1 -> Gen.oneOf("é日", "...", "#")))
+    } yield ws.mkString
+    (1 to 100).foreach { i =>
+      val s = gen(Gen.Parameters.default, Seed(i.toLong)).get
+      val r = Seq(s).toDF("text").select(
+        TextAnalysis.lineChunksText(col("text"), 8).as("a"),
+        TextAnalysis.lineChunks(split(col("text"), "\\s+"), 8).as("b"))
+        .head()
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"seed=$i input=$s")
+    }
+  }
+
   test("null text → null count") {
     val out = Seq(Some("a b"), None).toDF("text")
       .select(TextStatExpressions.bpe_token_count(col("text"))).collect()
