@@ -12,6 +12,18 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // one JVM runs 193 queries x reps: the AppStatus/SQL status
+      // stores run even with the UI off and their DEFAULT retention
+      // (1000 executions, 100k tasks) holds per-stage metric maps for
+      // the whole suite — part of the accumulated heap pressure that
+      // made the sf10 run need a 16 GB driver (SCALE.md). The bench
+      // needs none of that history.
+      .config("spark.sql.ui.retainedExecutions", "5")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
+      .config("spark.worker.ui.retainedExecutors", "5")
+      .config("spark.worker.ui.retainedDrivers", "5")
       // engine extensions at builder time: all timed entries see ONE
       // uniform optimizer — plans can't depend on run order (the
       // q_ai_filter_pushdown attach becomes a no-op here)

@@ -1,7 +1,7 @@
 package graft.engine
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -43,9 +43,17 @@ final class Catalog(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Schemas visible to this catalog instance: the 5 fixed pipeline
+    * tables plus any [[declareEdgeTable]]-registered user tables.
+    */
+  private val extraSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private def schemaOf(name: String): StructType =
+    Option(extraSchemas.get(name)).getOrElse(schemas(name))
+
   /** Table scan (S5). Always schema-applied so empty tables read fine. */
   def table(name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(tablePath(name))
+    spark.read.schema(schemaOf(name)).parquet(tablePath(name))
 
   /** Append sink (S7; write_pandas app:523-546). Timestamp defaults
     * stamped at write time (F12: parquet has no DEFAULT autofill).
@@ -55,16 +63,24 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * class's partitions.
     */
   def append(name: String, df: DataFrame): Unit = {
-    val writer = withDefaults(name, df).write.mode(SaveMode.Append)
+    val shaped = withDefaults(name, df)
+    // declared edge tables pay their sizing aggregate at WRITE time —
+    // the ingestion-side fact the rank loops consume as a
+    // GraphSizing hint instead of re-scanning the stored table
+    val stats = edgeDecls.get(name).map { case (sc, dc) =>
+      batchSizing(shaped, sc, dc)
+    }
+    val writer = shaped.write.mode(SaveMode.Append)
     partitionSpec.get(name).fold(writer)(cols => writer.partitionBy(cols: _*))
       .parquet(tablePath(name))
+    stats.foreach(mergeSizing(name, _))
   }
 
   /** Fill schema columns missing from `df`: timestamps get the F12
     * write-time default, everything else NULL; project to DDL order.
     */
   private def withDefaults(name: String, df: DataFrame): DataFrame = {
-    val schema = schemas(name)
+    val schema = schemaOf(name)
     val filled = schema.fields.foldLeft(df) { (d, f) =>
       if (d.columns.contains(f.name)) d
       else if (f.dataType.isInstanceOf[TimestampType] || f.name.endsWith("_at"))
@@ -150,6 +166,11 @@ final class Catalog(val spark: SparkSession, val root: String) {
     if (Files.exists(target)) Files.move(target, bak, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(bak)
+    // a rewrite invalidates append-accumulated sizing stats — refresh
+    // from the stored table (cluster/merge/deleteWhere all land here)
+    edgeDecls.get(name).foreach { case (sc, dc) =>
+      writeSizing(name, sc, dc, batchSizing(table(name), sc, dc))
+    }
   }
 
   /** Crash recovery for an interrupted [[overwrite]] swap: if the live
@@ -195,6 +216,125 @@ final class Catalog(val spark: SparkSession, val root: String) {
   /** SHOW TABLES (S10; setup:148-161, cleanup:41-45): warehouse table
     * names present on disk (directory exists), sorted.
     */
+  // ------------------------------------------------------------------
+  // Declared edge tables: catalog-maintained GraphSizing stats
+  // (SURVEY §7-adjacent: the round-13 rank loops consume (edge rows,
+  // per-side HLL node counts) as sizing hints; this records those
+  // facts at WRITE time — one aggregate per appended batch, HLL
+  // sketches unioned incrementally — so a rank run on a stored edge
+  // table never pays its own sizing scan.)
+  // ------------------------------------------------------------------
+
+  private val edgeDecls =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  private def sizingPath(name: String): String =
+    s"$root/tables/.sizing_$name"
+
+  /** One-row batch statistics: (rows, src HLL sketch, dst HLL sketch). */
+  private def batchSizing(df: DataFrame, srcCol: String,
+                          dstCol: String): Row =
+    df.agg(count(lit(1)).as("edge_rows"),
+      hll_sketch_agg(col(srcCol)).as("src_sketch"),
+      hll_sketch_agg(col(dstCol)).as("dst_sketch")).head()
+
+  private def sizingSchema: StructType = StructType(Seq(
+    StructField("src_col", StringType),
+    StructField("dst_col", StringType),
+    StructField("edge_rows", LongType),
+    StructField("src_sketch", BinaryType),
+    StructField("dst_sketch", BinaryType)))
+
+  private def writeSizing(name: String, srcCol: String, dstCol: String,
+                          stats: Row): Unit = {
+    val row = Row(srcCol, dstCol, stats.getLong(0),
+      if (stats.isNullAt(1)) null else stats.get(1),
+      if (stats.isNullAt(2)) null else stats.get(2))
+    val tmp = s"$root/tables/.tmp_sizing_$name"
+    spark.createDataFrame(java.util.Collections.singletonList(row),
+        sizingSchema)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = Paths.get(sizingPath(name))
+    deleteRecursively(target)
+    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readSizing(name: String): Option[Row] = {
+    val p = Paths.get(sizingPath(name))
+    if (!Files.exists(p.resolve("_SUCCESS"))) None
+    else spark.read.schema(sizingSchema).parquet(sizingPath(name))
+      .collect().headOption
+  }
+
+  /** Declare `name` a stored edge table with the given schema: the
+    * catalog creates it empty if absent and maintains (edge rows,
+    * per-side HLL node-count sketches) across [[append]]s and
+    * rewrites. Idempotent — re-opening a warehouse re-declares and
+    * picks up the persisted stats. An empty-sketch store reads as
+    * zero nodes; a batch append pays ONE extra aggregate over the
+    * batch (the ingestion-time price the sizing doc describes).
+    */
+  def declareEdgeTable(name: String, srcCol: String, dstCol: String,
+                       schema: StructType): Unit = {
+    require(schema.fieldNames.contains(srcCol) &&
+      schema.fieldNames.contains(dstCol),
+      s"edge schema must carry $srcCol and $dstCol")
+    extraSchemas.put(name, schema)
+    edgeDecls.put(name, (srcCol, dstCol))
+    recover(name)
+    val dir = Paths.get(tablePath(name))
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    }
+    // first declaration: seed stats from whatever the table already
+    // holds (one scan, the ingestion-time price; empty table → 0 rows
+    // + null sketches). Re-declarations pick up the persisted store.
+    if (readSizing(name).isEmpty)
+      writeSizing(name, srcCol, dstCol,
+        batchSizing(table(name), srcCol, dstCol))
+  }
+
+  /** Union `batch` statistics into the stored sizing row. */
+  private def mergeSizing(name: String, batch: Row): Unit = {
+    val (sc, dc) = edgeDecls(name)
+    val prior = readSizing(name)
+    val rows = prior.map(_.getLong(2)).getOrElse(0L) + batch.getLong(0)
+    def unioned(i: Int, pi: Int): Any = {
+      val b = if (batch.isNullAt(i)) null else batch.get(i)
+      val p = prior.filter(!_.isNullAt(pi)).map(_.get(pi)).orNull
+      (p, b) match {
+        case (null, x) => x
+        case (x, null) => x
+        case (x, y) =>
+          // two binary sketches → hll_union via one local-relation row
+          spark.createDataFrame(
+              java.util.Collections.singletonList(Row(x, y)),
+              StructType(Seq(StructField("a", BinaryType),
+                StructField("b", BinaryType))))
+            .select(hll_union(col("a"), col("b"))).head().get(0)
+      }
+    }
+    writeSizing(name, sc, dc,
+      Row(rows, unioned(1, 3), unioned(2, 4)))
+  }
+
+  /** The catalog-recorded [[graft.ops.Graph.GraphSizing]] for a
+    * declared edge table — what a rank loop passes as `sizingHint`
+    * instead of scanning. None when the table was never declared or
+    * has no stats yet.
+    */
+  def sizingHint(name: String): Option[graft.ops.Graph.GraphSizing] =
+    readSizing(name).map { r =>
+      def est(i: Int): Long =
+        if (r.isNullAt(i)) 0L
+        else spark.createDataFrame(
+            java.util.Collections.singletonList(Row(r.get(i))),
+            StructType(Seq(StructField("s", BinaryType))))
+          .select(hll_sketch_estimate(col("s"))).head().getLong(0)
+      graft.ops.Graph.GraphSizing(r.getLong(2), est(3), est(4))
+    }
+
   def listTables(): Seq[String] = {
     val d = Paths.get(s"$root/tables")
     if (!Files.exists(d)) Seq.empty
