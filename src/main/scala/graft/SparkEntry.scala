@@ -2338,22 +2338,29 @@ object SparkEntry {
     val csh = Dedup.shingleTable(docs, "text", "doc_id", k = 3)
       .repartition(col("doc_id")).localCheckpoint()
     val psh = csh.filter(col("doc_id") < 100)
-    // exact best J per probe: probe shingle sets broadcast, corpus
-    // streams once — the brute-force baseline the contract needs anyway
-    val cs = csh
-      .select(col("doc_id").as("corpus_id"), col("shingle_set").as("__cs"))
-    val ps = psh
-      .select(col("doc_id").as("probe_id"), col("shingle_set").as("__ps"))
-    val best = cs.crossJoin(broadcast(ps))
+    // exact best J per probe WITHOUT the 500k×100 cross join the
+    // round-13 form paid (its per-pair hash-set Jaccard was 6.2× per
+    // decade at sf10): both sides are DISTINCT shingle sets, so a
+    // probe-token equi-join counts |p∩c| directly — each shared
+    // shingle matches exactly once — and J = i/(|p|+|c|−i) is pure
+    // arithmetic from sizes. LOSSLESS for the ≥ 0.5 gate: J ≥ 0.5
+    // needs i ≥ 1, so every pair that can pass (or set a passing max)
+    // shares a shingle and appears in the join; pairs that never meet
+    // have J < 0.5 and could only lower a max below the output filter.
+    val probeToks = psh.select(col("doc_id").as("probe_id"),
+      size(col("shingle_set")).as("__szp"),
+      explode(col("shingle_set")).as("__t"))
+    val corpusToks = csh.select(col("doc_id").as("corpus_id"),
+      size(col("shingle_set")).as("__szc"),
+      explode(col("shingle_set")).as("__t"))
+    val best = corpusToks.join(broadcast(probeToks), Seq("__t"))
       .filter(col("corpus_id") =!= col("probe_id"))
-      // lossless for the >= 0.5 gate: J <= min(|A|,|B|)/max(|A|,|B|),
-      // so a pair failing the size-ratio bound cannot reach 0.5 and
-      // cannot be the max that passes the filter below — the oracle's
-      // unfiltered max agrees on every surviving probe
-      .filter(least(size(col("__ps")), size(col("__cs"))).cast("double") * 2 >=
-        greatest(size(col("__ps")), size(col("__cs"))))
+      .groupBy(col("probe_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("__i"),
+        min(col("__szp")).as("__szp"), min(col("__szc")).as("__szc"))
       .groupBy(col("probe_id"))
-      .agg(round(max(Dedup.jaccardFromSets(col("__ps"), col("__cs"))), 4).as("best_j"))
+      .agg(round(max(col("__i").cast("double") /
+        (col("__szp") + col("__szc") - col("__i"))), 4).as("best_j"))
       .filter(col("best_j") >= 0.5)
     val found = Dedup.jaccardTopKFromShingles(csh, psh, "doc_id", k = 1)
       .select(col("probe_id"), col("jaccard"))

@@ -496,6 +496,73 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** Static scanner for [[WindowHashes128]]: one 16-byte hash per
+    * k-token window of `arr`, from TWO independently-seeded XXH64
+    * chains over per-token hashes. Equivalent to hashing
+    * `array_join(slice(toks, s, k), " ")` — whitespace-split tokens
+    * never contain the joiner, so the joined string is a bijection of
+    * the token sequence — at 128-bit strength (the md5 the span
+    * operators used), but with NO window string, NO slice array and
+    * NO hex encoding: per window the only allocation is its 16-byte
+    * key, and the per-token byte hashing happens once per token
+    * instead of once per covering window.
+    */
+  def windowHashes128(arr: ArrayData, k: Int): GenericArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[AnyRef])
+    val th1 = new Array[Long](n)
+    val th2 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      th1(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, 0L)
+      th2(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, 0x9e3779b97f4a7c15L)
+      i += 1
+    }
+    val out = new Array[AnyRef](n - k + 1)
+    var s0 = 0
+    while (s0 <= n - k) {
+      var h1 = 0L
+      var h2 = 0x5bd1e9955bd1e995L
+      var j = 0
+      while (j < k) {
+        h1 = XXH64.hashLong(th1(s0 + j), h1)
+        h2 = XXH64.hashLong(th2(s0 + j), h2)
+        j += 1
+      }
+      val b = new Array[Byte](16)
+      var m = 0
+      while (m < 8) {
+        b(m) = (h1 >>> (56 - 8 * m)).toByte
+        b(m + 8) = (h2 >>> (56 - 8 * m)).toByte
+        m += 1
+      }
+      out(s0) = b
+      s0 += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** window_hashes128(toks, k): 16-byte hash per k-token window. */
+  case class WindowHashes128(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k > 0, "window must be positive")
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def prettyName: String = "window_hashes128"
+
+    override def nullSafeEval(a: Any): Any =
+      windowHashes128(a.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, x =>
+        s"graft.functions.TextHashExpressions.windowHashes128($x, $k)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Static merge-scan |A ∩ B| for [[SortedIntersectSize]] — static so
     * generated code calls it directly.
     */
@@ -620,6 +687,9 @@ object TextHashExpressions {
 
   def sorted_intersect_size(a: Column, b: Column): Column =
     column(SortedIntersectSize(expression(a), expression(b)))
+
+  def window_hashes128(toks: Column, k: Int): Column =
+    column(WindowHashes128(expression(toks), k))
 
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     column(MinHashSignature(expression(shingles), numHashes))

@@ -145,12 +145,19 @@ object Dedup {
     */
   private[ops] def spanWindows(df: DataFrame, textCol: String, idCol: String,
                                k: Int): DataFrame =
+    // per-window hashes come from ONE native pass over the token
+    // array (two-seed XXH64 chain over per-token hashes → 16-byte
+    // key, the md5 path's strength): the explode-then-slice+join+md5
+    // form materialized a slice array, a joined string and a 32-char
+    // hex string per window — measured as the dominant cost of both
+    // ExactSubstr halves and the span decontaminator at sf10. Equal
+    // joined strings ⟺ equal token sequences (tokens never contain
+    // the joiner), so the duplicated-window SET is unchanged.
     df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
       .filter(size(col("__toks")) >= k)
-      .select(col(idCol), col("__toks"),
-        explode(sequence(lit(1), size(col("__toks")) - (k - 1))).as("__start"))
-      .select(col(idCol), col("__start"),
-        md5(array_join(slice(col("__toks"), col("__start"), lit(k)), " ")).as("__h"))
+      .select(col(idCol), posexplode(
+        graft.functions.TextHashExpressions.window_hashes128(col("__toks"), k)))
+      .select(col(idCol), (col("pos") + 1).as("__start"), col("col").as("__h"))
 
   /** Hashes occurring more than once corpus-wide: one partial/final
     * hash aggregate over 16-byte hashes, then the >1 filter — small by
