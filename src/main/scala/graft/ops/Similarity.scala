@@ -262,6 +262,17 @@ object Similarity {
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   labelCol: String = "label"): DataFrame = {
     require(k > 0, "k must be positive")
+    // Shape note (round-14 measured, negative results kept): the
+    // row_number window over the scored stream IS the best available
+    // plan here. Two alternatives lost on the 200k-pool × 300-seed
+    // fixture: a bounded-buffer typed TopKAggregator (per-row tuple +
+    // immutable-buffer allocation in ObjectHashAggregate: 13.3 →
+    // 19.4 s) and a typedLit-seeds rowwise transform/array_sort (the
+    // higher-order functions run INTERPRETED per element: 42.7 s).
+    // WindowGroupLimit already trims each partition to k per pool id
+    // before the exchange, so the window's shuffle is NOT the scored
+    // stream — the remaining cost is the per-partition top-k select
+    // itself, which every formulation must pay.
     val s = labeled.select(col(idCol).as("__sid"), col(labelCol).as("__sl"),
         col(vecCol).as("__sv"))
       .withColumn("__sn", norm(col("__sv")))
@@ -278,13 +289,16 @@ object Similarity {
       .filter(col("__rank") <= k)
       .groupBy(col(idCol), col("__sl"))
       .agg(count(lit(1)).as("votes"))
-    val wVote = Window.partitionBy(col(idCol))
-      .orderBy(col("votes").desc, col("__sl"))
-    votes
-      .withColumn("__rn", row_number().over(wVote))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("__sl").as("pred_label"), col("votes"),
-        round(col("votes").cast("double") / k, 4).as("vote_frac"))
+    // the winner pick is an argmax — min over (-votes, label) = most
+    // votes, smallest label on ties — not a second window
+    votes.groupBy(col(idCol))
+      .agg(min_by(struct(col("__sl"), col("votes")),
+        struct((-col("votes")).as("__nv"), col("__sl"))).as("__w"))
+      .select(col(idCol),
+        col("__w").getField("__sl").as("pred_label"),
+        col("__w").getField("votes").as("votes"),
+        round(col("__w").getField("votes").cast("double") / k, 4)
+          .as("vote_frac"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard

@@ -193,6 +193,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val out = Similarity.knnClassify(seed, vecs.withColumn("vec_id", col("vec_id") + 100L), k = 5)
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    // the rank window is the measured-best shape (typed-aggregator and
+    // rowwise-HOF alternatives both lost — see the operator's note);
+    // WindowGroupLimit trimming to k pre-exchange is what makes it so
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
