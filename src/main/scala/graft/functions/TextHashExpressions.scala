@@ -545,6 +545,111 @@ object TextHashExpressions {
     new GenericArrayData(out)
   }
 
+  /** Static scanner for [[HashEmbedding]]: the feature-hashing
+    * ("hashing trick") signed bag-of-words sum in ONE pass per row,
+    * byte-exact with the composed form it replaced —
+    * `explode(split(lower(trim(text)), "\\s+"))` → per-token
+    * `conv(substring(md5(tok),1,4),16,10) % dim` bucket and
+    * `conv(substring(md5(tok),5,1),16,10) % 2` sign → (id, dim)
+    * aggregation → map assembly. The composed pipeline shuffled the
+    * corpus's ENTIRE token stream twice (the (id, dim) aggregate and
+    * the per-id map assembly); the embedding is a pure per-row
+    * function, so none of that needs to leave the scan. Split warts
+    * (leading/trailing "" tokens under limit -1, "" → [""]) and
+    * Spark's trim/toLowerCase are reproduced exactly: the first 4 hex
+    * chars of md5 are bytes 0-1, the 5th hex char is the high nibble
+    * of byte 2.
+    */
+  def hashEmbedding(s: org.apache.spark.unsafe.types.UTF8String,
+                    dim: Int): GenericArrayData = {
+    val out = new Array[Double](dim)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new Array[Byte](16)
+    def add(tokBytes: Array[Byte], from: Int, len: Int): Unit = {
+      md.reset()
+      md.update(tokBytes, from, len)
+      md.digest(dig, 0, 16)
+      val d = (((dig(0) & 0xff) << 8) | (dig(1) & 0xff)) % dim
+      val sign = if (((dig(2) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+      out(d) += sign
+    }
+    val n = s.numBytes()
+    var ascii = true
+    var i = 0
+    while (i < n && ascii) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) {
+      // trim spaces, lower into one copied buffer, walk split tokens
+      var t0 = 0
+      while (t0 < n && s.getByte(t0) == ' ') t0 += 1
+      var t1 = n
+      while (t1 > t0 && s.getByte(t1 - 1) == ' ') t1 -= 1
+      val low = new Array[Byte](t1 - t0)
+      var p = t0
+      while (p < t1) {
+        val b = s.getByte(p)
+        low(p - t0) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+        p += 1
+      }
+      def ws(b: Byte): Boolean =
+        b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+      val m = low.length
+      if (m == 0) add(low, 0, 0) // "" splits to [""]
+      else {
+        var i2 = 0
+        var tokStart = 0
+        var done = false
+        while (!done) {
+          if (i2 == m || ws(low(i2))) {
+            add(low, tokStart, i2 - tokStart)
+            if (i2 == m) done = true
+            else {
+              while (i2 < m && ws(low(i2))) i2 += 1
+              tokStart = i2
+              if (i2 == m) { add(low, i2, 0); done = true }
+            }
+          } else i2 += 1
+        }
+      }
+    } else {
+      // exact fallback: the same UTF8String trim/toLowerCase +
+      // java.util.regex split the builtins use
+      val lowStr = s.trim().toLowerCase.toString
+      val toks: Array[String] =
+        if (lowStr.isEmpty) Array("")
+        else wsSplitPattern.split(lowStr, -1)
+      toks.foreach { t =>
+        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        add(b, 0, b.length)
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  private val wsSplitPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** hash_embedding(text, dim): the deterministic, vocabulary-free
+    * dense doc representation (Weinberger et al. 2009, the "hashing
+    * trick") as one codegen scan — integer-valued components, so
+    * downstream dot/norm stays exact in double.
+    */
+  case class HashEmbedding(child: Expression, dim: Int)
+      extends UnaryExpression {
+    require(dim > 0 && dim <= 65536,
+      "dim in [1, 65536] (the bucket draws 16 bits of md5)")
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "hash_embedding"
+
+    override def nullSafeEval(a: Any): Any =
+      hashEmbedding(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dim)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, x =>
+        s"graft.functions.TextHashExpressions.hashEmbedding($x, $dim)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** window_hashes128(toks, k): 16-byte hash per k-token window. */
   case class WindowHashes128(child: Expression, k: Int)
       extends UnaryExpression {
@@ -690,6 +795,9 @@ object TextHashExpressions {
 
   def window_hashes128(toks: Column, k: Int): Column =
     column(WindowHashes128(expression(toks), k))
+
+  def hash_embedding(text: Column, dim: Int): Column =
+    column(HashEmbedding(expression(text), dim))
 
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     column(MinHashSignature(expression(shingles), numHashes))

@@ -581,6 +581,25 @@ object TextAnalysis {
   def hashEmbedding(df: DataFrame, textCol: String, idCol: String,
                     dim: Int): DataFrame = {
     require(dim > 0, "embedding dim must be positive")
+    // ONE native scan per row ([[graft.functions.TextHashExpressions
+    // .HashEmbedding]]): the embedding is a pure per-doc function, so
+    // the previous explode → (id, dim) aggregate → map-assembly
+    // pipeline shuffled the corpus's whole token stream twice for
+    // values that never needed to leave the scan (spec-pinned
+    // byte-identical, [[hashEmbeddingComposed]]). Null-text docs drop,
+    // exactly as explode dropped them.
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), graft.functions.TextHashExpressions
+        .hash_embedding(col(textCol), dim).as("embedding"))
+  }
+
+  /** The composed-builtin formulation of [[hashEmbedding]] — the
+    * reference semantics the native scan is parity-tested against
+    * (and the shape the DuckDB oracles replay).
+    */
+  private[graft] def hashEmbeddingComposed(df: DataFrame, textCol: String,
+                    idCol: String, dim: Int): DataFrame = {
+    require(dim > 0, "embedding dim must be positive")
     val tok = explode(split(lower(trim(col(textCol))), "\\s+"))
     val h = md5(col("__tok"))
     val sums = df.select(col(idCol), tok.as("__tok"))

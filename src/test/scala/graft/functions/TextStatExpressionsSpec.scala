@@ -120,6 +120,40 @@ class TextStatExpressionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hash_embedding parity with the composed md5 pipeline") {
+    import graft.ops.TextAnalysis
+    val texts = Seq(
+      "the quick brown fox", "", " ", "\ta b\n", "hash join scan",
+      "dup dup dup dup", "x y z " * 40,
+      "Grüße aus München", "日本語 テキスト ünïcode", "a b")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val nat = TextAnalysis.hashEmbedding(df, "text", "doc_id", dim = 16)
+      .orderBy("doc_id").as[(Long, Seq[Double])].collect().toSeq
+    val comp = TextAnalysis.hashEmbeddingComposed(df, "text", "doc_id", dim = 16)
+      .orderBy("doc_id").as[(Long, Seq[Double])].collect().toSeq
+    assert(nat == comp)
+    // null text: the composed form's explode DROPPED the doc — the
+    // native filter must match
+    val withNull = Seq((0L, Option("a b")), (1L, None)).toDF("doc_id", "text")
+    assert(TextAnalysis.hashEmbedding(withNull, "text", "doc_id", 8).count() == 1)
+    // random messy strings, fixed seeds
+    val gen = for {
+      n <- Gen.choose(0, 80)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.alphaChar, 3 -> Gen.oneOf(' ', '\t', '\n'),
+        1 -> Gen.oneOf('é', '日', '#', '.')))
+    } yield cs.mkString
+    val rand = (1 to 60).map(i =>
+      (i.toLong, gen(Gen.Parameters.default, Seed(i.toLong)).get))
+    val rdf = rand.toDF("doc_id", "text")
+    val a = TextAnalysis.hashEmbedding(rdf, "text", "doc_id", 16)
+      .orderBy("doc_id").as[(Long, Seq[Double])].collect().toSeq
+    val b = TextAnalysis.hashEmbeddingComposed(rdf, "text", "doc_id", 16)
+      .orderBy("doc_id").as[(Long, Seq[Double])].collect().toSeq
+    assert(a == b)
+  }
+
   test("null text → null count") {
     val out = Seq(Some("a b"), None).toDF("text")
       .select(TextStatExpressions.bpe_token_count(col("text"))).collect()
