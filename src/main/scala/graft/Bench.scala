@@ -69,10 +69,18 @@ object Bench {
     def driftProbe(): Double = {
       import org.apache.spark.sql.functions.{count, lit, sum, col}
       val t0 = System.nanoTime()
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      // a bench dataset without the probe table degrades the probe to
+      // -1 markers (and probe_status "unknown") instead of aborting a
+      // suite whose every timed query is individually guarded
+      try {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] drift probe FAILED: ${e.getMessage}")
+        -1.0
+      }
     }
     driftProbe() // untimed: absorb the probe's own first-JIT charge
     val probeStart = driftProbe()
@@ -129,6 +137,51 @@ object Bench {
       } else name -> t
     }
     val probeEnd = driftProbe()
+    // Machine-readable window adjudication (the round-14 R14B lesson,
+    // promoted from SCALE.md prose to protocol): compare this run's
+    // MEDIAN probe reading against the best median ever recorded for
+    // this fixture on this host (PROBE_NORMS.json beside the build —
+    // the probe code never changes, so the watermark is the host's
+    // demonstrated speed on this data size). "degraded" = median >
+    // 1.3× the norm: cross-window TOTAL comparisons against this run
+    // are unsound (same-window per-query deltas remain valid). The
+    // median, not the min, carries the signal — R14B's min probe
+    // matched the healthy window's while its mid/end readings ran
+    // 1.4× hot, exactly the mid-suite co-tenancy a degraded host
+    // shows. A healthy run lowers the watermark monotonically.
+    val probes = Seq(probeStart, probeMid, probeEnd)
+    val probeMedian = probes.sorted.apply(1)
+    val normsPath = java.nio.file.Paths.get("PROBE_NORMS.json").toAbsolutePath
+    val sfKey = sfDir.split('/').last
+    def readNorm(): Option[Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(normsPath), "UTF-8")
+        s""""$sfKey"\\s*:\\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+      } catch { case _: Throwable => None }
+    val norm = readNorm()
+    val probeStatus =
+      if (probes.exists(_ < 0)) "unknown"
+      else if (norm.exists(n => probeMedian > 1.3 * n)) "degraded"
+      else "ok" // no recorded norm yet = this run seeds the watermark
+    // persist min(norm, median) — only from runs whose probes all
+    // succeeded, so a broken probe can't poison the watermark
+    if (probes.forall(_ >= 0)) {
+      val newNorm = math.min(norm.getOrElse(Double.MaxValue), probeMedian)
+      val others =
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(normsPath), "UTF-8")
+          """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2)).filterNot(_._1 == sfKey).toSeq
+        } catch { case _: Throwable => Seq.empty }
+      val body = (others :+ (sfKey -> f"$newNorm%.3f"))
+        .sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}\n")
+      try java.nio.file.Files.write(normsPath, body.getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] PROBE_NORMS.json write failed: ${e.getMessage}")
+      }
+    }
     val failed = results.collect { case (n, t) if t < 0 => n }
     // totals must stay comparable round-over-round: a failed query
     // contributes 0 to the sum (its -1 marker stays in the map)
@@ -151,6 +204,8 @@ object Bench {
     // yardstick cross-round comparisons normalize by (see README)
     def probeJson: String =
       s""","drift_probe":[${fmt(probeStart, 3)},${fmt(probeMid, 3)},${fmt(probeEnd, 3)}]""" +
+        s""","probe_status":"$probeStatus"""" +
+        norm.map(n => s""","probe_norm":${fmt(n, 3)}""").getOrElse("") +
         (if (warmFailed > 0) s""","warm_failed":$warmFailed""" else "")
     def line(dp: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
