@@ -63,17 +63,43 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * class's partitions.
     */
   def append(name: String, df: DataFrame): Unit = {
-    val shaped = withDefaults(name, df)
+    val shaped0 = withDefaults(name, df)
     // declared edge tables pay their sizing aggregate at WRITE time —
-    // the ingestion-side fact the rank loops consume as a
-    // GraphSizing hint instead of re-scanning the stored table
+    // the ingestion-side fact the rank loops consume as a GraphSizing
+    // hint instead of re-scanning the stored table. The batch is
+    // pinned FIRST (localCheckpoint) so the stats aggregate and the
+    // file write read ONE materialization: without the pin a
+    // non-deterministic batch lineage (sampling, current_timestamp
+    // defaults) could record stats inconsistent with the rows it
+    // wrote. Appends are single-writer like every catalog mutation
+    // (the overwrite bak-swap contract); a crash BETWEEN the data
+    // write and the stats merge leaves stats one batch behind — the
+    // stored rows, never the stats, are the source of truth, and
+    // [[refreshSizing]] (or any rewrite) re-derives them exactly.
+    val sized = edgeDecls.contains(name) || factDecls.contains(name)
+    val shaped = if (sized) shaped0.localCheckpoint() else shaped0
     val stats = edgeDecls.get(name).map { case (sc, dc) =>
       batchSizing(shaped, sc, dc)
     }
+    val factStats = factDecls.get(name).map(kc => factBatchStats(shaped, kc))
     val writer = shaped.write.mode(SaveMode.Append)
     partitionSpec.get(name).fold(writer)(cols => writer.partitionBy(cols: _*))
       .parquet(tablePath(name))
     stats.foreach(mergeSizing(name, _))
+    factStats.foreach(mergeFactSizing(name, _))
+  }
+
+  /** Recompute a declared edge/fact table's sizing stats from the
+    * stored rows — the repair hook for stats lost to a crash between
+    * an append's data write and its stats merge (also turns the
+    * accumulated fact `max_key_rows` lower bound exact).
+    */
+  def refreshSizing(name: String): Unit = {
+    edgeDecls.get(name).foreach { case (sc, dc) =>
+      writeSizing(name, sc, dc, batchSizing(table(name), sc, dc))
+    }
+    factDecls.get(name).foreach(kc =>
+      writeFactSizing(name, kc, factBatchStats(table(name), kc)))
   }
 
   /** Fill schema columns missing from `df`: timestamps get the F12
@@ -168,9 +194,7 @@ final class Catalog(val spark: SparkSession, val root: String) {
     deleteRecursively(bak)
     // a rewrite invalidates append-accumulated sizing stats — refresh
     // from the stored table (cluster/merge/deleteWhere all land here)
-    edgeDecls.get(name).foreach { case (sc, dc) =>
-      writeSizing(name, sc, dc, batchSizing(table(name), sc, dc))
-    }
+    refreshSizing(name)
   }
 
   /** Crash recovery for an interrupted [[overwrite]] swap: if the live
@@ -228,8 +252,6 @@ final class Catalog(val spark: SparkSession, val root: String) {
   private val edgeDecls =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
 
-  private def sizingPath(name: String): String =
-    s"$root/tables/.sizing_$name"
 
   /** One-row batch statistics: (rows, src HLL sketch, dst HLL sketch). */
   private def batchSizing(df: DataFrame, srcCol: String,
@@ -245,26 +267,47 @@ final class Catalog(val spark: SparkSession, val root: String) {
     StructField("src_sketch", BinaryType),
     StructField("dst_sketch", BinaryType)))
 
-  private def writeSizing(name: String, srcCol: String, dstCol: String,
-                          stats: Row): Unit = {
-    val row = Row(srcCol, dstCol, stats.getLong(0),
-      if (stats.isNullAt(1)) null else stats.get(1),
-      if (stats.isNullAt(2)) null else stats.get(2))
-    val tmp = s"$root/tables/.tmp_sizing_$name"
-    spark.createDataFrame(java.util.Collections.singletonList(row),
-        sizingSchema)
+  /** Bak-swap a one-row stats frame into `.{store}_{name}` — the same
+    * crash posture as [[overwrite]]: the old delete-then-move left a
+    * window with NO store on disk; now a crash at any instant leaves
+    * either the live dir or a complete .bak for [[readStore]] to fall
+    * back to. Shared by the edge and fact sizing stores.
+    */
+  private def swapInStore(store: String, name: String, row: Row,
+                          schema: StructType): Unit = {
+    val tmp = s"$root/tables/.tmp_${store}_$name"
+    spark.createDataFrame(java.util.Collections.singletonList(row), schema)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = Paths.get(sizingPath(name))
-    deleteRecursively(target)
+    val target = Paths.get(s"$root/tables/.${store}_$name")
+    val bak = Paths.get(s"$root/tables/.bak_${store}_$name")
+    deleteRecursively(bak)
+    if (Files.exists(target)) Files.move(target, bak, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(bak)
   }
 
-  private def readSizing(name: String): Option[Row] = {
-    val p = Paths.get(sizingPath(name))
-    if (!Files.exists(p.resolve("_SUCCESS"))) None
-    else spark.read.schema(sizingSchema).parquet(sizingPath(name))
-      .collect().headOption
+  private def readStore(store: String, name: String,
+                        schema: StructType): Option[Row] = {
+    def complete(dir: String) =
+      Files.exists(Paths.get(dir).resolve("_SUCCESS"))
+    val live = s"$root/tables/.${store}_$name"
+    val bak = s"$root/tables/.bak_${store}_$name"
+    val pick =
+      if (complete(live)) Some(live)
+      else if (complete(bak)) Some(bak) // interrupted swap: old stats
+      else None
+    pick.flatMap(d =>
+      spark.read.schema(schema).parquet(d).collect().headOption)
   }
+
+  private def writeSizing(name: String, srcCol: String, dstCol: String,
+                          stats: Row): Unit =
+    swapInStore("sizing", name, Row(srcCol, dstCol, stats.getLong(0),
+      if (stats.isNullAt(1)) null else stats.get(1),
+      if (stats.isNullAt(2)) null else stats.get(2)), sizingSchema)
+
+  private def readSizing(name: String): Option[Row] =
+    readStore("sizing", name, sizingSchema)
 
   /** Declare `name` a stored edge table with the given schema: the
     * catalog creates it empty if absent and maintains (edge rows,
@@ -326,14 +369,113 @@ final class Catalog(val spark: SparkSession, val root: String) {
     */
   def sizingHint(name: String): Option[graft.ops.Graph.GraphSizing] =
     readSizing(name).map { r =>
-      def est(i: Int): Long =
-        if (r.isNullAt(i)) 0L
-        else spark.createDataFrame(
-            java.util.Collections.singletonList(Row(r.get(i))),
-            StructType(Seq(StructField("s", BinaryType))))
-          .select(hll_sketch_estimate(col("s"))).head().getLong(0)
-      graft.ops.Graph.GraphSizing(r.getLong(2), est(3), est(4))
+      graft.ops.Graph.GraphSizing(r.getLong(2),
+        estimateSketch(r, 3), estimateSketch(r, 4))
     }
+
+  private def estimateSketch(r: Row, i: Int): Long =
+    if (r.isNullAt(i)) 0L
+    else spark.createDataFrame(
+        java.util.Collections.singletonList(Row(r.get(i))),
+        StructType(Seq(StructField("s", BinaryType))))
+      .select(hll_sketch_estimate(col("s"))).head().getLong(0)
+
+  // ------------------------------------------------------------------
+  // Fact-table sizing (the edge-table machinery generalized, round-15
+  // task 8): a declared fact table maintains (rows, HLL key sketch,
+  // hottest-key row count) across appends — the three numbers
+  // [[graft.ops.Skew.adviseSalts]] turns into a measured salt
+  // suggestion, so the ingestion side records what the join side
+  // would otherwise re-scan 60M rows to learn.
+  // ------------------------------------------------------------------
+
+  private val factDecls =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def factSchema: StructType = StructType(Seq(
+    StructField("key_col", StringType),
+    StructField("rows", LongType),
+    StructField("key_sketch", BinaryType),
+    StructField("max_key_rows", LongType)))
+
+  /** One-row fact batch statistics: a per-key count aggregate feeding
+    * (total rows, key sketch, max per-key count) — the two-level
+    * shape is the ingestion price of knowing the hot-key mass.
+    */
+  private def factBatchStats(df: DataFrame, keyCol: String): Row =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("__kn"))
+      .agg(coalesce(sum(col("__kn")), lit(0L)).as("rows"),
+        hll_sketch_agg(col(keyCol)).as("key_sketch"),
+        coalesce(max(col("__kn")), lit(0L)).as("max_key_rows")).head()
+
+  /** Declare `name` a stored fact table keyed by `keyCol`: creates it
+    * empty if absent and maintains [[FactSizing]] across appends and
+    * rewrites, crash-safe under the same bak-swap as the edge store.
+    * `max_key_rows` accumulated over appends is a LOWER BOUND (a key
+    * split across batches counts per batch); every rewrite — and
+    * [[refreshSizing]] — recomputes it exactly from the stored rows.
+    */
+  def declareFactTable(name: String, keyCol: String,
+                       schema: StructType): Unit = {
+    require(schema.fieldNames.contains(keyCol),
+      s"fact schema must carry $keyCol")
+    extraSchemas.put(name, schema)
+    factDecls.put(name, keyCol)
+    recover(name)
+    val dir = Paths.get(tablePath(name))
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    }
+    if (readStore("factsizing", name, factSchema).isEmpty)
+      writeFactSizing(name, keyCol, factBatchStats(table(name), keyCol))
+  }
+
+  private def writeFactSizing(name: String, keyCol: String, stats: Row): Unit =
+    swapInStore("factsizing", name, Row(keyCol, stats.getLong(0),
+      if (stats.isNullAt(1)) null else stats.get(1),
+      stats.getLong(2)), factSchema)
+
+  private def mergeFactSizing(name: String, batch: Row): Unit = {
+    val keyCol = factDecls(name)
+    val prior = readStore("factsizing", name, factSchema)
+    val rows = prior.map(_.getLong(1)).getOrElse(0L) + batch.getLong(0)
+    val maxKey = math.max(prior.map(_.getLong(3)).getOrElse(0L),
+      batch.getLong(2))
+    val sketch = {
+      val b = if (batch.isNullAt(1)) null else batch.get(1)
+      val p = prior.filter(!_.isNullAt(2)).map(_.get(2)).orNull
+      (p, b) match {
+        case (null, x) => x
+        case (x, null) => x
+        case (x, y) =>
+          spark.createDataFrame(
+              java.util.Collections.singletonList(Row(x, y)),
+              StructType(Seq(StructField("a", BinaryType),
+                StructField("b", BinaryType))))
+            .select(hll_union(col("a"), col("b"))).head().get(0)
+      }
+    }
+    writeFactSizing(name, keyCol, Row(rows, sketch, maxKey))
+  }
+
+  /** Recorded fact sizing: (rows, approx distinct keys, hottest-key
+    * rows). None when never declared.
+    */
+  def factSizing(name: String): Option[Catalog.FactSizing] =
+    readStore("factsizing", name, factSchema).map { r =>
+      Catalog.FactSizing(r.getLong(1), estimateSketch(r, 2), r.getLong(3))
+    }
+
+  /** Measured salt suggestion for [[graft.ops.Skew.saltedJoin]] on a
+    * declared fact table — [[graft.ops.Skew.adviseSalts]] over the
+    * recorded sizing. None when the table was never declared.
+    */
+  def saltAdvice(name: String,
+                 hotCellRows: Long = graft.ops.Skew.defaultHotCellRows): Option[Int] =
+    factSizing(name).map(s =>
+      graft.ops.Skew.adviseSalts(s.rows, s.keysApprox, s.maxKeyRows,
+        hotCellRows))
 
   def listTables(): Seq[String] = {
     val d = Paths.get(s"$root/tables")
@@ -493,6 +635,13 @@ final class Catalog(val spark: SparkSession, val root: String) {
 }
 
 object Catalog {
+  /** Recorded fact-table sizing (see [[Catalog.factSizing]]): total
+    * rows, HLL-approximate distinct key count, hottest-key row count
+    * (a lower bound between rewrites — see declareFactTable).
+    */
+  final case class FactSizing(rows: Long, keysApprox: Long,
+                              maxKeyRows: Long)
+
   /** Regex matching everything up to and including a stage's directory
     * in a file path. Stage names are Pattern-quoted so regex
     * metacharacters in them ("v1.2", "a+b") match literally. Shared by

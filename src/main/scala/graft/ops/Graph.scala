@@ -601,11 +601,25 @@ object Graph {
     * build + closing-edge check), all on node/edge keys; counts are
     * exact integers, so any engine replays them bit-for-bit.
     */
-  def triangleCounts(edges: DataFrame, srcCol: String,
-                     dstCol: String): DataFrame = {
-    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
-    triangleCountsOn(e, degreesOf(e))
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+                     sizingHint: Option[GraphSizing] = None): DataFrame = {
+    val pin = trianglePin(edges, sizingHint)
+    val e = pin(canonicalEdges(edges, srcCol, dstCol))
+    triangleCountsOn(e, degreesOf(e), pin)
   }
+
+  /** Pin strategy for the triangle/clustering family from catalog
+    * sizing (the rank-loop consumption, task-7 round 15): a declared
+    * edge table's row count decides memory vs disk checkpointing for
+    * the TWO edge-sized pins these kernels make (canonical set +
+    * oriented set) — pinning 2× a 100M-row edge table in executor
+    * memory is the same heap bomb [[reliableEdgeThreshold]] guards in
+    * the rank loops. No hint = the status quo local pin.
+    */
+  private def trianglePin(edges: DataFrame,
+                          sizingHint: Option[GraphSizing]): DataFrame => DataFrame =
+    pinner(edges.sparkSession, None,
+      sizingHint.map(_.edgeRows).getOrElse(0L))
 
   /** Degrees of a canonical (a < b, deduped) edge set. */
   private def degreesOf(e: DataFrame): DataFrame =
@@ -618,19 +632,21 @@ object Graph {
     * needs both anyway) doesn't re-canonicalize, re-pin, and
     * re-aggregate degrees a second time inside this call.
     */
-  private def triangleCountsOn(e: DataFrame, deg: DataFrame): DataFrame = {
+  private def triangleCountsOn(e: DataFrame, deg: DataFrame,
+                               pin: DataFrame => DataFrame = _.localCheckpoint()
+                              ): DataFrame = {
     // orient by (deg, node) rank: lower -> higher
     val withDeg = e
       .join(deg.select(col("node").as("a"), col("deg").as("__da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("__db")), Seq("b"))
-    val oriented = withDeg.select(
+    val oriented0 = withDeg.select(
         when(col("__da") < col("__db") ||
           (col("__da") === col("__db") && col("a") < col("b")),
           struct(col("a").as("lo"), col("b").as("hi")))
           .otherwise(struct(col("b").as("lo"), col("a").as("hi")))
           .as("__o"))
       .select(col("__o.lo").as("lo"), col("__o.hi").as("hi"))
-      .localCheckpoint()
+    val oriented = pin(oriented0)
     // wedges from the lowest-ranked vertex x: (x->y1), (x->y2); the
     // closing edge y1-y2 is checked against the CANONICAL set (its
     // orientation relative to y1/y2 is unknown, their ids are not)
@@ -661,11 +677,13 @@ object Graph {
     * codegen row expression rounded to 6dp.
     */
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
-                            dstCol: String): DataFrame = {
-    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+                            dstCol: String,
+                            sizingHint: Option[GraphSizing] = None): DataFrame = {
+    val pin = trianglePin(edges, sizingHint)
+    val e = pin(canonicalEdges(edges, srcCol, dstCol))
     val deg = degreesOf(e)
     deg.filter(col("deg") >= 2)
-      .join(triangleCountsOn(e, deg), Seq("node"))
+      .join(triangleCountsOn(e, deg, pin), Seq("node"))
       .select(col("node"), col("deg"), col("n_triangles"),
         round(lit(2.0) * col("n_triangles") /
           (col("deg") * (col("deg") - 1)), 6).as("clustering_coef"))
@@ -825,10 +843,16 @@ object Graph {
     */
   def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
                 k: Int, rounds: Int,
-                checkpointDir: Option[String] = None): DataFrame = {
+                checkpointDir: Option[String] = None,
+                sizingHint: Option[GraphSizing] = None): DataFrame = {
     require(k >= 1, "k >= 1")
     require(rounds >= 1 && rounds <= 64, "rounds in [1, 64]")
-    val pin = withCheckpointDir(edges, checkpointDir)
+    // catalog sizing picks the pin mode like the rank loops: the peel
+    // re-pins a (shrinking) edge-sized table EVERY round, so a big
+    // declared table auto-selects disk checkpointing instead of
+    // holding `rounds` generations of executor-memory blocks
+    val pin = pinner(edges.sparkSession, checkpointDir,
+      sizingHint.map(_.edgeRows).getOrElse(0L))
     var e = pin(canonicalEdges(edges, srcCol, dstCol))
     for (_ <- 1 to rounds) {
       val keep = degreesOf(e).filter(col("deg") >= k)

@@ -94,6 +94,59 @@ class CatalogEdgeSizingSpec extends AnyFunSuite with SparkTestBase {
     assert(hinted == scanned)
   }
 
+  test("interrupted sizing swap: the .bak fallback serves the old stats; " +
+    "refreshSizing repairs from stored rows") {
+    val (cat, root) = freshCat()
+    cat.declareEdgeTable("EDGES", "src", "dst", edgeSchema)
+    cat.append("EDGES", edges(90))
+    val before = cat.sizingHint("EDGES").get
+    // simulate a crash mid-swap: live moved to .bak, replacement never
+    // arrived (the exact window the old delete-then-move left empty)
+    val live = java.nio.file.Paths.get(s"$root/tables/.sizing_EDGES")
+    val bak = java.nio.file.Paths.get(s"$root/tables/.bak_sizing_EDGES")
+    java.nio.file.Files.move(live, bak)
+    assert(cat.sizingHint("EDGES").contains(before), "bak fallback")
+    // the repair hook re-derives stats exactly from the stored rows
+    cat.refreshSizing("EDGES")
+    assert(java.nio.file.Files.exists(live.resolve("_SUCCESS")))
+    assert(cat.sizingHint("EDGES").get.edgeRows == 90L)
+  }
+
+  test("append records stats of ONE batch materialization (localCheckpoint " +
+    "pins non-deterministic lineage)") {
+    val (cat, _) = freshCat()
+    cat.declareEdgeTable("EDGES", "src", "dst", edgeSchema)
+    // rand()-gated lineage would count differently on every evaluation;
+    // the pin forces stats and written rows to agree exactly
+    val nondet = edges(400).filter(rand() < 0.5)
+    cat.append("EDGES", nondet)
+    val hint = cat.sizingHint("EDGES").get
+    assert(hint.edgeRows == cat.table("EDGES").count(),
+      s"stats ${hint.edgeRows} must match written rows")
+  }
+
+  test("triangles / clustering-coef / k-core consume the catalog hint " +
+    "with unchanged results (task-7 parity, mirrors the rank-loop test)") {
+    val (cat, _) = freshCat()
+    cat.declareEdgeTable("EDGES", "src", "dst", edgeSchema)
+    // a graph with real triangles: ring + chords over 60 nodes
+    val tri = (0L until 60L).flatMap(i => Seq(
+      (i, (i + 1) % 60), (i, (i + 2) % 60))).toDF("src", "dst")
+    cat.append("EDGES", tri)
+    val stored = cat.table("EDGES")
+    val hint = cat.sizingHint("EDGES")
+    assert(hint.exists(_.edgeRows == 120L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().toSeq
+    assert(rows(Graph.triangleCounts(stored, "src", "dst", sizingHint = hint)) ==
+      rows(Graph.triangleCounts(stored, "src", "dst")))
+    assert(rows(Graph.clusteringCoefficient(stored, "src", "dst", sizingHint = hint)) ==
+      rows(Graph.clusteringCoefficient(stored, "src", "dst")))
+    assert(rows(Graph.kCorePeel(stored, "src", "dst", k = 3, rounds = 4,
+        sizingHint = hint)) ==
+      rows(Graph.kCorePeel(stored, "src", "dst", k = 3, rounds = 4)))
+  }
+
   test("undeclared tables report no hint; sizing store hides from listTables") {
     val (cat, _) = freshCat()
     assert(cat.sizingHint("NOPE").isEmpty)
