@@ -170,11 +170,23 @@ object SparkEntry {
 
   /** Range join (J8): lineitems shipped within 30 days of their
     * order's date — equi key + time-band predicate.
+    *
+    * Hash build on the ORDERS side (Spark 4 supports build-left for
+    * LEFT OUTER shuffled hash joins): the default sort-merge plan
+    * range-sorted the full 60M-row lineitem stream per partition —
+    * the exact allocation pattern that OOM'd one of two otherwise
+    * identical sf10 suite runs at the 8 GB default heap (the r14
+    * "within noise" fragility, caught red-handed in the first r15
+    * window). The build side is the NARROW one by construction:
+    * (o_orderkey, o_orderdate) at ~24 B/row hashes ~11 MB per
+    * partition, while the probe side streams with no sort at all —
+    * peak memory drops from sort-the-big-side to hash-the-small-side.
     */
   private def qJ8Range(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders")
     val l = t(s, d, "lineitem")
-    o.join(l,
+    o.select(col("o_orderkey"), col("o_orderdate")).hint("shuffle_hash")
+      .join(l.select(col("l_orderkey"), col("l_shipdate")),
         col("o_orderkey") === col("l_orderkey") &&
         col("l_shipdate") >= col("o_orderdate") &&
         col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left")
@@ -270,10 +282,14 @@ object SparkEntry {
 
   private def qF7(s: SparkSession, d: String): DataFrame =
     ev(s, d)
-      // extract once, cast the extracted column — two get_json_object
-      // calls parse the JSON twice per row (no CSE across the cast)
+      // native byte scan (JsonGetString — q_f9's JsonGetLong treatment
+      // applied to the string-field twin, the round-14 verdict's
+      // diagnosis: the Jackson-backed get_json_object measured 4.6x
+      // per decade while the sibling native path read 2.5x); the cast
+      // of the extracted column reuses the one scan via CSE-by-hand
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").as("k_str"))
+        graft.functions.JsonScalarExpressions
+          .json_get_string(col("props"), "k").as("k_str"))
       .withColumn("k_int", col("k_str").cast("long"))
       .orderBy(col("event_id"))
 
@@ -2647,8 +2663,11 @@ object SparkEntry {
     // EXPAND the event stream 2× before the first shuffle (6.5× per
     // decade at sf10 for a query whose real work is one exchange)
     ev(s, d).select(col("event_type"), col("user_id")).distinct()
+      // count(user_id), not count(1): countDistinct and the HLL both
+      // IGNORE nulls, so a null user_id (one pair row post-distinct)
+      // must not count as a user or the 5% contract silently shifts
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("exact_users"),
+      .agg(count(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("__approx"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("__approx") - col("exact_users")).cast("double") /

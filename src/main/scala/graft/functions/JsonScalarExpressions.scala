@@ -146,6 +146,156 @@ object JsonScalarExpressions {
     if (neg) -v else v
   }
 
+  /** Byte-level scan: the string form of `key`'s value in the
+    * top-level JSON object `s`, or null — [[getLongBoxed]]'s companion
+    * for STRING extraction (q_f7's `k_str` column), same scan skeleton
+    * and the same oracle-pinned object semantics (duplicate keys
+    * first-wins, trailing garbage → whole input malformed → null).
+    * Value mapping, matched to DuckDB `json_extract_string(j, '$.key')`
+    * on the flat-payload domain (and to Spark's `get_json_object`
+    * everywhere their behaviors coincide — the parity spec pins both):
+    *   - string value → its UNESCAPED contents
+    *   - number / true / false → the literal token text. Integral
+    *     numbers are canonical by JSON grammar (no '+', no leading
+    *     zeros), so this is byte-identical to both engines; FLOAT
+    *     syntax keeps its source text ("1.5e3") where DuckDB
+    *     re-canonicalizes through a double ("1500.0") — a documented
+    *     divergence on the raw-text side (the oracle only extracts
+    *     integer fields, and get_json_object agrees with raw text)
+    *   - null literal / missing key / malformed → null
+    *   - nested object/array → the raw source span (DuckDB re-emits
+    *     minified JSON; identical on machine-written minified payloads)
+    */
+  def getStringBoxed(s: UTF8String, key: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = skipWs(s, 0, n)
+    if (i >= n || s.getByte(i) != '{') return null
+    i += 1
+    var first = true
+    // like getLongBoxed: scan to the closing '}' so trailing garbage
+    // malforms the whole input; remember only the FIRST match
+    var result: UTF8String = null
+    var found = false
+    while (i < n) {
+      i = skipWs(s, i, n)
+      if (i < n && s.getByte(i) == '}') {
+        i = skipWs(s, i + 1, n)
+        return if (i == n) result else null
+      }
+      if (!first) {
+        if (i >= n || s.getByte(i) != ',') return null
+        i = skipWs(s, i + 1, n)
+      }
+      first = false
+      if (i >= n || s.getByte(i) != '"') return null
+      var j = i + 1
+      var esc = false
+      while (j < n && s.getByte(j) != '"') {
+        if (s.getByte(j) == '\\') { esc = true; j += 2 } else j += 1
+      }
+      if (j >= n) return null
+      val matched = !esc && bytesEqual(s, i + 1, j, key)
+      i = skipWs(s, j + 1, n)
+      if (i >= n || s.getByte(i) != ':') return null
+      i = skipWs(s, i + 1, n)
+      if (i >= n) return null
+      val end = skipValue(s, i, n)
+      if (end < 0) return null
+      if (matched && !found) {
+        // a malformed matched VALUE (unterminated string) cannot reach
+        // here — skipValue already returned -1 for it
+        result = valueString(s, i, end)
+        found = true
+      }
+      i = end
+    }
+    null // ran off the end without a closing '}' — malformed
+  }
+
+  /** Extract the string form of one already-skipped value span
+    * [start, end): unescaped contents for strings, literal text for
+    * numbers/booleans/nested spans, null for the null literal.
+    */
+  private def valueString(s: UTF8String, start: Int, end: Int): UTF8String = {
+    val b = s.getByte(start)
+    if (b == '"') unescape(s, start + 1, end - 1)
+    else if (b == 'n') null // the only 'n'-leading JSON value is null
+    else copySpan(s, start, end)
+  }
+
+  private def copySpan(s: UTF8String, start: Int, end: Int): UTF8String = {
+    val arr = new Array[Byte](end - start)
+    var i = 0
+    while (i < arr.length) { arr(i) = s.getByte(start + i); i += 1 }
+    UTF8String.fromBytes(arr)
+  }
+
+  /** Unescape a JSON string body [from, to) (quotes excluded). The
+    * escape-free fast path is a straight byte copy; escapes decode per
+    * RFC 8259 including \uXXXX surrogate pairs. Invalid escapes →
+    * null (malformed value).
+    */
+  private def unescape(s: UTF8String, from: Int, to: Int): UTF8String = {
+    var i = from
+    var hasEsc = false
+    while (i < to && !hasEsc) { if (s.getByte(i) == '\\') hasEsc = true else i += 1 }
+    if (!hasEsc) return copySpan(s, from, to)
+    val sb = new java.lang.StringBuilder(to - from)
+    // copy the clean prefix, then decode the remainder char-aware: the
+    // builder path converts through String (allocation is inherent to
+    // producing a NEW unescaped string; only escaped rows pay it)
+    sb.append(copySpan(s, from, i).toString)
+    var k = i
+    while (k < to) {
+      val c = s.getByte(k)
+      if (c == '\\') {
+        if (k + 1 >= to) return null
+        val e = s.getByte(k + 1)
+        (e: @annotation.switch) match {
+          case '"' => sb.append('"'); k += 2
+          case '\\' => sb.append('\\'); k += 2
+          case '/' => sb.append('/'); k += 2
+          case 'b' => sb.append('\b'); k += 2
+          case 'f' => sb.append('\f'); k += 2
+          case 'n' => sb.append('\n'); k += 2
+          case 'r' => sb.append('\r'); k += 2
+          case 't' => sb.append('\t'); k += 2
+          case 'u' =>
+            if (k + 6 > to) return null
+            val cp = hex4(s, k + 2)
+            if (cp < 0) return null
+            sb.append(cp.toChar) // surrogate halves append as-is; a
+            // valid pair of \u escapes reassembles in the char stream
+            k += 6
+          case _ => return null
+        }
+      } else {
+        // non-escape byte: append raw — multi-byte UTF-8 sequences
+        // pass through the builder via a per-segment copy
+        val segStart = k
+        while (k < to && s.getByte(k) != '\\') k += 1
+        sb.append(copySpan(s, segStart, k).toString)
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def hex4(s: UTF8String, at: Int): Int = {
+    var v = 0
+    var i = 0
+    while (i < 4) {
+      val b = s.getByte(at + i)
+      val d =
+        if (b >= '0' && b <= '9') b - '0'
+        else if (b >= 'a' && b <= 'f') b - 'a' + 10
+        else if (b >= 'A' && b <= 'F') b - 'A' + 10
+        else return -1
+      v = (v << 4) | d
+      i += 1
+    }
+    v
+  }
+
   /** Skip one JSON value (string/number/object/array/literal) starting
     * at `i`; returns the index after it, or -1 on malformed input.
     */
@@ -218,6 +368,38 @@ object JsonScalarExpressions {
       copy(child = newChild)
   }
 
+  /** `json_get_string(json, 'key')`: one top-level field as its string
+    * form (the [[getStringBoxed]] contract), codegen via the same
+    * static-scanner-call pattern as [[JsonGetLong]].
+    */
+  case class JsonGetString(child: Expression, key: UTF8String)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_get_string"
+
+    override def nullSafeEval(input: Any): Any =
+      getStringBoxed(input.asInstanceOf[UTF8String], key)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val keyRef = ctx.addReferenceObj("jsonKey", key,
+        classOf[UTF8String].getName)
+      nullSafeCodeGen(ctx, ev, j => {
+        val out = ctx.freshName("jstr")
+        s"""
+           |org.apache.spark.unsafe.types.UTF8String $out =
+           |  graft.functions.JsonScalarExpressions.getStringBoxed($j, $keyRef);
+           |if ($out == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $out; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   /** Column API: extract top-level `key` from a JSON-string column as
@@ -226,14 +408,27 @@ object JsonScalarExpressions {
   def json_get_long(json: Column, key: String): Column =
     column(JsonGetLong(expression(json), UTF8String.fromString(key)))
 
-  /** Register json_get_long(json, 'key') for spark.sql use. */
-  def register(spark: SparkSession): Unit =
+  /** Column API: extract top-level `key` from a JSON-string column as
+    * its string form (unescaped string / literal token text).
+    */
+  def json_get_string(json: Column, key: String): Column =
+    column(JsonGetString(expression(json), UTF8String.fromString(key)))
+
+  /** Register json_get_long / json_get_string for spark.sql use. */
+  def register(spark: SparkSession): Unit = {
+    def litKey(name: String)(e: Expression): UTF8String = e match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+        l.value.asInstanceOf[UTF8String]
+      case other => throw new IllegalArgumentException(
+        s"$name key must be a literal string, got $other")
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "json_get_long",
-      exprs => JsonGetLong(exprs.head, exprs(1) match {
-        case l: org.apache.spark.sql.catalyst.expressions.Literal =>
-          l.value.asInstanceOf[UTF8String]
-        case other => throw new IllegalArgumentException(
-          s"json_get_long key must be a literal string, got $other")
-      }), "built-in")
+      exprs => JsonGetLong(exprs.head, litKey("json_get_long")(exprs(1))),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "json_get_string",
+      exprs => JsonGetString(exprs.head, litKey("json_get_string")(exprs(1))),
+      "built-in")
+  }
 }

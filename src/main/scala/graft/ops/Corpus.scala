@@ -136,11 +136,46 @@ object Corpus {
   def sampleStratified(df: DataFrame, strataCol: String, idCol: String,
                        n: Int): DataFrame = {
     require(n > 0, "sample size must be positive")
+    // Top-n per stratum in md5 order WITHOUT sorting the stream: the
+    // direct window formulation local-sorts every partition of the
+    // full input by a 32-char hash (WindowGroupLimit trims the
+    // exchange, not the sort) — measured 4.8x per decade at sf10 on
+    // the 60M-event fixture for a query whose OUTPUT is 50 rows.
+    // Instead, the md5 rank's first two hex digits form 256 ordered
+    // range buckets per stratum (hex-string order = prefix order —
+    // the takeTokenBudget prefix-sum idiom): a tiny per-(stratum,
+    // bucket) count fixes the earliest bucket whose cumulative count
+    // reaches n, rows past that bucket provably cannot rank top-n,
+    // and only the surviving sliver (n/256th of uniform-hash data)
+    // pays the window sort. Exact for every input: a stratum with
+    // under n rows keeps every bucket (cumulative never reaches n →
+    // cutoff defaults past the last bucket); null ids hash to null
+    // md5 = bucket null, ranked FIRST by the window's asc-nulls-first
+    // order, so they map to bucket -1 and always survive the filter.
+    val ranked = df
+      .withColumn("__r", md5(col(idCol).cast("string")))
+      .withColumn("__b",
+        coalesce(conv(substring(col("__r"), 1, 2), 16, 10).cast("int"),
+          lit(-1)))
+    val cutoffs = ranked.groupBy(col(strataCol), col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__cum", sum(col("__bn")).over(
+        Window.partitionBy(col(strataCol)).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(strataCol))
+      .agg(coalesce(min(when(col("__cum") >= n, col("__b"))),
+        lit(256)).as("__cut"))
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
+      .orderBy(col("__r"), col(idCol))
+    ranked
+      // null-safe equality: a NULL stratum is a legitimate partition
+      // of the window formulation and must meet its own cutoff row
+      .join(broadcast(cutoffs.withColumnRenamed(strataCol, "__strat")),
+        col(strataCol) <=> col("__strat"))
+      .filter(col("__b") <= col("__cut"))
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
-      .drop("__rn")
+      .select(df.columns.map(col): _*)
   }
 
   /** Per-source token-budget intake: the EXECUTION half of dataset
@@ -548,19 +583,26 @@ object Corpus {
                           textCol: String, evalTextCol: String,
                           idCol: String, evalIdCol: String,
                           n: Int = 13): DataFrame = {
+    // grams travel as 16-byte md5 digests, never 13-gram strings (the
+    // noveltyBySource convention): the gram equi-join's shuffle drops
+    // ~6× in width and the md5-keyed match is the same pair set the
+    // raw-string join produces (128-bit digests; the window_hashes128
+    // md5-equivalence posture — a collision would need 2^64 grams)
     val evalGrams = eval_.select(col(evalIdCol).as("eval_id"),
       explode(Dedup.shingles(col(evalTextCol), n)).as("__g"))
+      .select(col("eval_id"), unhex(md5(col("__g"))).as("__h"))
     val evalIds = eval_.select(col(evalIdCol).as("__eid")).distinct()
     train
       .join(broadcast(evalIds), col(idCol) === col("__eid"), "left_anti")
       .select(col(idCol).as("train_id"),
         explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .select(col("train_id"), unhex(md5(col("__g"))).as("__h"))
       // no broadcast hint on the GRAM side: its volume scales with the
-      // eval set (13-gram strings, not ids), so the size-checked
-      // planner/AQE must keep the right to shuffle it — a forced
-      // broadcast would bypass autoBroadcastJoinThreshold and OOM the
-      // driver on a large benchmark suite
-      .join(evalGrams, Seq("__g"))
+      // eval set (13-gram digests), so the size-checked planner/AQE
+      // must keep the right to shuffle it — a forced broadcast would
+      // bypass autoBroadcastJoinThreshold and OOM the driver on a
+      // large benchmark suite
+      .join(evalGrams, Seq("__h"))
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
   }
@@ -625,14 +667,22 @@ object Corpus {
   def noveltyBySource(df: DataFrame, textCol: String, sourceCol: String,
                       n: Int = 5): DataFrame = {
     val spark = df.sparkSession
-    // the source VOCABULARY is catalog-sized by construction — this
-    // collect is bounded the way a dimension-table broadcast is, and
-    // lexicographic ids make min(id) ≡ min(source)
+    // the source VOCABULARY is catalog-sized by construction, and the
+    // collect is HARD-BOUNDED regardless: LIMIT 63 fetches just enough
+    // rows to decide the plan — 63 distinct sources proves the >62
+    // fallback applies (which needs no driver-side source list at
+    // all), so an unexpectedly high-cardinality source column can
+    // never balloon the driver. Lexicographic ids make
+    // min(id) ≡ min(source). NULL sources carry no curve row on
+    // EITHER plan (documented contract, not an accident of one
+    // branch): a source label is catalog metadata, and unattributed
+    // docs have no place on a marginal-diversity curve keyed by it.
     val srcs = df.select(col(sourceCol).cast("string").as("source"))
       .filter(col("source").isNotNull)
-      .distinct().orderBy(col("source")).collect().map(_.getString(0))
+      .distinct().orderBy(col("source")).limit(63).collect().map(_.getString(0))
     val grams0 = df.select(col(sourceCol).cast("string").as("source"),
-      explode(Dedup.shingles(col(textCol), n)).as("__g"))
+        explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .filter(col("source").isNotNull)
     if (srcs.isEmpty) {
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -645,8 +695,9 @@ object Corpus {
             org.apache.spark.sql.types.LongType, nullable = false))))
     }
     if (srcs.length > 62) {
-      // >62 sources: two hash-key aggregations over the distinct
-      // (source, hash) pair set — still no windows, no global sorts
+      // 63 fetched under LIMIT 63 = more than 62 exist: two hash-key
+      // aggregations over the distinct (source, hash) pair set —
+      // still no windows, no global sorts, no driver-side source list
       val grams = grams0.select(col("source"),
         unhex(md5(col("__g"))).as("__h")).distinct().localCheckpoint()
       val perSource = grams.groupBy(col("source"))

@@ -202,9 +202,15 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
       s"salted join must hash-build the replicated small side:\n$p")
   }
 
-  test("stratified sample bounds per-partition sorts (WindowGroupLimit)") {
+  test("stratified sample bounds per-partition sorts (WindowGroupLimit) " +
+    "and prefilters by broadcast bucket cutoff") {
     val p = plan("q_sample_stratified")
     assert(p.contains("WindowGroupLimit"), p)
+    // round-15 rewrite: the per-stratum cutoff row reaches the stream
+    // via a BROADCAST join, so the full input never range-sorts — only
+    // the surviving hash-prefix sliver pays the window sort
+    assert(p.contains("BroadcastHashJoin"),
+      s"cutoff must broadcast back to the stream:\n$p")
   }
 
   test("typed top-k aggregator partial-aggregates before the shuffle") {

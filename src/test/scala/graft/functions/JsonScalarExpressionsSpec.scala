@@ -142,4 +142,133 @@ class JsonScalarExpressionsSpec extends AnyFunSuite with SparkTestBase {
     val out = df.select(json_get_long(col("j"), "k")).collect()
     assert(out(0).getLong(0) == 1L && out(1).isNullAt(0))
   }
+
+  // ---- json_get_string (the q_f7 string-field twin) ----
+
+  import JsonScalarExpressions.json_get_string
+
+  private def getS(json: String, key: String = "k"): Option[String] =
+    Option(JsonScalarExpressions.getStringBoxed(
+      UTF8String.fromString(json), UTF8String.fromString(key)))
+      .map(_.toString)
+
+  test("string form: numbers/bools keep literal text, strings unescape") {
+    assert(getS("""{"k": 69}""") == Some("69"))
+    assert(getS("""{"k": -7}""") == Some("-7"))
+    assert(getS("""{"k": true}""") == Some("true"))
+    assert(getS("""{"k": false}""") == Some("false"))
+    assert(getS("""{"k": "abc"}""") == Some("abc"))
+    assert(getS("""{"k": " x "}""") == Some(" x "))
+    assert(getS("""{"k": ""}""") == Some(""))
+    // raw-text contract on float syntax (DuckDB re-canonicalizes
+    // through a double — divergence documented in the scaladoc; the
+    // oracle only extracts integer fields)
+    assert(getS("""{"k": 1.5e3}""") == Some("1.5e3"))
+  }
+
+  test("string form: null literal, missing key, malformed → null") {
+    assert(getS("""{"k": null}""").isEmpty)
+    assert(getS("""{"x": 1}""").isEmpty)
+    assert(getS("""{"k":1}junk""").isEmpty)
+    assert(getS("""not json""").isEmpty)
+    assert(getS("""{"k": "unterminated""").isEmpty)
+    assert(getS("").isEmpty)
+  }
+
+  test("string form: duplicate keys first-wins; trailing ws ok") {
+    assert(getS("""{"k":"a","k":"b"}""") == Some("a"))
+    assert(getS("{\"k\": \"v\"}  \n") == Some("v"))
+  }
+
+  test("string form: escapes decode per RFC 8259") {
+    assert(getS("""{"k": "a\nb"}""") == Some("a\nb"))
+    assert(getS("""{"k": "q\"q"}""") == Some("q\"q"))
+    assert(getS("""{"k": "s\\t\/u"}""") == Some("s\\t/u"))
+    assert(getS("""{"k": "Aé"}""") == Some("Aé"))
+    // surrogate pair reassembles
+    assert(getS("""{"k": "😀"}""") == Some("😀"))
+    // invalid escape → malformed value → null (the \u sequences are
+    // spelled via runtime concat — scalac pre-parses \u even inside
+    // triple quotes)
+    assert(getS("{\"k\": \"" + "\\q" + "\"}").isEmpty)
+    assert(getS("{\"k\": \"" + "\\" + "u12g4" + "\"}").isEmpty)
+    // valid \u escape decodes
+    assert(getS("{\"k\": \"" + "\\" + "u0041" + "\"}") == Some("A"))
+  }
+
+  test("string form: nested values return the raw source span") {
+    assert(getS("""{"k": {"a":1}}""") == Some("""{"a":1}"""))
+    assert(getS("""{"k": [1,2]}""") == Some("[1,2]"))
+    // the raw span keeps interior whitespace (get_json_object and
+    // DuckDB re-emit minified — the parity corpus below generates
+    // minified nested values; machine-written payloads are minified)
+    assert(getS("""{"k": [1, 2]}""") == Some("[1, 2]"))
+  }
+
+  test("string form: bit-parity with get_json_object on a generated corpus") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val strBody = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf(" ", "é", "日", "😀", ","),
+      1 -> Gen.oneOf("\n", "\t", "\"", "\\"))).map(_.mkString)
+    val scalarGen: Gen[String] = Gen.frequency(
+      4 -> Gen.choose(Long.MinValue / 2, Long.MaxValue / 2).map(_.toString),
+      1 -> Gen.const("true"), 1 -> Gen.const("false"),
+      1 -> Gen.const("null"),
+      4 -> strBody.map(s => jsonQuote(s)),
+      1 -> Gen.choose(0, 99).map(i => s"""{"in":$i}"""),
+      1 -> Gen.choose(0, 99).map(i => s"[$i,[$i]]"))
+    val objGen: Gen[String] = for {
+      kVal <- scalarGen
+      pre <- Gen.choose(0, 2)
+      post <- Gen.choose(0, 2)
+      other <- scalarGen
+    } yield {
+      val preF = (0 until pre).map(i => s""""p$i": ${other}""")
+      val postF = (0 until post).map(i => s""""q$i": ${other}""")
+      (preF ++ Seq(s""""k": $kVal""") ++ postF).mkString("{", ", ", "}")
+    }
+    (1 to 40).foreach { i =>
+      val docs = Gen.listOfN(25, objGen)(
+        Gen.Parameters.default, Seed(i.toLong)).get
+      val out = docs.toDF("j")
+        .select(json_get_string(col("j"), "k").as("native"),
+          get_json_object(col("j"), "$.k").as("gjo"))
+        .collect()
+      out.zipWithIndex.foreach { case (r, d) =>
+        def v(c: Int) = if (r.isNullAt(c)) None else Some(r.getString(c))
+        assert(v(0) == v(1), s"seed=$i doc=$d json=${docs(d)}")
+      }
+    }
+  }
+
+  private def jsonQuote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\t' => sb.append("\\t")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  test("string form: codegen and interpreted paths agree") {
+    val df = (0 until 50).map(i => s"""{"k": "v$i", "n": $i}""").toDF("j")
+    val a = df.select(json_get_string(col("j"), "k")).as[String].collect().toSeq
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val b = df.select(json_get_string(col("j"), "k")).as[String].collect().toSeq
+      assert(a == b && a == (0 until 50).map(i => s"v$i"))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("string form: null input column → null out") {
+    val df = Seq(Some("""{"k": "x"}"""), None).toDF("j")
+    val out = df.select(json_get_string(col("j"), "k")).collect()
+    assert(out(0).getString(0) == "x" && out(1).isNullAt(0))
+  }
 }

@@ -150,6 +150,30 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(perGroup == Map("g0" -> 5, "g1" -> 5, "g2" -> 5), perGroup.toString)
   }
 
+  test("sampleStratified bucket-prefilter ≡ the plain window form") {
+    // the round-15 rewrite keeps whole hash-prefix buckets up to the
+    // per-stratum cutoff instead of sorting the stream; this pins the
+    // selected SET against the direct window formulation it replaced,
+    // covering under-n strata, a single-row stratum, and NULL strata
+    def windowForm(df: org.apache.spark.sql.DataFrame, n: Int) = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+        .orderBy(md5(col("id").cast("string")), col("id"))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n).drop("__rn")
+    }
+    val rows = ((0L until 300L).map(i => (i, Option(s"g${i % 4}"))) ++
+      (300L until 303L).map(i => (i, None)) ++        // NULL stratum
+      Seq((400L, Option("solo"))))                    // 1-row stratum
+      .toDF("id", "g")
+    for (n <- Seq(1, 7, 10)) {
+      val fast = Corpus.sampleStratified(rows, "g", "id", n)
+        .as[(Long, Option[String])].collect().toSet
+      val ref = windowForm(rows, n)
+        .as[(Long, Option[String])].collect().toSet
+      assert(fast == ref, s"n=$n")
+    }
+  }
+
   test("mixPlan reports shares and resample factors; unlisted sources target 0") {
     val docs = (1 to 10).map(i => (i.toLong, if (i <= 8) "web" else "wiki"))
       .toDF("doc_id", "source")
@@ -449,5 +473,35 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(out("a_src") == ((1L, 1L)))
     assert(out("b_src") == ((3L, 2L)))
+  }
+
+  test("noveltyBySource: >62-source fallback matches the bitmask plan; " +
+    "null sources excluded on both") {
+    // 70 sources force the fallback; the same corpus renamed into 3
+    // sources runs the bitmask plan — a shared 10-source core makes
+    // the two plans comparable on identical (source, text) rows
+    def mk(srcs: Int) = (0 until 200).map { i =>
+      val s = if (i % 20 == 0) null else s"s${"%02d".format(i % srcs)}"
+      (s, s"tok${i % 7} tok${i % 11} tok${i % 13} tok${i % 5} tok${i % 3} tok$i")
+    }.toDF("source", "text")
+    val few = mk(8)   // 8 sources -> bitmask plan
+    val out = Corpus.noveltyBySource(few, "text", "source", n = 5)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.nonEmpty && !out.exists(_._1 == null),
+      "null sources carry no curve row")
+    // fallback plan on the SAME rows (cardinality forced past 62 by a
+    // salt suffix that keeps each original source's rows together)
+    val many = mk(8).withColumn("source",
+      when(col("source").isNotNull,
+        concat(col("source"), lit("_"), pmod(xxhash64(col("text")), lit(12)))))
+    val viaFallback = Corpus.noveltyBySource(many, "text", "source", n = 5)
+    assert(many.select("source").distinct().count() > 62)
+    assert(!viaFallback.select("source").as[String].collect().contains(null))
+    // cross-plan invariant: total distinct grams attributed once
+    val newFew = out.map(_._3).sum
+    val newMany = viaFallback.agg(sum(col("n_new_grams")))
+      .as[Long].head()
+    assert(newFew == newMany,
+      s"every distinct gram is attributed exactly once: $newFew != $newMany")
   }
 }
