@@ -129,15 +129,23 @@ object AllPairs {
     require(tau > 0 && tau <= 1, "tau in (0, 1]")
     // global document frequency per token — the prefix ordering key
     // (per-doc tokens are distinct, so count(1) IS document frequency).
-    // df is aggregated and joined on xxhash64(token) — 8-byte keys
-    // instead of shingle strings, measured ~25% off the dominant
-    // phase at sf10. SOUND because df only ORDERS: the per-doc sort
-    // key is (df(hash(t)), t) — the token tie-break keeps it a TOTAL
-    // order applied identically in every doc (what the positional
-    // bound needs), the candidate equi-join still matches true token
-    // strings, and a hash collision merely merges two tokens' df in
-    // the rarest-first heuristic (candidate count may shift a hair;
-    // the verified answer cannot).
+    // The WHOLE candidate stage runs on xxhash64(token) — 8-byte keys
+    // instead of shingle strings in the df aggregate, the per-doc
+    // sort, the prefix rows, and the candidate equi-join (round-15:
+    // the string-carrying sort+slice was the dominant phase at sf10,
+    // 13.4 s of 35 standalone; hashing the df join alone measured
+    // ~25% off it, dropping strings from the sort/prefix/join takes
+    // the rest). SOUND because the filters may only ever ADD
+    // candidates under collision, never lose one: a doc's token reads
+    // as its hash for candidate purposes, so two distinct tokens
+    // colliding (a) merge their df in the rarest-first heuristic —
+    // order stays TOTAL and identical in every doc, which is what the
+    // positional bound needs; (b) match in the prefix equi-join — a
+    // FALSE candidate the exact verify (true token sets, merge
+    // intersect) rejects; (c) overcount `__shared` in the positional
+    // bound — the bound is an upper bound on achievable overlap, so
+    // overcounting only loosens it. True pairs share true tokens,
+    // whose hashes are equal by construction — recall is unconditional.
     val tokDf = toks.select(explode(col("__toks")).as("__t0"))
       .select(xxhash64(col("__t0")).as("__h"))
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
@@ -161,17 +169,17 @@ object AllPairs {
     val prefixes = toks
       .select(col("__id"), size(col("__toks")).as("__sz"),
         explode(col("__toks")).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
+      .select(col("__id"), col("__sz"), xxhash64(col("__tok")).as("__h"))
       .join(tokDf, Seq("__h"))
       .groupBy(col("__id"))
       .agg(min(col("__sz")).as("__sz"),
-        sort_array(collect_list(struct(col("__df"), col("__tok"))))
+        sort_array(collect_list(struct(col("__df"), col("__h"))))
           .as("__st"))
       .select(col("__id"), col("__sz"),
         posexplode(slice(col("__st"), lit(1), prefixLen)))
-      .select(col("__id"), col("col.__tok").as("__tok"), col("__sz"),
+      .select(col("__id"), col("col.__h").as("__tok"), col("__sz"),
         (col("pos") + 1).as("__pos"))
-    // candidates: prefix-token equi-join + size filter; the groupBy is
+    // candidates: prefix-hash equi-join + size filter; the groupBy is
     // both the pair dedup AND the PPJoin positional filter — shared
     // prefix hits plus the post-last-shared-token headroom bound the
     // achievable overlap, and pairs below alpha never reach verify

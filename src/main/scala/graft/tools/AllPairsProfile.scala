@@ -35,26 +35,28 @@ object AllPairsProfile {
       val x = AllPairs.tokenSets(docs, "doc_id", "text", shingle = 3)
       x.count(); x
     }
-    val tokDf = t("token df aggregate") {
-      val x = toks.select(col("__id"), explode(col("__toks")).as("__tok"))
-        .groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val tokDf = t("token df aggregate (hashed keys)") {
+      val x = toks.select(explode(col("__toks")).as("__t0"))
+        .select(xxhash64(col("__t0")).as("__h"))
+        .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
         .localCheckpoint()
       x.count(); x
     }
-    val prefixes = t("per-doc sort + prefix slice") {
+    val prefixes = t("per-doc sort + prefix slice (hash-carry)") {
       val prefixLen =
         (col("__sz") - ceil(lit(tau) * col("__sz") - 1e-9) + 1).cast("int")
       val p = toks
         .select(col("__id"), size(col("__toks")).as("__sz"),
           explode(col("__toks")).as("__tok"))
-        .join(tokDf, Seq("__tok"))
+        .select(col("__id"), col("__sz"), xxhash64(col("__tok")).as("__h"))
+        .join(tokDf, Seq("__h"))
         .groupBy(col("__id"))
         .agg(min(col("__sz")).as("__sz"),
-          sort_array(collect_list(struct(col("__df"), col("__tok"))))
+          sort_array(collect_list(struct(col("__df"), col("__h"))))
             .as("__st"))
         .select(col("__id"), col("__sz"),
           posexplode(slice(col("__st"), lit(1), prefixLen)))
-        .select(col("__id"), col("col.__tok").as("__tok"), col("__sz"),
+        .select(col("__id"), col("col.__h").as("__tok"), col("__sz"),
           (col("pos") + 1).as("__pos"))
         .localCheckpoint()
       println(s"[approfile]   prefix rows = ${p.count()}")
@@ -97,31 +99,9 @@ object AllPairsProfile {
       println("[approfile]   pairs = " + AllPairs
         .jaccardThresholdJoin(docs, "doc_id", "text", tau, 3).count())
     }
-    // EXPERIMENT: df keyed by xxhash64(token) — 8-byte agg/join keys
-    // instead of shingle strings; the (df, tok) sort stays a total
-    // order so the positional filter stays sound, and the candidate
-    // equi-join still matches true token strings (hash only orders)
-    t("EXPERIMENT prefix via hashed df") {
-      val tokDfH = toks.select(explode(col("__toks")).as("__t0"))
-        .select(xxhash64(col("__t0")).as("__h"))
-        .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
-      val prefixLen =
-        (col("__sz") - ceil(lit(tau) * col("__sz") - 1e-9) + 1).cast("int")
-      val p = toks
-        .select(col("__id"), size(col("__toks")).as("__sz"),
-          explode(col("__toks")).as("__tok"))
-        .withColumn("__h", xxhash64(col("__tok")))
-        .join(tokDfH, Seq("__h"))
-        .groupBy(col("__id"))
-        .agg(min(col("__sz")).as("__sz"),
-          sort_array(collect_list(struct(col("__df"), col("__tok"))))
-            .as("__st"))
-        .select(col("__id"), col("__sz"),
-          posexplode(slice(col("__st"), lit(1), prefixLen)))
-        .select(col("__id"), col("col.__tok").as("__tok"), col("__sz"),
-          (col("pos") + 1).as("__pos"))
-      println(s"[approfile]   hashed prefix rows = ${p.count()}")
-    }
+    // (the round-14 hashed-df experiment and its round-15 extension —
+    // carrying hashes through the sort/prefix/candidate join — are
+    // MERGED into the operator; the phases above replicate it)
     spark.stop()
   }
 }

@@ -58,6 +58,24 @@ object SimhashProfile {
             count(lit(1)) >= 0.9, lit(true)).as("recall_ok"))
         .write.format("noop").mode("overwrite").save()
     }
+    // the maxBucket guard-rail (deterministic-subset semantics): does
+    // the capped variant keep the oracle's recall >= 0.9 contract, and
+    // what does it save? Hot buckets are near-dup families PLUS
+    // boilerplate clusters — capping drops whole buckets, so recall is
+    // an empirical question per corpus shape.
+    for (cap <- Seq(64, 256)) {
+      t(s"capped candidates (maxBucket=$cap) + recall") {
+        val capped = Dedup.simhashCandidates(docs, "text", "doc_id",
+            maxHamming = 7, nBlocks = 4, maxBucket = cap)
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val n = capped.count()
+        val r = truth.join(capped.withColumn("__hit", lit(1)),
+            Seq("id_a", "id_b"), "left")
+          .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") /
+            count(lit(1))).as("recall")).head().getDouble(0)
+        println(f"[simprofile]   cap=$cap candidates=$n recall=$r%.4f")
+      }
+    }
     // candidate economics: emissions per surviving pair, bucket stats
     t("bucket economics (diagnostics)") {
       val sig = Dedup.simhashTable(docs, "text", "doc_id")
@@ -70,7 +88,8 @@ object SimhashProfile {
       val stats = blocked.groupBy(col("block"), col("block_val"))
         .agg(count(lit(1)).as("n"))
         .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"),
-          sum(col("n") * (col("n") - 1) / 2).as("eq_pairs_ub"))
+          sum((col("n") * (col("n") - 1)).cast("long") / lit(2L))
+            .cast("long").as("eq_pairs_ub"))
         .head()
       println(s"[simprofile]   buckets=${stats.getLong(0)} " +
         s"maxBucket=${stats.getLong(1)} equalPairsUB=${stats.getLong(2)}")
