@@ -164,9 +164,12 @@ object Bench {
       if (probes.exists(_ < 0)) "unknown"
       else if (norm.exists(n => probeMedian > 1.3 * n)) "degraded"
       else "ok" // no recorded norm yet = this run seeds the watermark
-    // persist min(norm, median) — only from runs whose probes all
-    // succeeded, so a broken probe can't poison the watermark
-    if (probes.forall(_ >= 0)) {
+    // persist min(norm, median) — only from FULL-SUITE runs whose
+    // probes all succeeded: a broken probe can't poison the watermark,
+    // and a FILTERED run can't lower it either (short runs carry less
+    // mid-suite co-run pressure, so their medians undercut what a
+    // healthy full suite can read and would flag honest windows)
+    if (only.isEmpty && probes.forall(_ >= 0)) {
       val newNorm = math.min(norm.getOrElse(Double.MaxValue), probeMedian)
       val others =
         try {

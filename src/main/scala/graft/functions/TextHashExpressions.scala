@@ -686,6 +686,86 @@ object TextHashExpressions {
     inter
   }
 
+  /** Long-array variant of [[intersectSizeSorted]] — same ascending-
+    * distinct caller contract, primitive comparisons (the hash-carry
+    * verify stage: token sets travel as sorted xxhash64 arrays).
+    */
+  def intersectSizeSortedLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  /** sorted_token_hashes(tokens: array<string>) → ascending DISTINCT
+    * array<long> of per-token xxhash64 (seed 42, Spark's own string
+    * hash): the set-of-tokens representation the all-pairs join
+    * carries INSTEAD of string arrays (round 15 — the verify stage's
+    * sort-merge joins were sorting/spilling gigabytes of shingle-
+    * string payload at sf30; 8-byte elements shrink it ~8× and make
+    * the merge intersect primitive-compare). Input need not be
+    * distinct or sorted; equal hashes collapse (a cross-token
+    * collision merges two tokens into one set element on EVERY doc
+    * containing either — the 2^-64-scale equivalence posture of the
+    * prefix stage, now applied to the verify side and spec-pinned
+    * against the string form). Null elements are ignored (split/
+    * shingle outputs never produce them).
+    */
+  def sortedTokenHashes(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val buf = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val s = a.getUTF8String(i)
+        buf(m) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        m += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(buf, 0, m)
+    // collapse equal neighbors: the output is a SET
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || buf(w - 1) != buf(i)) { buf(w) = buf(i); w += 1 }
+      i += 1
+    }
+    val out = new Array[Long](w)
+    System.arraycopy(buf, 0, out, 0, w)
+    new GenericArrayData(out)
+  }
+
+  case class SortedTokenHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "sorted_token_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      sortedTokenHashes(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.TextHashExpressions.sortedTokenHashes($a)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def sorted_token_hashes(tokens: Column): Column =
+    column(SortedTokenHashes(expression(tokens)))
+
   /** sorted_intersect_size(a, b): |A ∩ B| of two string arrays that
     * are ASCENDING AND DISTINCT (the caller's contract —
     * [[graft.ops.AllPairs.tokenSets]] sorts its distinct shingle
@@ -702,12 +782,25 @@ object TextHashExpressions {
     override def dataType: DataType = LongType
     override def prettyName: String = "sorted_intersect_size"
 
-    override def nullSafeEval(a: Any, b: Any): Any =
-      intersectSizeSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    // element-type dispatch: string arrays (the original contract) or
+    // long arrays (the hash-carry verify stage) — resolved once at
+    // plan time, primitive merge in both generated paths
+    private def longElems: Boolean = left.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override def nullSafeEval(a: Any, b: Any): Any =
+      if (longElems)
+        intersectSizeSortedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      else
+        intersectSizeSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = if (longElems) "intersectSizeSortedLong" else "intersectSizeSorted"
       defineCodeGen(ctx, ev, (a, b) =>
-        s"graft.functions.TextHashExpressions.intersectSizeSorted($a, $b)")
+        s"graft.functions.TextHashExpressions.$fn($a, $b)")
+    }
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =

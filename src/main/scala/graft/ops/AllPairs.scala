@@ -97,22 +97,32 @@ object AllPairs {
         round(col("__i").cast("double") / u, 4).as("jaccard"))
   }
 
-  /** (__id, __toks) distinct-token sets — the join's tokenization
-    * stage, factored out so candidate economics are testable.
+  /** (__id, __toks) distinct-token-HASH sets (ascending array<long>
+    * of per-token xxhash64) — the join's tokenization stage, factored
+    * out so candidate economics are testable.
+    *
+    * Round 15: token sets travel as sorted 8-byte hashes end to end —
+    * the tokenize scan is the LAST place token strings exist. The
+    * verify stage's sort-merge joins were sorting/spilling gigabytes
+    * of shingle-string array payload at sf30 (142 s of a 249 s
+    * standalone run); hash arrays shrink that payload ~8× and make
+    * the merge intersect a primitive compare. Equivalence posture:
+    * a cross-token collision (2^-64 per pair of distinct tokens)
+    * merges two tokens into one set element CONSISTENTLY on every doc
+    * containing either, so both |a∩b| and |a|/|b| shift together;
+    * AllPairsSpec pins the output equal to the string-form brute
+    * force on every generated corpus.
     */
   private[graft] def tokenSets(docs: DataFrame, idCol: String,
                                textCol: String, shingle: Int): DataFrame = {
     require(shingle >= 1, "shingle >= 1")
     // empty/whitespace-only docs are dropped BEFORE tokenizing:
     // split("") yields [""], a phantom one-token set that would match
-    // other empty docs at J = 1
-    // SORTED token arrays: order is semantically irrelevant to a set,
-    // and a sorted representation makes the verify-stage intersection
-    // a merge scan instead of a per-pair hash set
-    val tokExpr =
-      if (shingle == 1)
-        sort_array(array_distinct(split(lower(trim(col(textCol))), "\\s+")))
-      else sort_array(Dedup.shingles(col(textCol), shingle))
+    // other empty docs at J = 1. sorted_token_hashes dedups, so the
+    // word path needs no array_distinct of its own.
+    val tokExpr = graft.functions.TextHashExpressions.sorted_token_hashes(
+      if (shingle == 1) split(lower(trim(col(textCol))), "\\s+")
+      else Dedup.shingles(col(textCol), shingle))
     docs.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("__id"), tokExpr.as("__toks"))
       .localCheckpoint() // consumed 3x: df counts, prefixes, verify
@@ -146,8 +156,8 @@ object AllPairs {
     // bound — the bound is an upper bound on achievable overlap, so
     // overcounting only loosens it. True pairs share true tokens,
     // whose hashes are equal by construction — recall is unconditional.
-    val tokDf = toks.select(explode(col("__toks")).as("__t0"))
-      .select(xxhash64(col("__t0")).as("__h"))
+    // __toks elements ARE the hashes (tokenSets) — no re-hashing
+    val tokDf = toks.select(explode(col("__toks")).as("__h"))
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
     // per-doc token rank by (df asc, token asc): rarest first,
     // deterministic under ties — the SAME total order in every doc,
@@ -168,8 +178,7 @@ object AllPairs {
       (col("__sz") - ceil(lit(tau) * col("__sz") - 1e-9) + 1).cast("int")
     val prefixes = toks
       .select(col("__id"), size(col("__toks")).as("__sz"),
-        explode(col("__toks")).as("__tok"))
-      .select(col("__id"), col("__sz"), xxhash64(col("__tok")).as("__h"))
+        explode(col("__toks")).as("__h"))
       .join(tokDf, Seq("__h"))
       .groupBy(col("__id"))
       .agg(min(col("__sz")).as("__sz"),

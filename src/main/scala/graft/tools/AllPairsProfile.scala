@@ -36,8 +36,7 @@ object AllPairsProfile {
       x.count(); x
     }
     val tokDf = t("token df aggregate (hashed keys)") {
-      val x = toks.select(explode(col("__toks")).as("__t0"))
-        .select(xxhash64(col("__t0")).as("__h"))
+      val x = toks.select(explode(col("__toks")).as("__h"))
         .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
         .localCheckpoint()
       x.count(); x
@@ -47,8 +46,7 @@ object AllPairsProfile {
         (col("__sz") - ceil(lit(tau) * col("__sz") - 1e-9) + 1).cast("int")
       val p = toks
         .select(col("__id"), size(col("__toks")).as("__sz"),
-          explode(col("__toks")).as("__tok"))
-        .select(col("__id"), col("__sz"), xxhash64(col("__tok")).as("__h"))
+          explode(col("__toks")).as("__h"))
         .join(tokDf, Seq("__h"))
         .groupBy(col("__id"))
         .agg(min(col("__sz")).as("__sz"),
