@@ -63,30 +63,69 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * class's partitions.
     */
   def append(name: String, df: DataFrame): Unit = {
-    val shaped0 = withDefaults(name, df)
-    // declared edge tables pay their sizing aggregate at WRITE time —
-    // the ingestion-side fact the rank loops consume as a GraphSizing
-    // hint instead of re-scanning the stored table. The batch is
-    // pinned FIRST (localCheckpoint) so the stats aggregate and the
-    // file write read ONE materialization: without the pin a
+    val shaped = withDefaults(name, df)
+    // declared edge/fact tables pay their sizing aggregate at WRITE
+    // time — the ingestion-side fact the rank loops consume as a
+    // GraphSizing hint instead of re-scanning the stored table. The
+    // aggregate reads back EXACTLY THE FILES THIS BATCH WROTE (data
+    // files present after the append minus those present before):
+    // stats are consistent with the stored rows even under a
     // non-deterministic batch lineage (sampling, current_timestamp
-    // defaults) could record stats inconsistent with the rows it
-    // wrote. Appends are single-writer like every catalog mutation
-    // (the overwrite bak-swap contract); a crash BETWEEN the data
-    // write and the stats merge leaves stats one batch behind — the
-    // stored rows, never the stats, are the source of truth, and
+    // defaults), the write itself STREAMS — no localCheckpoint pin
+    // holding a 100M-row initial load in executor memory, the exact
+    // heap-bomb shape Graph.reliableEdgeThreshold exists to guard —
+    // and a columnar re-read of the batch's own parquet is the cheap
+    // side of that trade. The before/after file diff is sound because
+    // appends are single-writer like every catalog mutation (the
+    // overwrite bak-swap contract); a crash BETWEEN the data write
+    // and the stats merge leaves stats one batch behind — the stored
+    // rows, never the stats, are the source of truth, and
     // [[refreshSizing]] (or any rewrite) re-derives them exactly.
     val sized = edgeDecls.contains(name) || factDecls.contains(name)
-    val shaped = if (sized) shaped0.localCheckpoint() else shaped0
-    val stats = edgeDecls.get(name).map { case (sc, dc) =>
-      batchSizing(shaped, sc, dc)
-    }
-    val factStats = factDecls.get(name).map(kc => factBatchStats(shaped, kc))
+    val before = if (sized) listDataFiles(name) else Set.empty[String]
     val writer = shaped.write.mode(SaveMode.Append)
     partitionSpec.get(name).fold(writer)(cols => writer.partitionBy(cols: _*))
       .parquet(tablePath(name))
-    stats.foreach(mergeSizing(name, _))
-    factStats.foreach(mergeFactSizing(name, _))
+    if (sized) {
+      val fresh = (listDataFiles(name) -- before).toSeq.sorted
+      // basePath restores partition columns dropped from partitioned
+      // tables' data files; an empty batch writes no data files and
+      // contributes empty-batch stats
+      val batchDf =
+        if (fresh.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[Row](), schemaOf(name))
+        else spark.read.option("basePath", tablePath(name))
+          .schema(schemaOf(name)).parquet(fresh: _*)
+      edgeDecls.get(name).foreach { case (sc, dc) =>
+        mergeSizing(name, batchSizing(batchDf, sc, dc))
+      }
+      factDecls.get(name).foreach(kc =>
+        mergeFactSizing(name, factBatchStats(batchDf, kc)))
+    }
+  }
+
+  /** Data files currently under `name`'s table dir (recursive — past
+    * partition subdirectories), excluding markers and hidden/staging
+    * entries: the before/after snapshot [[append]] diffs to read back
+    * exactly one batch.
+    */
+  private def listDataFiles(name: String): Set[String] = {
+    val dir = Paths.get(tablePath(name))
+    if (!Files.isDirectory(dir)) Set.empty
+    else {
+      val s = Files.walk(dir)
+      try {
+        val b = Set.newBuilder[String]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val fn = p.getFileName.toString
+          if (Files.isRegularFile(p) && !fn.startsWith(".") &&
+            !fn.startsWith("_")) b += p.toString
+        }
+        b.result()
+      } finally s.close()
+    }
   }
 
   /** Recompute a declared edge/fact table's sizing stats from the
@@ -401,9 +440,17 @@ final class Catalog(val spark: SparkSession, val root: String) {
   /** One-row fact batch statistics: a per-key count aggregate feeding
     * (total rows, key sketch, max per-key count) — the two-level
     * shape is the ingestion price of knowing the hot-key mass.
+    * NULL-key rows are excluded throughout: they can never match in
+    * the equi-join [[graft.ops.Skew.saltedJoin]] performs, so counting
+    * the null group would both inflate `rows` against the
+    * null-ignoring key sketch and let a null-heavy table report the
+    * null group as its hottest key — over-advising salt for a key
+    * that carries no join work. `rows` therefore means
+    * JOIN-PARTICIPATING rows, the quantity salt advice is about.
     */
   private def factBatchStats(df: DataFrame, keyCol: String): Row =
-    df.groupBy(col(keyCol)).agg(count(lit(1)).as("__kn"))
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__kn"))
       .agg(coalesce(sum(col("__kn")), lit(0L)).as("rows"),
         hll_sketch_agg(col(keyCol)).as("key_sketch"),
         coalesce(max(col("__kn")), lit(0L)).as("max_key_rows")).head()

@@ -790,6 +790,21 @@ object TextHashExpressions {
       case _ => false
     }
 
+    // BOTH sides must be arrays of the SAME supported element type:
+    // left-only dispatch would let array<long> vs array<string> pass
+    // analysis and silently merge getLong reads over string bytes
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(lt, _), ArrayType(rt, _))
+            if lt == rt && (lt == StringType || lt == LongType) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "sorted_intersect_size requires two arrays of the same " +
+              s"element type (string or bigint), got ${l.catalogString} " +
+              s"and ${r.catalogString}")
+      }
+
     override def nullSafeEval(a: Any, b: Any): Any =
       if (longElems)
         intersectSizeSortedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -380,10 +380,16 @@ object TextAnalysis {
     * that [[unigramLogProb]] cannot (scrambled text keeps its unigram
     * score but collapses here); low scores = boilerplate/garble.
     *
-    * Shuffle profile: bigrams ride the one-pass codegen word_shingles
-    * expression; the streams that shuffle carry (id, gram) / (token,
-    * count) pairs, never documents. The three frequency joins are
-    * generic equi-joins — at 100 TB the vocab/bigram tables are far
+    * Shuffle profile: every stream that shuffles or joins carries
+    * 64-bit xxhash64 DIGESTS of the grams/tokens, never the strings
+    * (round-16: the q_decon_report digest-key transplant) — the LM
+    * only ever needs gram/token IDENTITY for counting, so the
+    * (id, gram-string) rows that made this the worst text-family
+    * shuffle become fixed-width (id, gram_h, prev_h, cur_h) longs,
+    * and the three frequency joins become long-keyed equi-joins. The
+    * house collision posture applies (2^-64 per pair; a collision
+    * merges two counts, the same exposure every hash-keyed dedup
+    * entry documents). At 100 TB the vocab/bigram tables are far
     * smaller than the corpus and AQE broadcasts them when they fit;
     * the corpus total is a lazy one-row broadcast. Docs under 2 tokens
     * have no bigrams: n_bigrams = 0, score null.
@@ -392,21 +398,31 @@ object TextAnalysis {
                     lambda: Double = 0.7): DataFrame = {
     val low = lower(trim(col(textCol)))
     val toks = df.select(col(idCol), explode(split(low, "\\s+")).as("__tok"))
-    val uniFreq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__uc"))
+    // unigram counts keyed by token digest: the hash rides the
+    // map-side partial aggregate, so the shuffle carries (long, count)
+    val uniFreq = toks.groupBy(xxhash64(col("__tok")).as("__th"))
+      .agg(count(lit(1)).as("__uc"))
     val total = df.select(sum(size(split(low, "\\s+")).cast("double")).as("__n"))
     // NOT word_shingles: that expression dedupes (set semantics for
     // Jaccard) and an LM needs every occurrence. Positional construct
     // instead — explode the start indices, index the token array
     // (codegen builtins throughout, the Corpus.chunk pattern). Docs
     // under 2 tokens produce no starts; they rejoin as null below.
+    // Digests are taken HERE, in the map-side projection: the gram id
+    // is the chained xxhash64 over (prev, cur) — order-sensitive, so
+    // ("a b","c") and ("a","b c") stay distinct inputs — and the
+    // prev/cur token digests use the same single-arg hash uniFreq
+    // keys by.
     val grams = df
       .select(col(idCol), split(low, "\\s+").as("__toks"))
       .filter(size(col("__toks")) >= 2)
       .select(col(idCol), col("__toks"),
         explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"))
       .select(col(idCol),
-        concat(element_at(col("__toks"), col("__i")), lit(" "),
-          element_at(col("__toks"), col("__i") + 1)).as("__g"))
+        xxhash64(element_at(col("__toks"), col("__i")),
+          element_at(col("__toks"), col("__i") + 1)).as("__gh"),
+        xxhash64(element_at(col("__toks"), col("__i"))).as("__ph"),
+        xxhash64(element_at(col("__toks"), col("__i") + 1)).as("__ch"))
     // Pre-aggregate per (doc, gram) multiplicity BEFORE the frequency
     // joins: a gram repeated m times in a doc contributes m * s(g) to
     // the mean, so the join/shuffle stream shrinks from O(corpus
@@ -414,15 +430,17 @@ object TextAnalysis {
     // repeats bigrams enough that the three equi-joins and the final
     // per-doc aggregate all ride the smaller stream, and the gram
     // counts come from the same aggregate (sum of multiplicities).
-    val docGrams = grams.groupBy(col(idCol), col("__g"))
+    // prev/cur digests are functions of the gram digest, so keying
+    // the group by all three adds no cardinality — it just carries
+    // them through without a first()-style pick.
+    val docGrams = grams
+      .groupBy(col(idCol), col("__gh"), col("__ph"), col("__ch"))
       .agg(count(lit(1)).as("__m"))
-    val gramFreq = docGrams.groupBy(col("__g")).agg(sum(col("__m")).as("__gc"))
+    val gramFreq = docGrams.groupBy(col("__gh")).agg(sum(col("__m")).as("__gc"))
     val scored = docGrams
-      .join(gramFreq, Seq("__g"))
-      .withColumn("__pw", substring_index(col("__g"), " ", 1))
-      .withColumn("__cw", substring_index(col("__g"), " ", -1))
-      .join(uniFreq.select(col("__tok").as("__pw"), col("__uc").as("__pc")), Seq("__pw"))
-      .join(uniFreq.select(col("__tok").as("__cw"), col("__uc").as("__cc")), Seq("__cw"))
+      .join(gramFreq, Seq("__gh"))
+      .join(uniFreq.select(col("__th").as("__ph"), col("__uc").as("__pc")), Seq("__ph"))
+      .join(uniFreq.select(col("__th").as("__ch"), col("__uc").as("__cc")), Seq("__ch"))
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(round((sum(col("__m") * log(

@@ -270,10 +270,15 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("centroid_id"), s"expected the cluster equi-join:\n$p")
   }
 
-  test("bigram LM shuffles carry grams and counts, never documents") {
+  test("bigram LM shuffles carry digests and counts, never documents or gram strings") {
     val p = plan("q_text_bigram")
     val shufflePart = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!shufflePart.contains("text#"), s"text must not shuffle:\n$shufflePart")
+    // round-16 digest transplant: the (id, gram-string) shuffle was the
+    // diagnosed 4.65x/decade term — every exchange must now key on the
+    // xxhash64 digests (__gh/__ph/__ch/__th), not gram/token strings
+    assert(!shufflePart.contains("__g#") && !shufflePart.contains("__tok#"),
+      s"grams/tokens must shuffle as xxhash64 digests:\n$shufflePart")
   }
 
   test("unigram logprob partial-aggregates the token counts") {

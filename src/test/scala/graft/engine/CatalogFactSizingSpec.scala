@@ -73,6 +73,41 @@ class CatalogFactSizingSpec extends AnyFunSuite with SparkTestBase {
     assert(cat.saltAdvice("NOPE").isEmpty)
   }
 
+  test("null-key rows are excluded from rows, sketch, and hot-key count") {
+    // null keys can never match in saltedJoin's equi-join, so a
+    // null-heavy batch must not read as a hot key (the round-15
+    // ADVICE find: the null group inflated rows vs the null-ignoring
+    // sketch and over-advised salting)
+    val cat = freshCat()
+    cat.declareFactTable("FACTS", "user_id", factSchema)
+    cat.append("FACTS",
+      ((0 until 500).map(_ => (Option.empty[Long], "null_key")) ++
+        (0 until 20).map(i => (Some(i.toLong), "real")))
+        .toDF("user_id", "event_type"))
+    val s = cat.factSizing("FACTS").get
+    assert(s.rows == 20L, "rows counts join-participating rows only")
+    assert(s.maxKeyRows == 1L, "the 500-row null group is not a key")
+    assert(math.abs(s.keysApprox - 20L) <= 3L)
+    // refreshSizing (full-table recompute) applies the same exclusion
+    cat.refreshSizing("FACTS")
+    assert(cat.factSizing("FACTS").get.maxKeyRows == 1L)
+  }
+
+  test("append streams: batch stats come from the written files, not a pin") {
+    // non-deterministic batch lineage (rand-filtered) — the stats
+    // must describe exactly the rows that landed in the files, which
+    // the read-back-the-batch design guarantees by construction
+    val cat = freshCat()
+    cat.declareFactTable("FACTS", "user_id", factSchema)
+    cat.append("FACTS",
+      spark.range(1000)
+        .select(col("id").as("user_id"), lit("e").as("event_type"))
+        .filter(rand(42) < 0.5))
+    val s = cat.factSizing("FACTS").get
+    val stored = cat.table("FACTS").count()
+    assert(s.rows == stored, s"stats rows ${s.rows} != stored $stored")
+  }
+
   test("fact stats persist across re-open; rewrite turns the max exact") {
     val root = java.nio.file.Files.createTempDirectory("graft_fact_test_").toString
     val cat = new Catalog(spark, root)

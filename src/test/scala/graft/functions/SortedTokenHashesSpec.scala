@@ -76,6 +76,22 @@ class SortedTokenHashesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mismatched element types fail analysis, never compute garbage") {
+    // array<long> vs array<string> used to pass analysis (left-only
+    // dispatch) and merge getLong reads over string bytes — the
+    // round-15 ADVICE find; checkInputDataTypes now rejects it
+    val df = Seq((Seq(1L, 2L), Seq("a", "b"))).toDF("l", "s")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(sorted_intersect_size(col("l"), col("s"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("sorted_intersect_size"))
+    // unsupported element type (ints) also rejected on BOTH sides
+    val di = Seq((Seq(1, 2), Seq(2, 3))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      di.select(sorted_intersect_size(col("a"), col("b"))).collect()
+    }
+  }
+
   test("hash values match Spark's xxhash64 (seed 42) per token") {
     val toks = Seq("the", "über", "")
     val expected = toks.map(t =>
