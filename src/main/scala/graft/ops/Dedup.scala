@@ -76,10 +76,10 @@ object Dedup {
     * [[clusterPairs]] to recover full page chains. Docs under k tokens
     * have no anchor and are omitted.
     *
-    * Shuffle profile: one equi-join on 16-byte boundary hashes — each
-    * doc contributes exactly ONE (id, prefix-md5, suffix-md5) row, so
-    * the join input is narrower than the corpus itself; text never
-    * shuffles. Degenerate all-same-boundary corpora (every doc opens
+    * Shuffle profile: one equi-join on 8-byte boundary hashes — each
+    * doc contributes exactly ONE (id, prefix-hash, suffix-hash) row
+    * (xxhash64 over the boundary token slice), so the join input is
+    * narrower than the corpus itself; text never shuffles. Degenerate all-same-boundary corpora (every doc opens
     * with the same template) surface as hot join keys, which AQE
     * splits; the output is then honestly quadratic because the overlap
     * relation itself is.
@@ -88,12 +88,18 @@ object Dedup {
                    k: Int): DataFrame = {
     require(k > 0, "overlap window must be positive")
     val toks = split(lower(trim(col(textCol))), "\\s+")
+    // boundary identity = xxhash64 over the token SLICE (round 16):
+    // the md5(array_join(...)) form built a joined string plus a
+    // 32-char hex per side per doc — the profiler's dominant phase —
+    // where the join only ever needs window EQUALITY; hashing the
+    // array directly skips both materializations and the join keys
+    // become 8-byte longs (house collision posture, 2^-64 per pair)
     val v = df
       .select(col(idCol), toks.as("__toks"))
       .filter(size(col("__toks")) >= k)
       .select(col(idCol),
-        md5(array_join(slice(col("__toks"), 1, k), " ")).as("__pre"),
-        md5(array_join(slice(col("__toks"), -k, k), " ")).as("__suf"))
+        xxhash64(slice(col("__toks"), 1, k)).as("__pre"),
+        xxhash64(slice(col("__toks"), -k, k)).as("__suf"))
     v.select(col(idCol).as("id_a"), col("__suf"))
       .join(v.select(col(idCol).as("id_b"), col("__pre")),
         col("__suf") === col("__pre"))
@@ -310,7 +316,16 @@ object Dedup {
     // makes it slower (16.3 vs 11.3 s) — the checkpoint is the
     // scale-path choice because it guarantees ONE selection pass
     // regardless of exchange-reuse luck, and the gap grows with data.
+    // fingerprint IDENTITY travels as xxhash64 of the md5 hex
+    // (round 16): selection stays md5-based inside the expression —
+    // the oracle replays that exact min — but the staged pin, the
+    // hot-cap aggregate and the candidate self-join only need
+    // equality, so they carry 8-byte longs instead of 32-char hex
+    // strings (~5× narrower pin; house collision posture, 2^-64 per
+    // fingerprint pair, a collision can only ADD a candidate the
+    // exact verify rejects)
     val fps = winnowFingerprints(df, textCol, idCol, winnowK, winnowW)
+      .select(col(idCol), xxhash64(col("__fp")).as("__fp"))
       .localCheckpoint()
     val kept =
       if (maxFpDocs == Int.MaxValue) fps
@@ -327,15 +342,27 @@ object Dedup {
       .join(kept.select(col("__fp"), col(idCol).as("id_b")), Seq("__fp"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val sets = shingleTable(df, textCol, idCol, shingleK)
+    // verify on HASHED shingle sets (round 16, the all-pairs r15
+    // carry): containment needs only |S(A)∩S(B)| and the set sizes,
+    // so the sets travel as ascending distinct xxhash64 arrays (~8×
+    // narrower than shingle strings through the two payload joins)
+    // and the intersect is one primitive merge scan instead of
+    // array_intersect's per-pair hash set. Cardinalities match the
+    // string-set form mod the documented 2^-64 collision posture —
+    // a colliding shingle pair merges consistently on every doc, so
+    // numerator and denominator shift together.
+    val sets = df.select(col(idCol),
+      graft.functions.TextHashExpressions.sorted_token_hashes(
+        shingles(col(textCol), shingleK)).as("__set"))
     cands
-      .join(sets.select(col(idCol).as("id_a"), col("shingle_set").as("__sa")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("shingle_set").as("__sb")), Seq("id_b"))
-      // shingle sets are distinct by construction, so the intersect
+      .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")), Seq("id_b"))
+      // hashed sets are distinct by construction, so the merge-scan
       // cardinality is the true |S(A) ∩ S(B)|; double division is
       // ANSI-safe (sets are non-empty: word_shingles yields >= 1)
       .withColumn("__inter",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
+        graft.functions.TextHashExpressions.sorted_intersect_size(
+          col("__sa"), col("__sb")).cast("double"))
       .select(explode(array(
         struct(col("id_a").as("id_in"), col("id_b").as("id_of"),
           round(col("__inter") / size(col("__sa")), 4).as("containment")),
@@ -373,8 +400,10 @@ object Dedup {
                     maxFpDocs: Int = Int.MaxValue): DataFrame = {
     val p = containmentNearDups(df, textCol, idCol, threshold, shingleK,
       winnowK, winnowW, maxFpDocs)
-    val sizes = shingleTable(df, textCol, idCol, shingleK)
-      .select(col(idCol), size(col("shingle_set")).as("__sz"))
+    // dominance needs only the set CARDINALITY — size over the
+    // distinct shingle array directly, no set table materialized
+    val sizes = df.select(col(idCol),
+      size(shingles(col(textCol), shingleK)).as("__sz"))
     val drops = p
       .join(sizes.select(col(idCol).as("id_in"), col("__sz").as("__sz_in")), Seq("id_in"))
       .join(sizes.select(col(idCol).as("id_of"), col("__sz").as("__sz_of")), Seq("id_of"))

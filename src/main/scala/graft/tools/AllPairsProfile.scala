@@ -93,6 +93,49 @@ object AllPairsProfile {
         .count()
       println(s"[approfile]   true pairs = $n")
     }
+    // ---- round-16 task 6: suffix-filter economics ----
+    // (1) the array JOIN alone (trivial per-pair compute): any pruner
+    // that runs AFTER the arrays arrive can only save the difference
+    // between the verify phase and this — the merge-intersect CPU.
+    t("verify-join floor (arrays, no merge)") {
+      val setsA = toks.select(col("__id"), col("__toks").as("__ta"))
+      val setsB = toks.select(col("__id").as("__id2"), col("__toks").as("__tb"))
+      val n = cands.join(setsA, Seq("__id")).join(setsB, Seq("__id2"))
+        .filter(element_at(col("__ta"), 1) <= element_at(col("__tb"), -1))
+        .count()
+      println(s"[approfile]   floor rows = $n")
+    }
+    // (2) a PRE-verify pruner must beat this economics: join a narrow
+    // fixed-width sketch (64-bucket token-count histogram — overlap
+    // <= sum_b min(cntA_b, cntB_b), the set-at-a-time stand-in for
+    // PPJoin+'s suffix filter) onto the candidates and measure how
+    // many pairs it eliminates before the array join.
+    val histo = udf((toks: Seq[Long]) => {
+      val h = new Array[Int](64)
+      toks.foreach(t => h(((t >>> 58) & 63L).toInt) += 1)
+      h
+    })
+    val sketches = t("sketch table (64-bucket histograms)") {
+      val s = toks.select(col("__id"), histo(col("__toks")).as("__hist"))
+        .localCheckpoint()
+      s.count(); s
+    }
+    t("sketch-bound prune (pre-array candidate cut)") {
+      val alpha =
+        ceil(lit(tau) / (1 + tau) * (col("__sza") + col("__szb")) - 1e-9)
+      val bound = udf((a: Seq[Int], b: Seq[Int]) => {
+        var s = 0; var i = 0
+        while (i < 64) { s += math.min(a(i), b(i)); i += 1 }
+        s
+      })
+      val kept = cands
+        .join(sketches.select(col("__id"), col("__hist").as("__ha")), Seq("__id"))
+        .join(sketches.select(col("__id").as("__id2"),
+          col("__hist").as("__hb")), Seq("__id2"))
+        .filter(bound(col("__ha"), col("__hb")) >= alpha)
+        .count()
+      println(s"[approfile]   sketch-surviving pairs = $kept")
+    }
     t("END-TO-END jaccardThresholdJoin") {
       println("[approfile]   pairs = " + AllPairs
         .jaccardThresholdJoin(docs, "doc_id", "text", tau, 3).count())

@@ -48,8 +48,11 @@ object ContainProfile {
 
     // ---- q_dedup_containment, phase by phase (threshold 0.8, k=3,
     // winnow 5/4 — the entry's parameters) ----
-    val fps = t("P1 winnow fingerprints (scan+pin)") {
+    // phases mirror the ROUND-16 operator (hash-carried fp ids and
+    // shingle sets); graft.tools.ContainAb holds the old-vs-new A/B
+    val fps = t("P1 winnow fingerprints (scan+hash+pin)") {
       val x = Dedup.winnowFingerprints(corpus, "text", "doc_id", 5, 4)
+        .select(col("doc_id"), xxhash64(col("__fp")).as("__fp"))
         .localCheckpoint()
       println(s"[containprofile]   fp rows = ${x.count()}")
       x
@@ -62,19 +65,24 @@ object ContainProfile {
       println(s"[containprofile]   candidate pairs = ${x.count()}")
       x
     }
-    t("P3 shingle table alone (one scan)") {
-      Dedup.shingleTable(corpus, "text", "doc_id", 3)
+    t("P3 hashed shingle sets alone (one scan)") {
+      corpus.select(col("doc_id"),
+          graft.functions.TextHashExpressions.sorted_token_hashes(
+            Dedup.shingles(col("text"), 3)).as("__set"))
         .write.format("noop").mode("overwrite").save()
     }
-    val nOut = t("P4 verify joins + intersect + filter") {
-      val sets = Dedup.shingleTable(corpus, "text", "doc_id", 3)
+    val nOut = t("P4 verify joins + merge intersect + filter") {
+      val sets = corpus.select(col("doc_id"),
+        graft.functions.TextHashExpressions.sorted_token_hashes(
+          Dedup.shingles(col("text"), 3)).as("__set"))
       cands
         .join(sets.select(col("doc_id").as("id_a"),
-          col("shingle_set").as("__sa")), Seq("id_a"))
+          col("__set").as("__sa")), Seq("id_a"))
         .join(sets.select(col("doc_id").as("id_b"),
-          col("shingle_set").as("__sb")), Seq("id_b"))
+          col("__set").as("__sb")), Seq("id_b"))
         .withColumn("__inter",
-          size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
+          graft.functions.TextHashExpressions.sorted_intersect_size(
+            col("__sa"), col("__sb")).cast("double"))
         .select(explode(array(
           struct(col("id_a").as("id_in"), col("id_b").as("id_of"),
             round(col("__inter") / size(col("__sa")), 4).as("containment")),
@@ -117,8 +125,8 @@ object ContainProfile {
       pages.select(col("page_id"), tk.as("__toks"))
         .filter(size(col("__toks")) >= 8)
         .select(col("page_id"),
-          md5(array_join(slice(col("__toks"), 1, 8), " ")).as("__pre"),
-          md5(array_join(slice(col("__toks"), -8, 8), " ")).as("__suf"))
+          xxhash64(slice(col("__toks"), 1, 8)).as("__pre"),
+          xxhash64(slice(col("__toks"), -8, 8)).as("__suf"))
         .write.format("noop").mode("overwrite").save()
     }
     release()
