@@ -185,8 +185,19 @@ object SparkEntry {
   private def qJ8Range(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders")
     val l = t(s, d, "lineitem")
-    o.select(col("o_orderkey"), col("o_orderdate")).hint("shuffle_hash")
-      .join(l.select(col("l_orderkey"), col("l_shipdate")),
+    // row-scaled EXPLICIT repartitioning on the join key (a session
+    // conf set here would be restored before the caller's action runs,
+    // so the partition count rides the plan instead): the build-left
+    // hash map is |orders|/p rows per task — at the session's fixed 32
+    // the sf30 run (45M orders) needed a 1.4M-row build per task and
+    // died in SparkOutOfMemoryError, at rows/2M partitions it is a
+    // ~25 MB map. The groupBy reuses the same key partitioning, so
+    // the aggregate adds no exchange.
+    val p = scaledP(s, tableRows(s, d, "lineitem"))
+    o.select(col("o_orderkey"), col("o_orderdate"))
+      .repartition(p, col("o_orderkey")).hint("shuffle_hash")
+      .join(l.select(col("l_orderkey"), col("l_shipdate"))
+          .repartition(p, col("l_orderkey")),
         col("o_orderkey") === col("l_orderkey") &&
         col("l_shipdate") >= col("o_orderdate") &&
         col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left")
@@ -934,16 +945,57 @@ object SparkEntry {
     }))
 
   private def staged(s: SparkSession, d: String, key: String,
-                     validate: DataFrame => Unit = _ => ())
+                     validate: DataFrame => Unit = _ => (),
+                     partitions: Option[Int] = None)
                     (build: => DataFrame): DataFrame = {
     val path = stagedMemo.computeIfAbsent((s, d, key), _ => {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_$key").toString
-      build.write.mode("overwrite").parquet(dir)
+      // `partitions` runs the BUILD's exchanges (the orders⋈lineitem
+      // sort-merge, the dedup/collapse aggregate) at a row-scaled
+      // partition count instead of the session's fixed conf — the
+      // write action executes inside this block, so the conf applies.
+      // The round-16 sf30 run found the cliff: at 300× a 32-partition
+      // staging sorts 5.6M rows per task × 32 concurrent tasks and
+      // GC-thrashes an 8 GB heap to death, where the same data at
+      // rows/2M partitions spills quietly — the rank loop's
+      // scaledPartitions rule, applied to the staging that feeds it.
+      def doWrite(): Unit = build.write.mode("overwrite").parquet(dir)
+      partitions.fold(doWrite())(p => withShufflePartitions(s, p)(doWrite()))
       validate(s.read.parquet(dir))
       dir
     })
     s.read.parquet(path)
+  }
+
+  /** Session-conf shuffle-partition override for a staging build's
+    * action (save/restore; the [[graft.ops.Graph]] loop-conf pattern,
+    * minus the AQE-coalesce hold-off — staging outputs are written to
+    * parquet, so coalescing small shuffle outputs is welcome here).
+    */
+  private def withShufflePartitions[A](s: SparkSession, p: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", p.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Memoized stored-table row count per (session, sfDir, table) — a
+    * column-less parquet scan (row-group metadata speed), the one
+    * number the row-scaled partition rules need. The first timed rep
+    * pays it once per session, like the staging memo itself.
+    */
+  private val tableRowsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), java.lang.Long]()
+  private def tableRows(s: SparkSession, d: String, name: String): Long =
+    tableRowsMemo.computeIfAbsent((s, d, name), _ => t(s, d, name).count())
+
+  /** Shuffle partitions scaled to ~2M rows per task (the
+    * [[graft.ops.Graph]] scaledPartitions rule), floored at the
+    * session conf so small fixtures keep their plans byte-identical.
+    */
+  private def scaledP(s: SparkSession, rows: Long): Int = {
+    val base = s.sessionState.conf.numShufflePartitions.toLong
+    math.min(65536L, math.max(base, (rows + 1999999L) / 2000000L)).toInt
   }
 
   /** Catalog-style sizing stats for a staged edge table, computed ONCE
@@ -963,7 +1015,8 @@ object SparkEntry {
     * unweighted rank entries and assortativity all read it.
     */
   private def stagedCoPurchaseEdges(s: SparkSession, d: String): DataFrame =
-    staged(s, d, "copurchase") {
+    staged(s, d, "copurchase",
+      partitions = Some(scaledP(s, tableRows(s, d, "lineitem")))) {
       guardNodeSpace(t(s, d, "orders"), "o_custkey")
       val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
@@ -984,7 +1037,8 @@ object SparkEntry {
     */
   private def stagedWeightedPurchaseEdges(s: SparkSession,
                                           d: String): DataFrame =
-    staged(s, d, "wpurchase") {
+    staged(s, d, "wpurchase",
+      partitions = Some(scaledP(s, tableRows(s, d, "lineitem")))) {
       guardNodeSpace(t(s, d, "orders"), "o_custkey")
       t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, d, "lineitem")
@@ -1025,7 +1079,9 @@ object SparkEntry {
     * re-dedup'ing per run.
     */
   private def stagedHitsEdges(s: SparkSession, d: String): DataFrame =
-    staged(s, d, "hitsedges", validate = e => {
+    staged(s, d, "hitsedges",
+      partitions = Some(scaledP(s, tableRows(s, d, "lineitem"))),
+      validate = e => {
       // mirror guardNodeSpace's null handling: max over an EMPTY staged
       // edge table (degenerate fixture) is null, which is vacuously
       // inside the node space — the guard must not NPE on it
