@@ -357,8 +357,15 @@ object Graph {
     //   customer→supplier graph), partial aggregation already reduces
     //   the shuffle to ~p×|dst| rows and the src-co-partitioned plan
     //   is strictly better (free outdeg, no per-round broadcast).
-    val smallV = vApprox <= broadcastNodeLimit &&
-      2L * p * sizing.dstNodesApprox >= eRows
+    // measurement override (graft.tools.RankAb's regime A/B): a
+    // system property, not an env var, so one JVM can alternate
+    // regimes rep-for-rep under identical host drift
+    val smallV = sys.props.get("graft.rank.regime") match {
+      case Some("broadcast") => true
+      case Some("shuffle") => false
+      case _ => vApprox <= broadcastNodeLimit &&
+        2L * p * sizing.dstNodesApprox >= eRows
+    }
     // below the threshold the machinery costs more than it saves —
     // simple plan, session confs untouched (AQE coalesces freely)
     val big = eRows >= coPartitionThreshold

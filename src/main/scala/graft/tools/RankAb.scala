@@ -72,7 +72,29 @@ object RankAb {
       dt
     }
 
-    Seq(false, true).foreach { ppr =>
+    def show(xs: Seq[Double]) =
+      xs.map(x => f"$x%.2f").mkString(" ") + f"  min=${xs.min}%.2f"
+    if (args.contains("regimes")) {
+      // round-16 sf30 mode: the iteration-REGIME A/B (broadcast-share
+      // vs co-partitioned shuffle), alternated in one JVM via the
+      // graft.rank.regime system property — the third-decade run read
+      // the smallV broadcast regime at 10-16x on 3x data (three
+      // |V|-row broadcast relations contending with the edge cache in
+      // an 8 GB heap), and this measures the alternative on the same
+      // staged graph under the same drift.
+      runOnce(hinted = true, ppr = false) // warm
+      val bc = scala.collection.mutable.ArrayBuffer[Double]()
+      val sh = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to reps).foreach { _ =>
+        sys.props("graft.rank.regime") = "shuffle"
+        sh += runOnce(hinted = true, ppr = false)
+        sys.props("graft.rank.regime") = "broadcast"
+        bc += runOnce(hinted = true, ppr = false)
+      }
+      sys.props.remove("graft.rank.regime")
+      println(s"[rankab] pagerank  SHUFFLE regime:   ${show(sh.toSeq)}")
+      println(s"[rankab] pagerank  BROADCAST regime: ${show(bc.toSeq)}")
+    } else Seq(false, true).foreach { ppr =>
       val name = if (ppr) "ppr" else "pagerank"
       runOnce(hinted = false, ppr) // warm: JIT/codegen off the clock
       val noHint = scala.collection.mutable.ArrayBuffer[Double]()
@@ -81,8 +103,6 @@ object RankAb {
         noHint += runOnce(hinted = false, ppr)
         withHint += runOnce(hinted = true, ppr)
       }
-      def show(xs: Seq[Double]) =
-        xs.map(x => f"$x%.2f").mkString(" ") + f"  min=${xs.min}%.2f"
       println(s"[rankab] $name  B no-hint (r14 path): ${show(noHint.toSeq)}")
       println(s"[rankab] $name  A hinted  (r15 path): ${show(withHint.toSeq)}")
     }
