@@ -1906,7 +1906,14 @@ object SparkEntry {
     val path = ragEmbMemo.computeIfAbsent((s, d), _ => {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_rag_emb").toString
-      ragEmbeddingPipeline(s, d).write.mode("overwrite").parquet(dir)
+      // spread the STORED layout (post-embedding — (id, vec) rows only,
+      // chunk text stays map-side per PlanRegressionSpec): hashEmbedding
+      // ends in an aggregate whose AQE-coalesced output is ~one
+      // partition at small scale, and a one-file staged table would
+      // serialize every downstream k-means pass / quadratic re-rank
+      // that reads it (parquet can't parallelize one row group)
+      graft.ops.Similarity.spread(ragEmbeddingPipeline(s, d), col("vec_id"))
+        .write.mode("overwrite").parquet(dir)
       dir
     })
     s.read.parquet(path)
@@ -2404,6 +2411,10 @@ object SparkEntry {
     // staged once: both crossJoin sides read the checkpoint instead of
     // re-scanning + re-shingling the slice; repartitioned so the
     // quadratic stage doesn't inherit the scan's single partition
+    // count-less repartition kept deliberately: this is a BOUNDED
+    // 200-doc audit slice (20k pairs) at every SF — an explicit
+    // 32-way spread measured 0.21→0.32 s at sf1 (SpreadAb), pure
+    // exchange overhead against a trivially small quadratic
     val sh = Dedup.shingleTable(
       t(s, d, "documents").filter(col("doc_id") < 200), "text", "doc_id", k = 3)
       .repartition(col("doc_id")).localCheckpoint()
@@ -2440,6 +2451,11 @@ object SparkEntry {
     // is one small parquet file -> one partition, and without it the
     // 500k-pair exact gate runs on a single core (measured 5.5 s -> the
     // whole query 1.3 s at sf0.1 with the spread).
+    // count-less repartition kept deliberately (round-16 re-measured):
+    // AQE coalesces this to ~5 partitions of the ~5 MB shingle table —
+    // enough to clear the round-13 serial cliff — and forcing the full
+    // 32-way spread read 0.62→1.12 s at sf0.1 / 0.86× at sf1 (SpreadAb):
+    // more checkpoint blocks and join tasks than the pair stage repays
     val csh = Dedup.shingleTable(docs, "text", "doc_id", k = 3)
       .repartition(col("doc_id")).localCheckpoint()
     val psh = csh.filter(col("doc_id") < 100)

@@ -436,12 +436,42 @@ object Graph {
         lit(1.0 / seeds.size)).otherwise(lit(0.0))
     val oneMinusD = 1.0 - damping
 
-    var ranks = pin(deg.select(col("node"), col("outdeg"),
+    // `symmetric` (round-16): every edge present in both directions is
+    // the caller's contract, so EVERY node has an out-edge and the
+    // dangling set is empty BY CONSTRUCTION — the per-iteration
+    // dangling-mass aggregate (a |V|-row scan + one-row broadcast per
+    // round) is identically 0.0 and is dropped from the plan. The
+    // arithmetic is bit-identical: __in >= +0.0 always (sums of
+    // non-negative shares), so `__in + 0.0 * tele == __in` exactly in
+    // IEEE and the per-round round(.,8) sees the same operand.
+    //
+    // Round-16 measured NEGATIVE, kept for the record: with the
+    // dangling reference gone, each iteration references the previous
+    // vector exactly once (the share projection), so the small
+    // symmetric regime COULD skip the eager pin and unroll the loop
+    // as one lazy chain. graft.tools.RankLazyAb (same-JVM alternated
+    // B,A,B,A at sf0.1, 3 blocks): lazy read 0.73× on q_pagerank /
+    // 1.06× on q_pagerank_ppr vs the eager pin — no win, because each
+    // per-iteration broadcast(share) still materializes its whole
+    // sub-chain as its own broadcast-build job, so laziness saves no
+    // job launches and pays deeper plans. Eager pins stay on every
+    // path (`graft.rank.lazy=on` replays the lazy variant for
+    // measurement only).
+    val pinIter: DataFrame => DataFrame =
+      if (sys.props.get("graft.rank.lazy").contains("on")) identity else pin
+    var ranks = pinIter(deg.select(col("node"), col("outdeg"),
       round(tele, 8).as("rank")))
     for (_ <- 1 to iters) {
       // one-row dangling-mass aggregate, broadcast by construction
-      val dangling = ranks.filter(col("outdeg") === 0)
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      // (general path only — see the symmetric contract note above;
+      // graft.rank.dangling=keep replays the old always-aggregate
+      // plan for same-JVM measurement, output identical: __dm ≡ 0)
+      val skipDangling = symmetric &&
+        !sys.props.get("graft.rank.dangling").contains("keep")
+      val dangling =
+        if (skipDangling) null
+        else ranks.filter(col("outdeg") === 0)
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
       // small-|V| regime: ranks broadcast, agg partition-local on the
       // dst-partitioned cache — ZERO shuffled rows per round. big-|V|:
       // co-partitioned join (no exchange), dst agg pays the shuffle.
@@ -471,13 +501,19 @@ object Graph {
           case None => sum(col("__share"))
           case Some(_) => sum(col("__r") * col("w") / col("__od"))
         }).as("__in"))
-      ranks = pin(deg
-        .join(contribs, deg("node") === contribs("dst"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"), col("outdeg"),
-          round(lit(oneMinusD) * tele + lit(damping) *
-            (coalesce(col("__in"), lit(0.0)) + col("__dm") * tele), 8)
-            .as("rank")))
+      val joined = deg.join(contribs, deg("node") === contribs("dst"), "left")
+      ranks = pinIter(
+        if (skipDangling)
+          joined.select(col("node"), col("outdeg"),
+            round(lit(oneMinusD) * tele + lit(damping) *
+              coalesce(col("__in"), lit(0.0)), 8)
+              .as("rank"))
+        else
+          joined.crossJoin(broadcast(dangling))
+            .select(col("node"), col("outdeg"),
+              round(lit(oneMinusD) * tele + lit(damping) *
+                (coalesce(col("__in"), lit(0.0)) + col("__dm") * tele), 8)
+                .as("rank")))
     }
     // final ranks are pinned (eager) — the edge cache is no longer
     // referenced by the returned plan and must not outlive the call

@@ -90,6 +90,13 @@ object Ivf {
     // storage level we set OURSELVES: persist() returns the same
     // Dataset, so unpersisting a corpus the caller had already cached
     // would silently evict THEIR cache
+    // NOT spread (round-16 measured negative, SpreadAb): real corpora
+    // and the scaled fixtures arrive as multiple scan splits, so the
+    // Lloyd passes already parallelize; an explicit repartition here
+    // costs an extra exchange per build and lost 20–35% on the
+    // ivf/ivfpq entries at sf1. The one genuinely-serial input — a
+    // staged single-file table — is fixed at its WRITE side instead
+    // (SparkEntry.stagedRagEmbeddings spreads the stored layout).
     val weCached = corpus.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val c =
       if (weCached) corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

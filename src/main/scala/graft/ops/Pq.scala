@@ -231,10 +231,10 @@ object Pq {
       .withColumn("__lut", lutUdf(col("__pv").cast("array<double>")))
     // spread the code scan before the quadratic stage (see
     // bruteForceTopK): one narrow O(n) shuffle of 16-byte codes vs the
-    // O(n x probes) ADC stage it parallelizes
-    val c = encoded.select(col(idCol).as("corpus_id"),
-        col("pq_code"), col("pq_norm"))
-      .repartition(col("corpus_id"))
+    // O(n x probes) ADC stage it parallelizes — explicit count via
+    // Similarity.spread so AQE can't re-serialize the byte-small codes
+    val c = Similarity.spread(encoded.select(col(idCol).as("corpus_id"),
+        col("pq_code"), col("pq_norm")), col("corpus_id"))
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("__approx").desc, col("corpus_id"))
     val short = c.crossJoin(broadcast(p.select(col("query_id"), col("__pn"), col("__lut"))))

@@ -22,6 +22,40 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Spread a COMPUTE-dense stream across the cluster's cores with an
+    * EXPLICIT partition count. The count matters: a count-less
+    * `repartition(col)` is REPARTITION_BY_COL, which AQE's
+    * CoalesceShufflePartitions folds back down by BYTES (with
+    * `parallelismFirst` it packs ~1 MB partitions) — and the vector
+    * stages this helper guards are exactly the shape that heuristic
+    * misjudges: a few hundred KB of ids/embeddings carrying an
+    * O(n·probes) or O(n·k·dim) kernel. Round-16 measured the exact
+    * all-pairs audit (2 M dot products) running as ONE post-coalesce
+    * task on 32 cores for precisely this reason. An explicit count
+    * (REPARTITION_BY_NUM) is exempt from coalescing, so the spread
+    * the call sites were already paying for actually happens.
+    *
+    * Scale posture: every caller either already shuffled here by
+    * design (the O(n) narrow exchange vs the quadratic stage it
+    * parallelizes — see [[bruteForceTopK]]) or does per-row work that
+    * dwarfs one narrow shuffle of its own input (centroid ranking,
+    * ADC encode). `defaultParallelism` tracks the cluster (executors
+    * × cores), not a constant; hash-partitioning on the id keeps the
+    * kernel's row order deterministic-irrelevant (all consumers
+    * aggregate or rank with total tie-breaks).
+    */
+  private[graft] def spread(df: DataFrame, keys: Column*): DataFrame = {
+    // measurement override (the RankAb regime pattern): a system
+    // property, not an env var, so one JVM can alternate the spread
+    // on/off rep-for-rep under identical host drift ("off" = the
+    // pre-round-16 effective shape: scan splits / AQE-coalesced)
+    if (sys.props.get("graft.spread").contains("off")) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (keys.isEmpty) df.repartition(p) else df.repartition(p, keys: _*)
+    }
+  }
+
   /** Dot product of two array columns (double accumulation) — the
     * custom codegen Expression; semantically identical to
     * aggregate(zip_with(...)) but stays inside whole-stage codegen
@@ -64,9 +98,10 @@ object Similarity {
     // often arrives as ONE scan partition (single parquet file / single
     // row group), which would serialize every dot product onto one core;
     // the repartition shuffle is O(n) against an O(n x probes) stage
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
-      .withColumn("__cn", norm(col("__cv")))
-      .repartition(col("corpus_id"))
+    // (explicit count — see [[spread]]: AQE would re-coalesce a
+    // count-less spread of byte-small vectors right back to one task)
+    val c = spread(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv"))), col("corpus_id"))
     val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("__pv"))
       .withColumn("__pn", norm(col("__pv")))
     val scored = c.crossJoin(broadcast(p))
@@ -165,18 +200,38 @@ object Similarity {
       .select("table", "bucket", "id_a")
     val b = bucketed(df, idCol, vecCol, "id_b", "__vb", nBits, nTables)
       .select("table", "bucket", "id_b")
-    val cands = a.join(b, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // Round-16 reorder: score-then-dedup instead of dedup-then-score.
+    // The old shape ran distinct() on the RAW candidate pairs — at
+    // these geometries that is the single largest exchange in the
+    // operator (measured sf0.1: 4 M duplicated candidates → 64 MB
+    // shuffle to dedup to 1.7 M) — and only then re-joined vectors.
+    // Scoring FIRST keeps the whole candidate stream inside the bucket
+    //-join stage (both vector sides broadcast), pays the cosine on
+    // duplicated candidates (E[tables shared | any shared] ≈ 2.3 at
+    // the audit geometry — cheap codegen dots), and the threshold
+    // filter collapses the stream to ~output size BEFORE the only
+    // remaining exchange (the distinct on survivors). Output is
+    // bit-identical: duplicates of a pair compute the identical
+    // rounded cosine, so distinct-on-(ids, cosine) dedups exactly the
+    // pairs the old distinct-on-ids did.
     val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
       .withColumn("__na", norm(col("__va")))
     val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
       .withColumn("__nb", norm(col("__vb")))
-    cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+    // the bucket join broadcasts `b`, so the ENTIRE fused stage
+    // (pair emission + both vector joins + the cosine) executes on
+    // `a`'s partitioning — spread it (explicit count, see [[spread]])
+    // or a single-file corpus runs the whole operator on one core
+    spread(a, col("id_a")).join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
       .withColumn("cosine",
         round(safeCosine(dot(col("__va"), col("__vb")), col("__na"), col("__nb")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
   }
 
   /** Exact all-pairs cosine >= threshold (verification / small corpora):
@@ -185,10 +240,9 @@ object Similarity {
   def exactNearDupPairs(df: DataFrame, threshold: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // spread the stream side (see bruteForceTopK): O(n) shuffle vs the
-    // O(n^2) pair stage it parallelizes
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-      .withColumn("__na", norm(col("__va")))
-      .repartition(col("id_a"))
+    // O(n^2) pair stage it parallelizes — explicit count via [[spread]]
+    val a = spread(df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+      .withColumn("__na", norm(col("__va"))), col("id_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
       .withColumn("__nb", norm(col("__vb")))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -276,8 +330,13 @@ object Similarity {
     val s = labeled.select(col(idCol).as("__sid"), col(labelCol).as("__sl"),
         col(vecCol).as("__sv"))
       .withColumn("__sn", norm(col("__sv")))
-    val p = pool.select(col(idCol), col(vecCol).as("__pv"))
-      .withColumn("__pn", norm(col("__pv")))
+    // spread the pool before the pool × seeds stage: each pool row pays
+    // |seeds| codegen dots (tens of kFLOPs) — one narrow (id, vec)
+    // shuffle is ~100× cheaper than the kernel it parallelizes, and a
+    // single-file pool scan would otherwise run the whole stage (and
+    // its per-partition WindowGroupLimit) on one core
+    val p = spread(pool.select(col(idCol), col(vecCol).as("__pv"))
+      .withColumn("__pn", norm(col("__pv"))), col(idCol))
     val scored = p.crossJoin(broadcast(s))
       .filter(col(idCol) =!= col("__sid"))
       .withColumn("__cos",
@@ -460,10 +519,9 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     labelCol: String = "label"): DataFrame = {
     require(k >= 1, "k >= 1")
-    val c = corpus.select(col(idCol).as("corpus_id"),
+    val c = spread(corpus.select(col(idCol).as("corpus_id"),
         col(labelCol).as("neg_label"), col(vecCol).as("__cv"))
-      .withColumn("__cn", norm(col("__cv")))
-      .repartition(col("corpus_id"))
+      .withColumn("__cn", norm(col("__cv"))), col("corpus_id"))
     val p = probes.select(col(idCol).as("query_id"),
         col(labelCol).as("query_label"), col(vecCol).as("__pv"))
       .withColumn("__pn", norm(col("__pv")))

@@ -62,8 +62,11 @@ object Sq {
   def searchFromCodes(codes: DataFrame, probes: DataFrame, k: Int,
                       range: SqRange, idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
-    val c = codes.select(col(idCol).as("corpus_id"), col("sq_code"))
-      .repartition(col("corpus_id"))
+    // explicit-count spread (see Similarity.spread): AQE re-coalesces a
+    // count-less repartition of byte-small codes to ~one task, which
+    // would serialize the O(n × probes) ADC stage below
+    val c = Similarity.spread(
+      codes.select(col(idCol).as("corpus_id"), col("sq_code")), col("corpus_id"))
     val p = probes.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__pv"))
     val scored = c.crossJoin(broadcast(p))
