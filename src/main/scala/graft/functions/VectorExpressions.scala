@@ -331,9 +331,135 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** centroid_top_ids(vec): ids of the `m` nearest centroids by
+    * (cosine DESC, id ASC) against a driver-side centroid matrix —
+    * the k-means E-step / probe-list selection that [[graft.ops.Ivf]]
+    * previously ran as a boxed Seq[Double] closure UDF (per row: a
+    * Seq allocation, k boxed tuple allocations, a sortBy). Ships the
+    * centroids as a codegen reference object (the [[SrpSignatures]]
+    * pattern) and keeps the arithmetic BIT-IDENTICAL to the closure:
+    * vector norm over the row's elements in index order; per centroid
+    * the dot accumulates over the CENTROID's length in index order;
+    * den = vn * sqrt(cn) with cn summed in the same order (hoisted
+    * per centroid — row-independent, so the hoist changes nothing);
+    * cosine 0.0 when den == 0; selection scans ids ascending with a
+    * strict `>` so ties keep the lowest id, exactly the closure's
+    * sortBy((-cos, id)). `cents(c)` must be the centroid with id c
+    * (the Ivf build contract: ids are 0..k-1 by construction).
+    */
+  case class CentroidTopIds(child: Expression,
+                            cents: Array[Array[Double]], m: Int)
+      extends UnaryExpression {
+    require(m >= 1 && m <= cents.length, "m in [1, k]")
+
+    @transient private lazy val cnSqrt: Array[Double] =
+      cents.map { cv =>
+        var cn = 0.0; var i = 0
+        while (i < cv.length) { cn += cv(i) * cv(i); i += 1 }
+        math.sqrt(cn)
+      }
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "centroid_top_ids"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val f = elemIsFloat(child)
+      val n = x.numElements()
+      val v = new Array[Double](n)
+      var j = 0
+      while (j < n) { v(j) = if (f) x.getFloat(j).toDouble else x.getDouble(j); j += 1 }
+      var vn = 0.0
+      j = 0
+      while (j < n) { vn += v(j) * v(j); j += 1 }
+      vn = math.sqrt(vn)
+      val k = cents.length
+      val cos = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cv = cents(c)
+        var d = 0.0
+        var i = 0
+        while (i < cv.length) { d += cv(i) * v(i); i += 1 }
+        val den = vn * cnSqrt(c)
+        cos(c) = if (den == 0.0) 0.0 else d / den
+        c += 1
+      }
+      val out = new Array[Int](m)
+      val used = new Array[Boolean](k)
+      var r = 0
+      while (r < m) {
+        var best = -1
+        c = 0
+        while (c < k) {
+          if (!used(c) && (best < 0 || cos(c) > cos(best))) best = c
+          c += 1
+        }
+        used(best) = true
+        out(r) = best
+        r += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val centsRef = ctx.addReferenceObj("centroids", cents, "double[][]")
+        val cnRef = ctx.addReferenceObj("centroidNorms", cnSqrt, "double[]")
+        val k = cents.length
+        val n = ctx.freshName("n")
+        val v = ctx.freshName("v")
+        val j = ctx.freshName("j")
+        val vn = ctx.freshName("vn")
+        val cos = ctx.freshName("cos")
+        val c = ctx.freshName("c")
+        val cv = ctx.freshName("cv")
+        val d = ctx.freshName("d")
+        val i = ctx.freshName("i")
+        val den = ctx.freshName("den")
+        val out = ctx.freshName("out")
+        val used = ctx.freshName("used")
+        val r = ctx.freshName("r")
+        val best = ctx.freshName("best")
+        val get = if (elemIsFloat(child)) s"(double) $x.getFloat($j)" else s"$x.getDouble($j)"
+        s"""
+           |int $n = $x.numElements();
+           |double[] $v = new double[$n];
+           |for (int $j = 0; $j < $n; $j++) { $v[$j] = $get; }
+           |double $vn = 0.0;
+           |for (int $j = 0; $j < $n; $j++) { $vn += $v[$j] * $v[$j]; }
+           |$vn = java.lang.Math.sqrt($vn);
+           |double[] $cos = new double[$k];
+           |for (int $c = 0; $c < $k; $c++) {
+           |  double[] $cv = $centsRef[$c];
+           |  double $d = 0.0;
+           |  for (int $i = 0; $i < $cv.length; $i++) { $d += $cv[$i] * $v[$i]; }
+           |  double $den = $vn * $cnRef[$c];
+           |  $cos[$c] = ($den == 0.0) ? 0.0 : $d / $den;
+           |}
+           |int[] $out = new int[$m];
+           |boolean[] $used = new boolean[$k];
+           |for (int $r = 0; $r < $m; $r++) {
+           |  int $best = -1;
+           |  for (int $c = 0; $c < $k; $c++) {
+           |    if (!$used[$c] && ($best < 0 || $cos[$c] > $cos[$best])) $best = $c;
+           |  }
+           |  $used[$best] = true;
+           |  $out[$r] = $best;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   def vector_dot(a: Column, b: Column): Column = column(VectorDot(expression(a), expression(b)))
+  def centroid_top_ids(vec: Column, cents: Array[Array[Double]], m: Int): Column =
+    column(CentroidTopIds(expression(vec), cents, m))
   def vector_norm(a: Column): Column = column(VectorNorm(expression(a)))
   def srp_signatures(vec: Column, nBits: Int, nTables: Int): Column =
     column(SrpSignatures(expression(vec), nBits, nTables))

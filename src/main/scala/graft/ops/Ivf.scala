@@ -39,7 +39,7 @@ object Ivf {
   case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
 
   /** Driver-side centroid set: (centroid_id, vector). */
-  private type Cen = Array[(Int, Array[Double])]
+  private[graft] type Cen = Array[(Int, Array[Double])]
 
   /** Cosine of `emb` against every centroid, best-first by
     * (cos desc, id asc); shared by assignment and probe-list choice.
@@ -47,7 +47,9 @@ object Ivf {
     * the expression tree tiny (no k x dim literal tree to optimize)
     * and ships with the task closure exactly like MLlib's k-means.
     */
-  private def rankedCentroids(cen: Cen): Seq[Double] => Array[Int] = {
+  // retained as the REFERENCE semantics the codegen CentroidTopIds
+  // expression is parity-tested against (IvfSpec); no runtime caller
+  private[graft] def rankedCentroids(cen: Cen): Seq[Double] => Array[Int] = {
     // sort once at closure build, NOT per row (cen is driver-side and
     // already id-ordered from build; this just makes that a guarantee)
     val sorted = cen.sortBy(_._1)
@@ -70,14 +72,32 @@ object Ivf {
     }
   }
 
-  /** Map-side nearest-centroid assignment (the k-means E-step). */
-  private def assign(corpus: DataFrame, cen: Cen,
-                     idCol: String, vecCol: String): DataFrame = {
-    val ranker = rankedCentroids(cen)
-    val nearest = udf((emb: Seq[Double]) => ranker(emb).head)
-    corpus.select(col(idCol), col(vecCol),
-      nearest(col(vecCol).cast("array<double>")).as("centroid_id"))
+  /** Driver-side centroid matrix for the codegen ranker: `(c)` is the
+    * centroid with id c — ids are 0..k-1 contiguous by construction
+    * (build tabulates them; required here so the expression can return
+    * ARRAY INDEXES as ids).
+    */
+  private def centMatrix(cen: Cen): Array[Array[Double]] = {
+    val sorted = cen.sortBy(_._1)
+    require(sorted.map(_._1).sameElements(sorted.indices),
+      "centroid ids must be 0..k-1")
+    sorted.map(_._2)
   }
+
+  /** Map-side nearest-centroid assignment (the k-means E-step) — the
+    * codegen [[graft.functions.VectorExpressions.CentroidTopIds]]
+    * ranker (round 16): the boxed Seq[Double] closure UDF paid a Seq
+    * allocation + k boxed tuples + a sortBy PER ROW, the dominant
+    * per-task term of every Lloyd pass and probe-list selection at
+    * corpus scale; the expression is arithmetic-identical (parity
+    * spec: IvfSpec "codegen ranker matches the closure").
+    */
+  private def assign(corpus: DataFrame, cen: Cen,
+                     idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      element_at(graft.functions.VectorExpressions.centroid_top_ids(
+        col(vecCol).cast("array<double>"), centMatrix(cen), 1), 1)
+        .as("centroid_id"))
 
   /** Build the index with `iters` Lloyd iterations. */
   def build(corpus: DataFrame, k: Int, iters: Int = 5,
@@ -165,10 +185,10 @@ object Ivf {
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cen: Cen = index.centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    val ranker = rankedCentroids(cen)
-    val lists = udf((emb: Seq[Double]) => ranker(emb).take(m))
     corpus.select(col(idCol), col(vecCol),
-      explode(lists(col(vecCol).cast("array<double>"))).as("centroid_id"))
+      explode(graft.functions.VectorExpressions.centroid_top_ids(
+        col(vecCol).cast("array<double>"), centMatrix(cen),
+        math.min(m, cen.length))).as("centroid_id"))
   }
 
   /** Per-probe inverted-list selection — the probe half of [[search]],
@@ -181,14 +201,14 @@ object Ivf {
     val cen: Cen = index.centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     // per-probe list selection is a projection: rank the k centroids
-    // in the closure, keep nProbe ids, explode
-    val ranker = rankedCentroids(cen)
-    val lists = udf((emb: Seq[Double]) => ranker(emb).take(nProbe))
+    // map-side (codegen, see assign), keep nProbe ids, explode
     probes
       .select(col(idCol).as("query_id"), col(vecCol).as("__pv"))
       .withColumn("__pn", norm(col("__pv")))
       .select(col("query_id"), col("__pv"), col("__pn"),
-        explode(lists(col("__pv").cast("array<double>"))).as("centroid_id"))
+        explode(graft.functions.VectorExpressions.centroid_top_ids(
+          col("__pv").cast("array<double>"), centMatrix(cen),
+          math.min(nProbe, cen.length))).as("centroid_id"))
   }
 
   /** ANN top-k: nProbe nearest lists per probe, exact re-rank within. */

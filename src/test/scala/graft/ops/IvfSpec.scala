@@ -35,6 +35,35 @@ class IvfSpec extends AnyFunSuite with SparkTestBase {
       s"each planted cluster should map to exactly one centroid: $byCluster")
   }
 
+  test("codegen ranker matches the closure (CentroidTopIds parity)") {
+    // the round-16 codegen E-step must reproduce the reference closure
+    // BIT-FOR-BIT: same dots, same hoisted centroid norms, same
+    // (cos desc, id asc) tie-breaks — on awkward inputs too (zero
+    // vector, duplicate centroids that force ties)
+    val rnd = new scala.util.Random(7)
+    val cen: Ivf.Cen = Array.tabulate(5)(i =>
+      (i, if (i == 4) Array.fill(8)(0.25) // duplicate of nothing; ties via zero vec
+          else Array.fill(8)(rnd.nextDouble() - 0.5)))
+    val dupCen: Ivf.Cen = cen.updated(3, (3, cen(1)._2.clone())) // exact tie 1 vs 3
+    val rows = (0 until 50).map(i =>
+      (i.toLong, if (i == 13) Seq.fill(8)(0.0) // zero-norm row
+                 else Seq.fill(8)(rnd.nextDouble() - 0.5))) :+
+      (50L, Seq.fill(8)(0.25)) // exact cosine-1 hit on centroid 4
+    val df = rows.toDF("vec_id", "embedding")
+    for (c <- Seq(cen, dupCen); m <- Seq(1, 3, 5)) {
+      val ranker = Ivf.rankedCentroids(c)
+      val expected = rows.map { case (id, v) => id -> ranker(v).take(m).toSeq }.toMap
+      val cents = c.sortBy(_._1).map(_._2)
+      val got = df.select(col("vec_id"),
+          graft.functions.VectorExpressions.centroid_top_ids(
+            col("embedding").cast("array<double>"), cents, m).as("ids"))
+        .as[(Long, Seq[Int])].collect().toMap
+      rows.foreach { case (id, _) =>
+        assert(got(id) == expected(id), s"m=$m id=$id: ${got(id)} vs ${expected(id)}")
+      }
+    }
+  }
+
   test("search finds same-cluster neighbors and matches brute force on top-1") {
     val idx = Ivf.build(vecs, k = 2, iters = 4)
     val probes = vecs.filter($"vec_id" === 0)
